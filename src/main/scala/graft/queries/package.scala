@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Shared oracle-parity helpers.
+  *
+  * Cross-engine determinism rules (Spark vs DuckDB, BASELINE.md):
+  *   - money/quantity doubles are cast to DECIMAL(18,2) *before*
+  *     aggregation → exact arithmetic in both engines; the final value is
+  *     cast back to double and rounded, so output schema is DOUBLE in both.
+  *   - counts/sums of ints are cast to BIGINT in the oracle (DuckDB
+  *     promotes integer sums to HUGEINT, Spark to LONG).
+  *   - every query output is totally ordered.
+  */
+package object queries {
+  /** Exact 2-dp decimal view of a stored-as-double money/qty column. */
+  def money(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Exact decimal sum rendered as a rounded double (schema parity). */
+  def dsum(c: Column, scale: Int = 2): Column =
+    round(sum(money(c)).cast("double"), scale)
+
+  /** Deterministic mean: exact decimal sum / exact count, in doubles. */
+  def davg(c: Column, scale: Int = 4): Column =
+    round(sum(money(c)).cast("double") / count(c).cast("double"), scale)
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  /** Oracle-side equivalents as SQL text builders. */
+  def oSum(col: String, as: String, scale: Int = 2): String =
+    s"round(CAST(sum(CAST($col AS DECIMAL(18,2))) AS DOUBLE), $scale) AS $as"
+  def oAvg(col: String, as: String, scale: Int = 4): String =
+    s"round(CAST(sum(CAST($col AS DECIMAL(18,2))) AS DOUBLE) / CAST(count($col) AS DOUBLE), $scale) AS $as"
+}
