@@ -1,0 +1,265 @@
+package graft.queries
+
+import graft.Q
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Window functions, multi-dimensional aggregation (rollup/cube/grouping
+  * sets), date/string/JSON scalar functions, pivot, sessionization.
+  *
+  * The reference itself has no window functions (SURVEY.md §2.8) but our
+  * merge/label-resolution engine is built on them (row_number argmax,
+  * §2.6), so they are declared as first-class capabilities here.
+  */
+object Analytic {
+
+  /** row_number/rank per partition: the same primitive the contact merge
+    * uses for per-cluster argmax (combine_contacts.py:264-277 in the
+    * reference → window row_number here). One shuffle on the partition
+    * key; no global sort. */
+  val q15 = Q(
+    "q15_window_rank",
+    "top-3 orders per customer via row_number window",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      o.select(col("o_custkey"), col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3 && col("o_custkey") < 50)
+        .orderBy(col("o_custkey"), col("rn"))
+    },
+    Some("""SELECT o_custkey, o_orderkey, round(o_totalprice,2) AS o_totalprice, rn FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+          CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rn
+        FROM orders) WHERE rn <= 3 AND o_custkey < 50
+      ORDER BY o_custkey, rn"""))
+
+  /** Running (cumulative) sum with an explicit frame; decimal inside the
+    * window for bit-identical cross-engine totals. */
+  val q16 = Q(
+    "q16_window_running_sum",
+    "cumulative account of order value per customer, frame-spec window",
+    (s, dir) => {
+      val o = t(s, dir, "orders").where(col("o_custkey") < 20)
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      o.select(col("o_custkey"), col("o_orderkey"),
+          round(sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w).cast("double"), 2)
+            .as("running_total"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+        round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+          PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS running_total
+      FROM orders WHERE o_custkey < 20
+      ORDER BY o_custkey, o_orderkey"""))
+
+  /** lag/lead: gap-based sessionization over the events stream table —
+    * the batch form of what the streaming module does with state. */
+  val q17 = Q(
+    "q17_sessionize_lag",
+    "session counts per user from 30-min gaps via lag()",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+      e.select(col("user_id"), col("event_id"), col("ts"))
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            (col("ts").cast("long") - col("prev_ts").cast("long")) > 1800, 1L).otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
+    },
+    Some("""SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
+        SELECT user_id, event_id,
+          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL
+                 OR date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC), ts) > 1800
+               THEN 1 ELSE 0 END AS new_session
+        FROM events)
+      GROUP BY user_id ORDER BY user_id"""))
+
+  /** ROLLUP: hierarchical super-aggregates; group keys coalesced to a
+    * sentinel so NULL ordering differences between engines vanish. */
+  val q18 = Q(
+    "q18_rollup",
+    "rollup(returnflag, linestatus) with sentinel-coalesced keys",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("(all)")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("linestatus"),
+          col("n_rows"), col("sum_qty"))
+        .orderBy(col("returnflag"), col("linestatus")),
+    Some(s"""SELECT coalesce(l_returnflag, '(all)') AS returnflag,
+        coalesce(l_linestatus, '(all)') AS linestatus,
+        count(*) AS n_rows, ${oSum("l_quantity", "sum_qty")}
+      FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY returnflag, linestatus"""))
+
+  /** CUBE over two dimensions. */
+  val q19 = Q(
+    "q19_cube",
+    "cube(orderstatus, orderpriority) counts",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("(all)")).as("orderstatus"),
+          coalesce(col("o_orderpriority"), lit("(all)")).as("orderpriority"),
+          col("n_orders"), col("sum_price"))
+        .orderBy(col("orderstatus"), col("orderpriority")),
+    Some(s"""SELECT coalesce(o_orderstatus, '(all)') AS orderstatus,
+        coalesce(o_orderpriority, '(all)') AS orderpriority,
+        count(*) AS n_orders, ${oSum("o_totalprice", "sum_price")}
+      FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      ORDER BY orderstatus, orderpriority"""))
+
+  /** GROUPING SETS via SQL (exercises the SQL entry path too). */
+  val q20 = Q(
+    "q20_grouping_sets",
+    "explicit grouping sets (segment), (nationkey), ()",
+    (s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("gs_customer")
+      s.sql("""SELECT coalesce(c_mktsegment, '(all)') AS segment,
+          coalesce(CAST(c_nationkey AS STRING), '(all)') AS nation,
+          count(*) AS n_customers
+        FROM gs_customer
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        ORDER BY segment, nation""")
+    },
+    Some("""SELECT coalesce(c_mktsegment, '(all)') AS segment,
+        coalesce(CAST(c_nationkey AS VARCHAR), '(all)') AS nation,
+        count(*) AS n_customers
+      FROM customer
+      GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+      ORDER BY segment, nation"""))
+
+  /** Date/time scalar functions + month-level aggregation. */
+  val q21 = Q(
+    "q21_date_functions",
+    "date_trunc/year/month/dayofweek extraction, monthly revenue",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .select(
+          date_trunc("month", col("o_orderdate")).cast("date").as("order_month"),
+          year(col("o_orderdate")).as("order_year"),
+          col("o_totalprice"))
+        .groupBy(col("order_month"), col("order_year"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("order_month")),
+    Some(s"""SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+        CAST(year(o_orderdate) AS INTEGER) AS order_year,
+        count(*) AS n_orders, ${oSum("o_totalprice", "sum_price")}
+      FROM orders GROUP BY 1, 2 ORDER BY order_month"""))
+
+  /** String scalar functions: the flavor the contact normalizer relies on
+    * (lower/trim/regexp_replace/substr/concat/split — SURVEY.md §2.3). */
+  val q22 = Q(
+    "q22_string_functions",
+    "regexp_replace/substring/concat/lower/length/split over part names",
+    (s, dir) =>
+      t(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          lower(col("p_name")).as("name_lower"),
+          length(col("p_name")).as("name_len"),
+          substring(col("p_name"), 1, 5).as("name_head"),
+          regexp_replace(col("p_name"), "[aeiou]", "_").as("name_devowel"),
+          element_at(split(col("p_name"), " "), 1).as("first_token"),
+          concat_ws("::", col("p_brand"), col("p_type")).as("brand_type"))
+        .orderBy(col("p_partkey")),
+    Some("""SELECT p_partkey, lower(p_name) AS name_lower,
+        CAST(length(p_name) AS INTEGER) AS name_len,
+        substring(p_name, 1, 5) AS name_head,
+        regexp_replace(p_name, '[aeiou]', '_', 'g') AS name_devowel,
+        split_part(p_name, ' ', 1) AS first_token,
+        concat_ws('::', p_brand, p_type) AS brand_type
+      FROM part ORDER BY p_partkey"""))
+
+  /** JSON extraction from the events.props column (reference round-trips
+    * addresses as JSON strings — combine_contacts.py:1313,1318). */
+  val q23 = Q(
+    "q23_json_extract",
+    "get_json_object over props, grouped stats on the extracted field",
+    (s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).cast("long").as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type")),
+    Some("""SELECT event_type, count(*) AS n,
+        CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k
+      FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events)
+      GROUP BY event_type ORDER BY event_type"""))
+
+  /** Pivot (wide conditional aggregation). */
+  val q24 = Q(
+    "q24_pivot_event_types",
+    "events per user pivoted to one column per event_type",
+    (s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val p = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", types)
+        .count()
+      types.foldLeft(p)((df, tname) =>
+        df.withColumn(tname, coalesce(col(tname), lit(0L))))
+        .orderBy(col("user_id"))
+    },
+    Some("""SELECT user_id,
+        CAST(sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        CAST(sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        CAST(sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        CAST(sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+      FROM events GROUP BY user_id ORDER BY user_id"""))
+
+  /** Tumbling time window (batch form of the streaming aggregation):
+    * Spark's window() aligns to the epoch, equivalent to date_trunc for
+    * whole-hour widths. */
+  val q25 = Q(
+    "q25_tumbling_window",
+    "hourly tumbling-window event counts and value sums",
+    (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour").getField("start").as("hour_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .orderBy(col("hour_start"), col("event_type")),
+    Some(s"""SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        count(*) AS n_events, ${oSum("value", "sum_value")}
+      FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type"""))
+
+  /** ntile + percent_rank (distribution windows). */
+  val q26 = Q(
+    "q26_window_ntile",
+    "acctbal quartiles per market segment via ntile(4)",
+    (s, dir) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+      t(s, dir, "customer")
+        .select(col("c_mktsegment"), col("c_custkey"),
+          ntile(4).over(w).as("quartile"))
+        .groupBy(col("c_mktsegment"), col("quartile"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("c_mktsegment"), col("quartile"))
+    },
+    Some("""SELECT c_mktsegment, quartile, count(*) AS n FROM (
+        SELECT c_mktsegment, c_custkey,
+          CAST(ntile(4) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC) AS INTEGER) AS quartile
+        FROM customer)
+      GROUP BY c_mktsegment, quartile ORDER BY c_mktsegment, quartile"""))
+
+  val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26)
+}

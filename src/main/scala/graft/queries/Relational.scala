@@ -170,19 +170,20 @@ object Relational {
       WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
       GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
 
-  /** Left-anti join (NOT EXISTS). */
+  /** Left-anti join (NOT EXISTS). Filter keeps the result non-empty at
+    * every SF (plain "no orders" is empty on this data). */
   val q08 = Q(
     "q08_anti_join",
-    "customers with no orders at all",
+    "customers with no order above 400k",
     (s, dir) => {
       val c = t(s, dir, "customer")
-      val o = t(s, dir, "orders").select(col("o_custkey"))
+      val o = t(s, dir, "orders").where(col("o_totalprice") > 400000).select(col("o_custkey"))
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
         .orderBy(col("c_custkey"))
     },
     Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
-      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
       ORDER BY c_custkey"""))
 
   /** TPC-H Q13-style outer join + double aggregation: how many customers

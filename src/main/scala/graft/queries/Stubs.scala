@@ -4,8 +4,6 @@ import graft.Q
 
 // Filled in incrementally; each module gains real queries as its
 // operator family lands (SURVEY.md §2 checklist).
-object Analytic { def all: Seq[Q] = Seq() }
-object TextOps { def all: Seq[Q] = Seq() }
 object DedupOps { def all: Seq[Q] = Seq() }
 object SimilarityOps { def all: Seq[Q] = Seq() }
 object ContactOps { def all: Seq[Q] = Seq() }

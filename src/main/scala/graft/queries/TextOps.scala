@@ -1,0 +1,171 @@
+package graft.queries
+
+import graft.Q
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * token counting, quality scoring, n-gram language-ID heuristic,
+  * document fingerprinting, n-gram frequency. All are pure column
+  * expressions (whole-stage codegen, no UDFs) so at 100 TB they run as a
+  * single scan + narrow map per document, aggregating only the small
+  * per-language/per-bucket outputs.
+  */
+object TextOps {
+
+  private def tokens(c: Column): Column = split(trim(c), " +")
+
+  /** Count tokens from `toks` that appear in the fixed word set. */
+  private def hits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, x => x.isin(words.map(w => w: Any): _*)))
+
+  private def oHits(col: String, words: Seq[String], as: String): String = {
+    val set = words.map(w => s"'$w'").mkString(", ")
+    s"CAST(len(list_filter($col, x -> x IN ($set))) AS INTEGER) AS $as"
+  }
+
+  // Tiny per-language stopword sets for the n-gram/stopword language-ID
+  // heuristic (public-knowledge function words).
+  private val EN = Seq("the", "and", "of", "to", "a", "in", "is", "it")
+  private val ES = Seq("el", "la", "de", "que", "y", "en", "los", "es")
+  private val DE = Seq("der", "die", "und", "das", "ist", "ein", "zu", "den")
+
+  /** Whitespace tokenization + simple stats per document. */
+  val q30 = Q(
+    "q30_token_stats",
+    "token count, char count, mean token length per document",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          tokens(col("text")).as("toks"),
+          length(col("text")).as("n_chars_text"))
+        .select(col("doc_id"), col("lang"),
+          size(col("toks")).as("n_tokens"),
+          col("n_chars_text"),
+          round(length(concat_ws("", col("toks"))).cast("double") /
+            size(col("toks")).cast("double"), 4).as("mean_token_len"))
+        .orderBy(col("doc_id")),
+    Some("""SELECT doc_id, lang,
+        CAST(len(toks) AS INTEGER) AS n_tokens,
+        CAST(length(text) AS INTEGER) AS n_chars_text,
+        round(CAST(length(list_aggregate(toks, 'string_agg', '')) AS DOUBLE) / CAST(len(toks) AS DOUBLE), 4) AS mean_token_len
+      FROM (SELECT doc_id, lang, text, string_split_regex(trim(text), ' +') AS toks FROM documents)
+      ORDER BY doc_id"""))
+
+  /** Stopword-hit language-ID heuristic; deterministic argmax tie-break
+    * en > es > de. On this synthetic corpus the text is English-ish so
+    * the interesting output is the (labeled, guessed) contingency. */
+  val q31 = Q(
+    "q31_langid_heuristic",
+    "stopword-ratio language guess vs labeled lang, contingency counts",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+        .select(col("lang"),
+          hits(col("toks"), EN).as("en_hits"),
+          hits(col("toks"), ES).as("es_hits"),
+          hits(col("toks"), DE).as("de_hits"))
+        .withColumn("guess",
+          when(col("en_hits") >= col("es_hits") && col("en_hits") >= col("de_hits"), "en")
+            .when(col("es_hits") >= col("de_hits"), "es")
+            .otherwise("de"))
+        .groupBy(col("lang"), col("guess"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("en_hits")).cast("long").as("sum_en_hits"))
+        .orderBy(col("lang"), col("guess")),
+    Some(s"""SELECT lang, guess, count(*) AS n_docs, CAST(sum(en_hits) AS BIGINT) AS sum_en_hits FROM (
+        SELECT lang, en_hits, es_hits, de_hits,
+          CASE WHEN en_hits >= es_hits AND en_hits >= de_hits THEN 'en'
+               WHEN es_hits >= de_hits THEN 'es' ELSE 'de' END AS guess
+        FROM (SELECT lang,
+            ${oHits("toks", EN, "en_hits")},
+            ${oHits("toks", ES, "es_hits")},
+            ${oHits("toks", DE, "de_hits")}
+          FROM (SELECT lang, string_split_regex(trim(text), ' +') AS toks FROM documents)))
+      GROUP BY lang, guess ORDER BY lang, guess"""))
+
+  /** Heuristic quality score: length band + stopword ratio + lexical
+    * diversity (distinct/total tokens), bucketed. The formula mirrors the
+    * reference's additive rule-scoring style (validate_quality.py:174-190)
+    * applied to documents. */
+  val q32 = Q(
+    "q32_doc_quality",
+    "additive quality score from length/stopword/diversity signals",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"), col("n_chars"))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          size(col("toks")).as("n_tokens"),
+          hits(col("toks"), EN).as("stop_hits"),
+          size(array_distinct(col("toks"))).as("n_distinct"))
+        .withColumn("score",
+          when(col("n_chars").between(100, 1000), 40).otherwise(10) +
+            when(col("stop_hits") > 0, 30).otherwise(0) +
+            when(col("n_distinct").cast("double") / col("n_tokens").cast("double") > lit(0.5), 30)
+              .otherwise(15))
+        .withColumn("bucket",
+          when(col("score") >= 80, "high").when(col("score") >= 55, "medium").otherwise("low"))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("score")).cast("long").as("sum_score"))
+        .orderBy(col("lang"), col("bucket")),
+    Some(s"""SELECT lang, bucket, count(*) AS n_docs, CAST(sum(score) AS BIGINT) AS sum_score FROM (
+        SELECT lang,
+          CASE WHEN score >= 80 THEN 'high' WHEN score >= 55 THEN 'medium' ELSE 'low' END AS bucket,
+          score
+        FROM (
+          SELECT lang,
+            (CASE WHEN n_chars BETWEEN 100 AND 1000 THEN 40 ELSE 10 END +
+             CASE WHEN stop_hits > 0 THEN 30 ELSE 0 END +
+             CASE WHEN CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) > 0.5 THEN 30 ELSE 15 END) AS score
+          FROM (SELECT lang, n_chars,
+              CAST(len(toks) AS INTEGER) AS n_tokens,
+              ${oHits("toks", EN, "stop_hits")},
+              CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct
+            FROM (SELECT lang, n_chars, string_split_regex(trim(text), ' +') AS toks FROM documents))))
+      GROUP BY lang, bucket ORDER BY lang, bucket"""))
+
+  /** Content-defined fingerprint: md5 over the alnum-normalized text —
+    * identical hex in both engines, so exact-dup detection is
+    * oracle-checkable. */
+  val q33 = Q(
+    "q33_fingerprint",
+    "md5 fingerprint of normalized text; exact-duplicate groups",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(lower(regexp_replace(col("text"), "[^a-zA-Z0-9]", ""))).as("fp"))
+        .groupBy(col("fp"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc_id"))
+        .orderBy(col("fp")),
+    Some("""SELECT fp, count(*) AS n_docs, min(doc_id) AS keep_doc_id
+      FROM (SELECT doc_id, md5(lower(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))) AS fp FROM documents)
+      GROUP BY fp ORDER BY fp"""))
+
+  /** Word-trigram shingles via a generator (explode) — the shingling
+    * primitive under MinHash dedupe; global top-k shingles. */
+  val q34 = Q(
+    "q34_trigram_shingles",
+    "explode word 3-gram shingles, top 25 by frequency",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .where(size(col("toks")) >= 3)
+        .select(col("doc_id"), explode(
+          transform(sequence(lit(1), size(col("toks")) - 2),
+            i => concat_ws(" ", element_at(col("toks"), i),
+              element_at(col("toks"), i + 1), element_at(col("toks"), i + 2))))
+          .as("shingle"))
+        .groupBy(col("shingle"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("n").desc, col("shingle"))
+        .limit(25),
+    Some("""SELECT shingle, count(*) AS n, count(DISTINCT doc_id) AS n_docs FROM (
+        SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+        FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS toks FROM documents)
+        WHERE len(toks) >= 3)
+      GROUP BY shingle ORDER BY n DESC, shingle LIMIT 25"""))
+
+  val all: Seq[Q] = Seq(q30, q31, q32, q33, q34)
+}
