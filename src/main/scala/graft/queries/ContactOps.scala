@@ -1,0 +1,391 @@
+package graft.queries
+
+import graft.Q
+import graft.etl._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Contact-pipeline capabilities over the synthetic corpus
+  * (graft.etl.Synth): name grammar, E.164, email validation, lookup
+  * normalization, blocked fuzzy pair scoring, full dedupe+merge,
+  * quality/confidence scoring, tagging + referral ranking.
+  *
+  * Oracle strategy: stages expressible in ANSI SQL are checked exactly
+  * against DuckDB over Synth's SQL mirror. The fuzzy pair-scoring query
+  * uses levenshtein-ratio similarity (identical builtin in both
+  * engines); the reference-fidelity Ratcliff–Obershelp path is used by
+  * the full dedupe query (q45, rows-only here) and pinned by ScalaTest
+  * parity fixtures (SURVEY.md §7.4.3).
+  */
+object ContactOps {
+
+  private def normalized(s: SparkSession, dir: String) =
+    Pipeline.normalize(Synth.contacts(s, dir))
+
+  // -- q40: name grammar ------------------------------------------------
+
+  val q40 = Q(
+    "q40_name_parse",
+    "full-name grammar: prefix/suffix strip + multi-last parse (UDF path)",
+    (s, dir) => {
+      import s.implicits._
+      normalized(s, dir)
+        .map(c => (c.row_id, c.prefix, c.first_name, c.last_name, c.suffix, c.full_name))
+        .toDF("custkey", "prefix", "first_name", "last_name", "suffix", "full_name")
+        .orderBy("custkey")
+    },
+    Some(s"""WITH ${Synth.sqlNormCte}
+      SELECT k AS custkey, prefix, first_name, last_name, suffix, full_name
+      FROM scontact ORDER BY custkey"""))
+
+  // -- q41: E.164 (native column-expression path) -----------------------
+
+  /** E.164 fallback as a pure column expression (codegen; mirrors
+    * Phones.formatE164 / normalization.py:297-327). */
+  def e164Col(raw: Column): Column = {
+    val t = trim(raw)
+    val digits = regexp_replace(t, "[^0-9]", "")
+    when(t === "", "")
+      .when(length(digits) === 10, concat(lit("+1"), digits))
+      .when(length(digits) === 11 && digits.startsWith("1"), concat(lit("+"), digits))
+      .when(length(digits) > 11 && length(digits) <= 15 && !t.startsWith("+"),
+        concat(lit("+"), digits))
+      .when(t.startsWith("+"), regexp_replace(t, "[^0-9+]", ""))
+      .when(length(digits) > 0, concat(lit("+1"), digits))
+      .otherwise(t)
+  }
+
+  def phoneValidCol(e164: Column): Column = {
+    val digits = regexp_replace(e164, "[^0-9]", "")
+    e164.startsWith("+") && length(digits) >= 11
+  }
+
+  val q41 = Q(
+    "q41_phone_e164",
+    "E.164 fallback formatting + validity as native column expressions",
+    (s, dir) => {
+      val c = Synth.contacts(s, dir).toDF()
+      c.where(size(col("phones")) > 0)
+        .select(col("row_id").as("custkey"),
+          element_at(col("phones"), 1).getField("value").as("phone_raw"))
+        .withColumn("e164", e164Col(col("phone_raw")))
+        .withColumn("is_valid", phoneValidCol(col("e164")))
+        .orderBy("custkey")
+    },
+    Some(s"""WITH ${Synth.sqlNormCte}
+      SELECT k AS custkey, phone_raw, phone_e164 AS e164,
+        phone_e164 LIKE '+%' AND length(phone_digits) >= 11 AS is_valid
+      FROM scontact WHERE trim(phone_raw) <> '' ORDER BY custkey"""))
+
+  // -- q42: email validation (native regex path) ------------------------
+
+  val EmailReSql = "^[A-Za-z0-9._%+\\-']+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}$"
+
+  val q42 = Q(
+    "q42_email_validate",
+    "fallback email validation: space-strip + lowercase + regex gate",
+    (s, dir) => {
+      val c = Synth.contacts(s, dir).toDF()
+      val candidate = lower(regexp_replace(trim(
+        element_at(col("emails"), 1).getField("value")), " ", ""))
+      c.where(size(col("emails")) > 0)
+        .select(col("row_id").as("custkey"),
+          element_at(col("emails"), 1).getField("value").as("email_raw"))
+        .withColumn("email_norm",
+          when(lower(regexp_replace(trim(col("email_raw")), " ", "")).rlike(EmailReSql),
+            lower(regexp_replace(trim(col("email_raw")), " ", ""))).otherwise(""))
+        .withColumn("is_valid", col("email_norm") =!= "")
+        .orderBy("custkey")
+    },
+    Some(s"""WITH ${Synth.sqlNormCte}
+      SELECT k AS custkey, email_raw, email_norm, email_norm <> '' AS is_valid
+      FROM scontact WHERE trim(email_raw) <> '' ORDER BY custkey"""))
+
+  // -- q43: lookup-table normalization (broadcast join path) ------------
+
+  val q43 = Q(
+    "q43_state_lookup",
+    "US-state name -> code via broadcast lookup join (dim-join pattern)",
+    (s, dir) => {
+      import s.implicits._
+      val lookup = graft.functions.Lookups.StateAbbr.toSeq.toDF("state_lower", "abbr")
+      val c = Synth.contacts(s, dir).toDF()
+        .where(size(col("addresses")) > 0)
+        .select(col("row_id").as("custkey"),
+          element_at(col("addresses"), 1).getField("state").as("state_raw"))
+      c.join(broadcast(lookup), lower(col("state_raw")) === col("state_lower"), "left")
+        .withColumn("state_norm",
+          when(col("state_raw") === "", "")
+            .when(length(col("state_raw")) === 2 && col("state_raw").rlike("^[A-Za-z]{2}$"),
+              upper(col("state_raw")))
+            .when(col("abbr").isNotNull, col("abbr"))
+            .otherwise(upper(col("state_raw"))))
+        .select(col("custkey"), col("state_raw"), col("state_norm"))
+        .orderBy("custkey")
+    },
+    Some(s"""WITH ${Synth.sqlNormCte}
+      SELECT k AS custkey, state_raw, state_norm
+      FROM scontact WHERE has_addr ORDER BY custkey"""))
+
+  // -- q44: blocked fuzzy pair scoring (self-join + theta predicate) ----
+
+  private val PairCap = 300
+
+  val q44 = Q(
+    "q44_merge_pairs",
+    "blocked self-join, levenshtein-ratio merge scoring + decision rule",
+    (s, dir) => {
+      val base = Synth.contacts(s, dir).toDF()
+        .where(col("row_id") <= PairCap)
+        .select(
+          col("row_id").as("k"),
+          element_at(split(col("full_name_raw"), " "), -1).as("raw_last"),
+          col("full_name_raw"), col("source"), col("linkedin_url"),
+          when(size(col("emails")) > 0, element_at(col("emails"), 1).getField("value"))
+            .otherwise("").as("email_raw"),
+          when(size(col("phones")) > 0, element_at(col("phones"), 1).getField("value"))
+            .otherwise("").as("phone_raw"),
+          when(size(col("addresses")) > 0, concat_ws("",
+            element_at(col("addresses"), 1).getField("city"),
+            element_at(col("addresses"), 1).getField("state"),
+            element_at(col("addresses"), 1).getField("postal_code")))
+            .otherwise("").as("addr_key"))
+      // normalized comparison fields (same derivations as the oracle)
+      val withNorm = base
+        .withColumn("last_name",
+          when(col("raw_last") === "Jr", element_at(split(col("full_name_raw"), " "), -2))
+            .otherwise(col("raw_last")))
+        .withColumn("first_name", when(col("full_name_raw").startsWith("Dr. "),
+          element_at(split(col("full_name_raw"), " "), 2))
+          .otherwise(element_at(split(col("full_name_raw"), " "), 1)))
+        .withColumn("suffix", when(col("raw_last") === "Jr", "Jr").otherwise(""))
+        .withColumn("email_val",
+          when(lower(regexp_replace(trim(col("email_raw")), " ", "")).rlike(EmailReSql),
+            lower(regexp_replace(trim(col("email_raw")), " ", "")))
+            .otherwise(trim(col("email_raw"))))
+        .withColumn("phone_val",
+          when(phoneValidCol(e164Col(col("phone_raw"))), e164Col(col("phone_raw")))
+            .otherwise(trim(col("phone_raw"))))
+      val a = withNorm.select(withNorm.columns.map(c => col(c).as(s"a_$c")): _*)
+      val b = withNorm.select(withNorm.columns.map(c => col(c).as(s"b_$c")): _*)
+      val sim = lit(1.0) - levenshtein(lower(col("a_first_name")), lower(col("b_first_name")))
+        .cast("double") / greatest(length(col("a_first_name")), length(col("b_first_name")))
+        .cast("double")
+      val emailsOverlap = col("a_email_val") =!= "" && col("a_email_val") === col("b_email_val")
+      val phonesOverlap = col("a_phone_val") =!= "" && col("a_phone_val") === col("b_phone_val")
+      val addrOverlap = col("a_addr_key") =!= "" && col("a_addr_key") === col("b_addr_key")
+      val linkedinEq = col("a_linkedin_url") =!= "" &&
+        col("a_linkedin_url") === col("b_linkedin_url")
+      val suffixEq = col("a_suffix") =!= "" &&
+        lower(col("a_suffix")) === lower(col("b_suffix"))
+      val score = lit(0.7) * sim +
+        when(suffixEq, 0.1).otherwise(0.0) +
+        when(emailsOverlap, 1.0).otherwise(0.0) +
+        when(phonesOverlap, 1.0).otherwise(0.0) +
+        when(addrOverlap, 0.5).otherwise(0.0) +
+        when(linkedinEq, 0.8).otherwise(0.0)
+      val namesAlign = lower(col("a_first_name")) === lower(col("b_first_name"))
+      val lastEq = lower(col("a_last_name")) === lower(col("b_last_name"))
+      val genEq = lower(col("a_suffix")) === lower(col("b_suffix"))
+      val ok0 = score >= 1.2 || (sim >= 0.88 && score >= 0.6)
+      val gate = namesAlign || emailsOverlap || linkedinEq
+      val liGate = !(col("a_source") === "linkedin" || col("b_source") === "linkedin") ||
+        emailsOverlap || (lastEq && namesAlign && genEq)
+      a.join(b, lower(col("a_last_name")) === lower(col("b_last_name")) &&
+          col("a_k") < col("b_k"))
+        .select(col("a_k").as("left_key"), col("b_k").as("right_key"),
+          round(sim, 4).as("first_sim"),
+          round(score, 2).as("score"),
+          (ok0 && gate && liGate).as("merged"))
+        .orderBy("left_key", "right_key")
+    },
+    Some(s"""WITH ${Synth.sqlNormCte},
+      cmp AS (
+        SELECT k, source, linkedin_url, first_name, last_name, suffix,
+          CASE WHEN email_norm <> '' THEN email_norm ELSE trim(email_raw) END AS email_val,
+          CASE WHEN phone_e164 LIKE '+%' AND length(phone_digits) >= 11
+               THEN phone_e164 ELSE trim(phone_raw) END AS phone_val,
+          CASE WHEN has_addr THEN city || chr(1) || state_raw || chr(1) || postal ELSE '' END AS addr_key
+        FROM scontact WHERE k <= $PairCap),
+      pairs AS (
+        SELECT a.k AS left_key, b.k AS right_key,
+          1.0 - CAST(levenshtein(lower(a.first_name), lower(b.first_name)) AS DOUBLE)
+              / CAST(greatest(length(a.first_name), length(b.first_name)) AS DOUBLE) AS sim,
+          a.email_val <> '' AND a.email_val = b.email_val AS emails_overlap,
+          a.phone_val <> '' AND a.phone_val = b.phone_val AS phones_overlap,
+          a.addr_key <> '' AND a.addr_key = b.addr_key AS addr_overlap,
+          a.linkedin_url <> '' AND a.linkedin_url = b.linkedin_url AS linkedin_eq,
+          a.suffix <> '' AND lower(a.suffix) = lower(b.suffix) AS suffix_eq,
+          lower(a.first_name) = lower(b.first_name) AS names_align,
+          lower(a.last_name) = lower(b.last_name) AS last_eq,
+          lower(a.suffix) = lower(b.suffix) AS gen_eq,
+          a.source = 'linkedin' OR b.source = 'linkedin' AS has_linkedin_src
+        FROM cmp a JOIN cmp b
+          ON lower(a.last_name) = lower(b.last_name) AND a.k < b.k),
+      scored AS (
+        SELECT *,
+          0.7 * sim + CASE WHEN suffix_eq THEN 0.1 ELSE 0.0 END
+            + CASE WHEN emails_overlap THEN 1.0 ELSE 0.0 END
+            + CASE WHEN phones_overlap THEN 1.0 ELSE 0.0 END
+            + CASE WHEN addr_overlap THEN 0.5 ELSE 0.0 END
+            + CASE WHEN linkedin_eq THEN 0.8 ELSE 0.0 END AS score
+        FROM pairs)
+      SELECT left_key, right_key, round(sim, 4) AS first_sim,
+        round(score, 2) AS score,
+        (score >= 1.2 OR (sim >= 0.88 AND score >= 0.6))
+          AND (names_align OR emails_overlap OR linkedin_eq)
+          AND (NOT has_linkedin_src OR emails_overlap
+               OR (last_eq AND names_align AND gen_eq)) AS merged
+      FROM scored ORDER BY left_key, right_key"""))
+
+  // -- q45: full dedupe + cluster merge (reference-fidelity path) -------
+
+  val q45 = Q(
+    "q45_dedupe_merge",
+    "block -> self-join -> R-O merge rule -> connected components -> cluster merge",
+    (s, dir) => {
+      import s.implicits._
+      val raw = Synth.contacts(s, dir)
+      val norm = Pipeline.normalize(raw)
+      val (merged, _) = Pipeline.dedupeAndMerge(norm, raw)
+      merged.map(m => (m.contact_id, m.contact.full_name, m.contact.company,
+          m.source_count, m.source_row_count,
+          m.contact.emails.size, m.contact.phones.size, m.contact.addresses.size))
+        .toDF("contact_id", "full_name", "company", "source_count",
+          "source_row_count", "n_emails", "n_phones", "n_addresses")
+        .orderBy("contact_id")
+    },
+    None)
+
+  // -- q46: quality + confidence scoring --------------------------------
+
+  private def scoredContacts(s: SparkSession, dir: String): DataFrame =
+    Score.withConfidence(
+      Score.withValidationMetrics(
+        normalized(s, dir).toDF().withColumn("source_count", lit(1))))
+
+  /** Shared oracle CTE computing validation + confidence columns. */
+  private def oracleScoredCte: String =
+    s"""${Synth.sqlNormCte},
+      conf AS (
+        SELECT *,
+          (CASE WHEN email_total > 0 AND email_total = email_valid_count THEN 40
+                WHEN email_valid_count > 0 THEN 20 ELSE 0 END
+           + CASE WHEN phone_total > 0 AND phone_total = phone_valid_count THEN 30
+                  WHEN phone_valid_count > 0 THEN 15 ELSE 0 END
+           + CASE WHEN addr_valid_count > 0 THEN 30 ELSE 0 END) AS quality_score,
+          ((CASE WHEN email_total > 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN phone_total > 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN addr_total > 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN trim(linkedin_url) <> '' THEN 1 ELSE 0 END)) AS corroborators,
+          ((CASE WHEN email_valid_count = 1 AND email_label = 'work' THEN 1 ELSE 0 END)
+           + (CASE WHEN phone_valid_count = 1 AND phone_label = 'work' THEN 1 ELSE 0 END)
+           + (CASE WHEN addr_total > 0 AND addr_label = 'work' THEN 1 ELSE 0 END)) AS work_channels
+        FROM scontact),
+      conf2 AS (
+        SELECT *,
+          CAST(greatest(0, least(100,
+            round(least(quality_score, 100) * 0.4)
+            + least(corroborators * 5, 20)
+            + 2
+            + CASE WHEN trim(linkedin_url) <> '' THEN 6 ELSE 0 END
+            + CASE WHEN trim(company) <> '' OR trim(title) <> '' THEN 6 ELSE 0 END
+            + CASE WHEN trim(department) <> '' THEN 3 ELSE 0 END
+            + CASE WHEN work_channels > 0 THEN least(work_channels * 2, 6) ELSE 0 END
+            + CASE WHEN email_total > 0 AND email_total = email_valid_count THEN 5 ELSE 0 END
+            + CASE WHEN phone_total > 0 AND phone_total = phone_valid_count THEN 3 ELSE 0 END
+            + CASE WHEN addr_valid_count > 0 THEN 2 ELSE 0 END
+            + 3 + 2
+            - CASE WHEN email_total = 1 AND email_valid_count = 0 THEN 5 ELSE 0 END
+            - CASE WHEN phone_total = 1 AND phone_valid_count = 0 THEN 4 ELSE 0 END)) AS INT) AS confidence_score
+        FROM conf),
+      conf3 AS (
+        SELECT *,
+          CASE WHEN confidence_score >= 80 THEN 'very_high'
+               WHEN confidence_score >= 60 THEN 'high'
+               WHEN confidence_score >= 40 THEN 'medium'
+               ELSE 'low' END AS confidence_bucket
+        FROM conf2)"""
+
+  val q46 = Q(
+    "q46_quality_confidence",
+    "validation counters + additive quality & confidence scores + buckets",
+    (s, dir) =>
+      scoredContacts(s, dir)
+        .select(col("row_id").as("custkey"),
+          col("email_valid_count"), col("email_total"),
+          col("phone_valid_count"), col("phone_total"),
+          col("addr_valid_count"), col("addr_total"),
+          col("quality_score"), col("confidence_score"), col("confidence_bucket"))
+        .orderBy("custkey"),
+    Some(s"""WITH $oracleScoredCte
+      SELECT k AS custkey,
+        CAST(email_valid_count AS INT) AS email_valid_count, CAST(email_total AS INT) AS email_total,
+        CAST(phone_valid_count AS INT) AS phone_valid_count, CAST(phone_total AS INT) AS phone_total,
+        CAST(addr_valid_count AS INT) AS addr_valid_count, CAST(addr_total AS INT) AS addr_total,
+        CAST(quality_score AS INT) AS quality_score, confidence_score, confidence_bucket
+      FROM conf3 ORDER BY custkey"""))
+
+  // -- q47: tagging + referral priority ----------------------------------
+
+  val q47 = Q(
+    "q47_tags_referral",
+    "keyword/rule tagging, relationship category, referral priority",
+    (s, dir) =>
+      Tag.withTags(scoredContacts(s, dir).withColumn("notes_blob", col("notes")))
+        .select(col("row_id").as("custkey"), col("tags"),
+          col("relationship_category"), col("referral_priority"))
+        .orderBy("custkey"),
+    Some(s"""WITH $oracleScoredCte,
+      tagd AS (
+        SELECT *,
+          regexp_matches(lower(concat_ws(' ', company, title, linkedin_url, notes)),
+            'tai\\s*chi|wu\\s*an|wu\\s*dao|kung\\s*fu|shaolin|martial\\s*arts') AS tag_martial,
+          regexp_matches(lower(concat_ws(' ', company, title, linkedin_url, notes)),
+            'nutcracker|\\bcherub(s)?\\b|jose\\s*mateo|ballet') AS tag_nutcracker,
+          (lower(trim(company)) <> '' AND (lower(company) LIKE '%gridgain%'
+             OR lower(company) LIKE '%red hat%' OR lower(company) LIKE '%redhat%'
+             OR lower(company) LIKE '%oracle%' OR lower(company) LIKE '%teamlogic%'))
+           OR (email_norm LIKE '%@%' AND (
+             split_part(email_norm, '@', 2) LIKE '%gridgain.com%'
+             OR split_part(email_norm, '@', 2) LIKE '%redhat.com%'
+             OR split_part(email_norm, '@', 2) LIKE '%tetrate.io%'
+             OR split_part(email_norm, '@', 2) LIKE '%oracle.com%'
+             OR split_part(email_norm, '@', 2) LIKE '%teamlogicit.com%')) AS tag_work,
+          has_addr AND lower(trim(state_norm)) = 'ma'
+            AND (lower(trim(city)) IN ('braintree','quincy','weymouth','dedham','milton','hingham')
+                 OR lower(trim(city)) LIKE '%braintree%' OR lower(trim(city)) LIKE '%quincy%'
+                 OR lower(trim(city)) LIKE '%weymouth%' OR lower(trim(city)) LIKE '%dedham%'
+                 OR lower(trim(city)) LIKE '%milton%' OR lower(trim(city)) LIKE '%hingham%') AS tag_local
+        FROM conf3)
+      SELECT k AS custkey,
+        coalesce(array_to_string(list_sort(list_filter([
+          CASE WHEN tag_martial THEN 'martial_arts' END,
+          CASE WHEN tag_nutcracker THEN 'nutcracker_performance' END,
+          CASE WHEN tag_work THEN 'work_colleague' END,
+          CASE WHEN tag_local THEN 'local_south_shore' END],
+          x -> x IS NOT NULL)), '|'), '') AS tags,
+        CASE WHEN tag_martial OR tag_nutcracker THEN 'personal'
+             WHEN tag_work OR trim(linkedin_url) <> '' THEN 'professional'
+             WHEN tag_local THEN 'local_referral'
+             ELSE 'uncategorized' END AS relationship_category,
+        CAST(least(100, round(confidence_score * 0.6
+          + CASE WHEN tag_martial THEN 30 ELSE 0 END
+          + CASE WHEN tag_nutcracker THEN 25 ELSE 0 END
+          + CASE WHEN tag_work THEN 20 ELSE 0 END
+          + CASE WHEN tag_local THEN 10 ELSE 0 END)) AS INT) AS referral_priority
+      FROM tagd ORDER BY custkey"""))
+
+  // -- q48: confidence bucket histogram ----------------------------------
+
+  val q48 = Q(
+    "q48_confidence_summary",
+    "bucket histogram with percentages over the scored corpus",
+    (s, dir) => Score.summary(scoredContacts(s, dir)),
+    Some(s"""WITH $oracleScoredCte
+      SELECT confidence_bucket AS bucket, count(*) AS count,
+        round(count(*) * 100.0 / sum(count(*)) OVER (), 2) AS pct
+      FROM conf3 GROUP BY confidence_bucket ORDER BY bucket"""))
+
+  val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48)
+}

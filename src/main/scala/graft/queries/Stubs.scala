@@ -6,6 +6,5 @@ import graft.Q
 // operator family lands (SURVEY.md §2 checklist).
 object DedupOps { def all: Seq[Q] = Seq() }
 object SimilarityOps { def all: Seq[Q] = Seq() }
-object ContactOps { def all: Seq[Q] = Seq() }
 object MultimodalOps { def all: Seq[Q] = Seq() }
 object StreamingOps { def all: Seq[Q] = Seq() }
