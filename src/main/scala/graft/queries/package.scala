@@ -34,4 +34,17 @@ package object queries {
     s"round(CAST(sum(CAST($col AS DECIMAL(18,2))) AS DOUBLE), $scale) AS $as"
   def oAvg(col: String, as: String, scale: Int = 4): String =
     s"round(CAST(sum(CAST($col AS DECIMAL(18,2))) AS DOUBLE) / CAST(count($col) AS DOUBLE), $scale) AS $as"
+
+  /** Cross-engine deterministic 60-bit hash: both Spark and DuckDB md5 a
+    * UTF-8 string to the same hex; the first 15 hex digits parse into a
+    * non-negative BIGINT identically in both. This is the shared hash
+    * under the MinHash / SimHash / LSH operators — Spark's murmur3
+    * `hash()` and DuckDB's `hash()` are engine-private, so any
+    * oracle-checked sketch must hash this way. */
+  def h60(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** DuckDB text of [[h60]]. */
+  def oH60(e: String): String =
+    s"CAST(('0x' || substring(md5($e), 1, 15)) AS BIGINT)"
 }
