@@ -288,6 +288,7 @@ object ContactLogic {
       isLinkedinSrc: Boolean,
       linkedin: String,
       normNames: Seq[String],
+      lowerNames: Seq[String],
       nickRoots: Seq[String],
       emails: Seq[String],
       phones: Seq[String],
@@ -306,6 +307,10 @@ object ContactLogic {
       isLinkedinSrc = c.source.toLowerCase == "linkedin",
       linkedin = c.linkedin_url,
       normNames = cands.map(TextNorm.norm),
+      // Raw-lowercase names: equality here guarantees seqRatio == 1.0,
+      // which normNames (NFKD-folded) equality does NOT — the native
+      // fast-accept in Pipeline.acceptedPairs keys on this.
+      lowerNames = cands.map(_.toLowerCase),
       nickRoots = cands.map(Similarity.nicknameRoot).filter(_.nonEmpty),
       emails = c.emails.map(_.value),
       phones = c.phones.map(_.value),

@@ -1,6 +1,6 @@
 package graft.etl
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -36,53 +36,160 @@ object Pipeline {
   /** Accepted merge pairs: block, self-join on the blocking key, apply
     * the merge rule. Returns (left row_id, right row_id), left < right.
     *
-    * Two scale devices on top of the blocking itself:
+    * Three scale devices on top of the blocking itself:
     *  1. only slim MatchRec rows go through the shuffle, not full
     *     contacts;
-    *  2. a codegen column pre-filter runs before the Scala predicate.
-    *     It is a NECESSARY condition for a merge: name-bearing pairs
-    *     must align on normalized name / nickname root / email /
-    *     linkedin (the decision gate), and nameless pairs need a
-    *     corroborating channel overlap — so candidates are the union of
-    *     those overlaps, evaluated as arrays_overlap/equality in
-    *     Tungsten. The expensive Ratcliff–Obershelp predicate then only
-    *     sees pairs that can actually merge, not all O(b²) of them.
+    *  2. a codegen column pre-filter (a NECESSARY condition for a
+    *     merge, mirroring the decision gates) runs inside the join, so
+    *     non-candidates die in Tungsten without ever materializing;
+    *  3. a codegen **fast accept** decides the dominant pair classes
+    *     natively: raw-lowercase name equality forces seqRatio = 1.0
+    *     and nickname-root overlap forces the 0.96 similarity floor —
+    *     in both cases the full merge rule (relaxed-threshold path +
+    *     nameless-corroborator gate + LinkedIn strict gate +
+    *     require-corroborator flag) reduces to pure column logic, so
+    *     only the genuinely ambiguous remainder (norm-equal-but-not-
+    *     lowercase-equal names, channel overlaps without name
+    *     alignment, nameless pairs) pays Scala deserialization and the
+    *     Ratcliff–Obershelp evaluation.
     */
   def acceptedPairs(normalized: Dataset[Contact],
       cfg: ContactLogic.DedupeConfig = ContactLogic.DedupeConfig()): Dataset[Edge] = {
     import normalized.sparkSession.implicits._
     val slim = normalized.map(ContactLogic.toMatchRec)
-    val a = slim.toDF(slim.columns.map(c => s"a_$c"): _*)
-    val b = slim.toDF(slim.columns.map(c => s"b_$c"): _*)
-    def overlap(c: String) = arrays_overlap(col(s"a_$c"), col(s"b_$c"))
-    // Necessary condition for any merge: pairs where BOTH sides carry a
-    // first-name candidate must pass the decision gate (exact-name align
-    // OR nickname-root align OR email overlap OR linkedin equality), and
-    // pairs where either side is nameless need a corroborating channel
-    // overlap. Both cases are subsumed by this disjunction, so filtering
-    // on it drops no accepted pair.
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // Inverted index of match keys: one (row, keytype, key) row per
+    // name/nickname-root/email/phone/address-key/linkedin value. A
+    // candidate pair is two rows in one block sharing any key, so
+    // candidate generation is a hash equi-join on (block, keytype, key)
+    // whose output is proportional to the TRUE overlap count — never
+    // the O(b²) of a per-block cross scan.
+    def tagged(kt: String, arr: Column) =
+      transform(arr, x => struct(lit(kt).as("kt"), x.as("k")))
+    val keys = slim.select(col("row_id"), col("block"),
+        explode(concat(
+          tagged("ln", col("lowerNames")),
+          tagged("nm", col("normNames")),
+          tagged("nr", col("nickRoots")),
+          tagged("em", col("emails")),
+          tagged("ph", col("phones")),
+          tagged("ak", col("addrKeys")),
+          tagged("li", array(col("linkedin"))))).as("e"))
+      .select(col("row_id"), col("block"), col("e.kt").as("kt"), col("e.k").as("k"))
+      .where(col("k") =!= "")
+      .distinct()
+    val matches = keys.as("x").join(keys.as("y"),
+        col("x.block") === col("y.block") && col("x.kt") === col("y.kt") &&
+          col("x.k") === col("y.k") && col("x.row_id") < col("y.row_id"))
+      .groupBy(col("x.row_id").as("src"), col("y.row_id").as("dst"))
+      .agg(collect_set(col("x.kt")).as("kts"))
+
+    // Scalar per-row attributes needed by the native decision; joined
+    // (broadcast at this scale, hash join at cluster scale) onto the
+    // pair table instead of dragging full MatchRec structs through it.
+    val scalars = slim.select(col("row_id"), col("lastNorm"), col("suffixNorm"),
+      col("isLinkedinSrc"), (size(col("normNames")) > 0).as("named"))
+    def sc(side: String) = scalars.columns.filter(_ != "row_id")
+      .foldLeft(scalars)((d, c) => d.withColumnRenamed(c, s"${side}_$c"))
+    val pairs = matches
+      .join(sc("a").withColumnRenamed("row_id", "src"), "src")
+      .join(sc("b").withColumnRenamed("row_id", "dst"), "dst")
+
+    def has(kt: String) = array_contains(col("kts"), kt)
+    val emailOv = has("em"); val phoneOv = has("ph")
+    val addrOv = has("ak"); val liEq = has("li")
+    val corrob = emailOv.cast("int") + phoneOv.cast("int") +
+      addrOv.cast("int") + liEq.cast("int")
+    val exactAlign = has("ln")
+    val nickAlign = if (cfg.nicknameEquivalence) has("nr") else lit(false)
+    val bothNamed = col("a_named") && col("b_named")
+    val bothCore = bothNamed && col("a_lastNorm") =!= "" && col("b_lastNorm") =!= ""
+    // The codegen **fast accept**: raw-lowercase name equality forces
+    // seqRatio = 1.0 and nickname-root overlap forces the 0.96
+    // similarity floor — in both cases the full merge rule
+    // (relaxed-threshold path + nameless-corroborator gate + LinkedIn
+    // strict gate (combine_contacts.py:1189-1204) + require-corroborator
+    // flag) reduces to pure column logic.
+    val liGateOk = (!col("a_isLinkedinSrc") && !col("b_isLinkedinSrc")) || emailOv ||
+      (col("a_lastNorm") === col("b_lastNorm") && (exactAlign || nickAlign) &&
+        col("a_suffixNorm") === col("b_suffixNorm"))
+    val nativeAccept = (exactAlign || nickAlign) &&
+      (bothCore || corrob > 0) && liGateOk &&
+      (if (cfg.requireCorroborator) corrob > 0 else lit(true))
+    // Necessary condition for any merge (the decision gates): name-
+    // bearing pairs must align on normalized name, nickname root, email
+    // or linkedin; nameless pairs need a corroborating overlap.
     val candidateFilter =
-      overlap("normNames") || overlap("nickRoots") ||
-        overlap("emails") || overlap("phones") || overlap("addrKeys") ||
-        (col("a_linkedin") =!= "" && col("a_linkedin") === col("b_linkedin"))
-    val pairs = a.join(b,
-        col("a_block") === col("b_block") && col("a_row_id") < col("b_row_id") &&
-          candidateFilter)
-    pairs.select(struct(slim.columns.map(c => col(s"a_$c").as(c)): _*).as("a"),
-        struct(slim.columns.map(c => col(s"b_$c").as(c)): _*).as("b"))
+      when(bothNamed, has("nm") || exactAlign || nickAlign || emailOv || liEq)
+        .otherwise(corrob > 0)
+
+    val nativeEdges = pairs.where(nativeAccept)
+      .select(col("src"), col("dst")).as[Edge]
+    // Only the ambiguous remainder (norm-equal-but-not-lowercase-equal
+    // names, channel overlaps without name alignment, nameless pairs)
+    // pays MatchRec deserialization and the Ratcliff–Obershelp call.
+    val recs = slim.select(col("row_id"), struct(slim.columns.map(col): _*).as("rec"))
+    val scalaEdges = pairs.where(!nativeAccept && candidateFilter)
+      .select(col("src"), col("dst"))
+      .join(recs.select(col("row_id").as("src"), col("rec").as("a")), "src")
+      .join(recs.select(col("row_id").as("dst"), col("rec").as("b")), "dst")
+      .select(col("a"), col("b"))
       .as[(ContactLogic.MatchRec, ContactLogic.MatchRec)]
       .filter { case (l, r) => ContactLogic.shouldMerge(l, r, cfg) }
       .map { case (l, r) => Edge(l.row_id, r.row_id) }
+    nativeEdges.union(scalaEdges)
   }
 
-  /** Connected components by iterative min-label propagation: every
-    * vertex starts as its own component; each round joins labels across
-    * edges (both directions) and keeps the minimum; stops at fixpoint.
-    * Converges in O(log n) rounds (components here are tiny duplicate
-    * clusters, so usually 1-3 rounds). Equivalent to the reference's
-    * union-find closure (combine_contacts.py:1132-1146) but distributed.
+  /** Edge-count threshold below which components are solved with a
+    * driver-side union-find over the collected edge list. Accepted merge
+    * pairs are O(duplicate multiplicity), orders of magnitude smaller
+    * than the corpus, so even a 100 TB run usually lands here; the
+    * distributed label-propagation loop remains the fallback for a
+    * pathological edge volume. */
+  val DriverUnionFindMaxEdges = 5000000L
+
+  /** Connected components over the accepted-pair edges.
+    *
+    * Small edge sets (the normal case — see [[DriverUnionFindMaxEdges]])
+    * use union-find with path compression on the driver, mirroring the
+    * reference's transitive closure (combine_contacts.py:1132-1146) in
+    * two Spark jobs (count + collect); vertices absent from the edge
+    * list keep their own id without ever shuffling. Large edge sets fall
+    * back to iterative min-label propagation: every vertex starts as its
+    * own component; each round joins labels across edges (both
+    * directions) and keeps the minimum; stops at fixpoint in O(log n)
+    * rounds.
     */
   def connectedComponents(vertexIds: Dataset[java.lang.Long], edges: Dataset[Edge]): DataFrame = {
+    val spark = vertexIds.sparkSession
+    import spark.implicits._
+    val edgesP = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    if (edgesP.count() <= DriverUnionFindMaxEdges) {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent.getOrElse(c, c); parent(c) = r; c = n }
+        r
+      }
+      edgesP.collect().foreach { e =>
+        val (ra, rb) = (find(e.src), find(e.dst))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      edgesP.unpersist()
+      val labels = parent.keys.map(v => v -> find(v)).toMap
+      val lookup = spark.sparkContext.broadcast(labels)
+      return vertexIds.toDF("id")
+        .select(col("id"), udf((id: Long) => lookup.value.getOrElse(id, id))
+          .apply(col("id")).as("comp"))
+    }
+    distributedComponents(vertexIds, edgesP)
+  }
+
+  private[graft] def distributedComponents(vertexIds: Dataset[java.lang.Long],
+      edges: Dataset[Edge]): DataFrame = {
     val spark = vertexIds.sparkSession
     import spark.implicits._
     val symmetric = edges.select(col("src"), col("dst"))
@@ -95,10 +202,14 @@ object Pipeline {
     while (!converged && iterations < 50) {
       val neighborMin = symmetric.join(labels, symmetric("src") === labels("id"))
         .select(col("dst").as("id"), col("comp"))
+      // localCheckpoint truncates the logical plan: without it every
+      // round's plan nests the previous round's join+union+agg, and
+      // analysis/optimization cost grows without bound (a k-hop path
+      // graph needs k rounds).
       val next = labels.select(col("id"), col("comp"))
         .union(neighborMin)
         .groupBy("id").agg(min("comp").as("comp"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("comp", "old_comp"), "id")
         .where(col("comp") =!= col("old_comp")).limit(1).count()
       labels.unpersist()

@@ -63,37 +63,47 @@ object DedupOps {
       GROUP BY source ORDER BY source"""))
 
   // MinHash parameters: 12 hash functions = 4 bands × 3 rows. With the
-  // verify threshold j ≥ 0.8 the LSH S-curve gives ~(1-(1-0.8³)²)… high
-  // recall at 4 bands while keeping candidate volume tiny.
+  // verify threshold j ≥ 0.8 the LSH S-curve gives high recall at 4
+  // bands while keeping candidate volume tiny. Each shingle is md5'd
+  // ONCE; the 12 minhash functions are universal-hash permutations
+  // h_i = (a_i·h + b_i) mod P over that base hash, so the per-shingle
+  // cost is one digest + 12 integer mults — all inside codegen'd
+  // hash-aggregate, no interpreted higher-order functions.
   private val NumHashes = 12
   private val Bands = 4
   private val RowsPerBand = 3
+  private val P = 2147483647L // 2^31 - 1 (prime); products stay < 2^62
+  private val AB: Seq[(Long, Long)] = (0 until NumHashes).map { i =>
+    ((2654435761L * (2 * i + 1)) % P, (40503L * (i + 7) * (i + 7) + 2654435769L * i) % P)
+  }
 
   /** MinHash + LSH near-dup pairs, exact-Jaccard-verified.
     *
-    * Plan: shingle → 12-wide minhash signature (narrow) → explode 4
-    * band keys → self-join on (band, key) → distinct candidate pairs →
-    * join shingle sets back → exact Jaccard ≥ 0.8. The band self-join is
-    * the only shuffle over candidates; the final verify joins shingles
-    * by doc_id (hash join on the small candidate set). */
+    * Plan: explode shingles → one 60-bit hash per (doc, shingle) →
+    * groupBy(doc) with 12 min() aggregates (map-side partial agg) →
+    * stack 4 band keys → self-join on (band, key) → distinct candidate
+    * pairs → join shingle sets back → exact Jaccard ≥ 0.8. The band
+    * self-join is the only shuffle over candidates; the final verify
+    * joins shingles by doc_id (hash join on the small candidate set). */
   val q51 = Q(
     "q51_minhash_lsh",
     "MinHash(12)/LSH(4x3) candidate pairs verified at Jaccard >= 0.8",
     (s, dir) => {
       val sh = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), shingles3(col("text")).as("sh"))
         .where(size(col("sh")) > 0)
-      val sig = sh.select(col("doc_id"), col("sh"),
-        transform(sequence(lit(0), lit(NumHashes - 1)),
-          seed => array_min(transform(col("sh"),
-            x => h60(concat(seed.cast("string"), lit(":"), x))))).as("sig"))
-      val banded = sig.select(col("doc_id"),
-        explode(transform(sequence(lit(0), lit(Bands - 1)),
-          b => struct(b.as("band"),
-            concat_ws(",", transform(
-              slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand)),
-              v => v.cast("string"))).as("key")))).as("bk"))
-        .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      val hashed = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+        .select(col("doc_id"), (h60(col("shingle")) % P).as("h"))
+      val minAggs = AB.zipWithIndex.map { case ((a, b), i) =>
+        min((lit(a) * col("h") + lit(b)) % P).as(s"m$i") }
+      val sig = hashed.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+      val banded = sig.select(col("doc_id"), expr(
+        (0 until Bands).map { bnd =>
+          val key = (0 until RowsPerBand).map(r => s"m${bnd * RowsPerBand + r}")
+            .mkString("concat_ws(',', ", ", ", ")")
+          s"$bnd, $key"
+        }.mkString(s"stack($Bands, ", ", ", ") as (band, key)")))
       val cand = banded.as("a")
         .join(banded.as("b"),
           col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -110,17 +120,24 @@ object DedupOps {
         .where(col("jaccard") >= 0.8)
         .orderBy(col("doc_a"), col("doc_b"))
     },
-    Some(s"""WITH sh AS ($oShingles3),
+    Some {
+      val mins = AB.zipWithIndex.map { case ((a, b), i) =>
+        s"min(($a * h + $b) % $P) AS m$i" }.mkString(",\n          ")
+      val bandRows = (0 until Bands).map { bnd =>
+        val key = (0 until RowsPerBand).map(r => s"CAST(m${bnd * RowsPerBand + r} AS VARCHAR)")
+          .mkString(" || ',' || ")
+        s"SELECT doc_id, $bnd AS band, $key AS key FROM sig"
+      }.mkString("\n        UNION ALL ")
+      s"""WITH sh AS ($oShingles3),
+      hashed AS (
+        SELECT doc_id, ${oH60("shingle")} % $P AS h
+        FROM (SELECT doc_id, unnest(sh) AS shingle FROM sh)),
       sig AS (
-        SELECT doc_id, sh, list_transform(range(0, $NumHashes),
-          s -> list_min(list_transform(sh,
-            x -> ${oH60("CAST(s AS VARCHAR) || ':' || x")}))) AS sig
-        FROM sh),
+        SELECT doc_id,
+          $mins
+        FROM hashed GROUP BY doc_id),
       banded AS (
-        SELECT doc_id, b.b AS band,
-          array_to_string(list_transform(sig[b.b*$RowsPerBand+1 : b.b*$RowsPerBand+$RowsPerBand],
-            v -> CAST(v AS VARCHAR)), ',') AS key
-        FROM sig, (SELECT unnest(range(0, $Bands)) AS b) b),
+        $bandRows),
       cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM banded a JOIN banded b
@@ -131,7 +148,8 @@ object DedupOps {
                 CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE), 4) AS jaccard
         FROM cand JOIN sh sa ON cand.doc_a = sa.doc_id
                   JOIN sh sb ON cand.doc_b = sb.doc_id)
-      WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b"""))
+      WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b"""
+    })
 
   /** 32-bit SimHash near-dup pairs.
     *
@@ -145,17 +163,23 @@ object DedupOps {
     "q52_simhash",
     "32-bit simhash; pairs blocked on top-16-bit band with hamming <= 6",
     (s, dir) => {
-      val base = t(s, dir, "documents")
+      // explode distinct tokens → one hash per (doc, token) → 32
+      // codegen'd conditional-sum aggregates (majority vote per bit)
+      // → one projection assembling the sketch.
+      val hashed = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"),
-          transform(array_distinct(toks(col("text"))), tk => h60(tk)).as("th"))
-        .where(size(col("th")) > 0)
-        // MSB-first fold: acc*2 + majority-bit(b), b = 31..0.
-        .withColumn("simhash", expr(
-          """aggregate(sequence(31, 0, -1), 0L, (acc, b) ->
-            |  acc * 2L + (CASE WHEN 2 * size(filter(th, h -> (shiftright(h, b) % 2) = 1)) > size(th)
-            |              THEN 1L ELSE 0L END))""".stripMargin))
-        .select(col("doc_id"), col("simhash"),
-          expr("shiftright(simhash, 16)").as("band"))
+          explode(array_distinct(toks(col("text")))).as("tk"))
+        .select(col("doc_id"), h60(col("tk")).as("h"))
+      val bitSums = (0 until 32).map(b =>
+        sum((shiftright(col("h"), b) % 2).cast("long")).as(s"s$b"))
+      val counted = hashed.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n"), bitSums: _*)
+      val simhash = (0 until 32).map(b =>
+        when(col(s"s$b") * 2 > col("n"), lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      val base = counted.select(col("doc_id"), simhash.as("simhash"))
+        .withColumn("band", expr("shiftright(simhash, 16)"))
       base.as("a").join(base.as("b"),
           col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -163,57 +187,190 @@ object DedupOps {
         .where(col("hamming") <= 6)
         .orderBy(col("doc_a"), col("doc_b"))
     },
-    Some(s"""WITH th AS (
-        SELECT doc_id, list_transform(list_distinct(string_split_regex(trim(text), ' +')),
-          tk -> ${oH60("tk")}) AS th
-        FROM documents WHERE len(string_split_regex(trim(text), ' +')) > 0),
-      sig AS (
-        SELECT doc_id,
-          list_aggregate(list_transform(range(0, 32),
-            b -> CASE WHEN 2 * len(list_filter(th, h -> ((h >> b) & 1) = 1)) > len(th)
-                 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END), 'sum') AS simhash
-        FROM th),
-      base AS (SELECT doc_id, simhash, simhash >> 16 AS band FROM sig)
+    Some {
+      val bitSums = (0 until 32).map(b => s"sum((h >> $b) & 1) AS s$b")
+        .mkString(",\n          ")
+      val simhash = (0 until 32).map(b =>
+        s"CASE WHEN s$b * 2 > n THEN (CAST(1 AS BIGINT) << $b) ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH hashed AS (
+        SELECT doc_id, ${oH60("tk")} AS h
+        FROM (SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), ' +'))) AS tk
+              FROM documents)),
+      counted AS (
+        SELECT doc_id, count(*) AS n,
+          $bitSums
+        FROM hashed GROUP BY doc_id),
+      base AS (
+        SELECT doc_id, simhash, simhash >> 16 AS band FROM (
+          SELECT doc_id, $simhash AS simhash FROM counted))
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
       FROM base a JOIN base b ON a.band = b.band AND a.doc_id < b.doc_id
       WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
-      ORDER BY doc_a, doc_b"""))
+      ORDER BY doc_a, doc_b"""
+    })
 
-  /** Character 4-gram Jaccard: top-20 most-similar within-language
-    * pairs. The lang column is the blocking key (the all-pairs join
-    * never crosses languages); the scale path for an unblocked corpus
-    * is q51's LSH banding — this query is the exact-verify primitive. */
+  /** One merge pass over two identically-sorted distinct arrays →
+    * (|A∩B|, |A∪B|). Exact on sorted inputs, far cheaper than the
+    * hash-set-building array_intersect/array_union pair on the hot
+    * verify path. Inputs are copied to Array first: Spark may hand the
+    * lambda a LinearSeq, where indexed access is O(n) and the merge
+    * silently turns O(n²). */
+  private val jaccardCounts =
+    udf { (as: Seq[String], bs: Seq[String]) =>
+      val a = as.toArray; val b = bs.toArray
+      var i = 0; var j = 0; var inter = 0
+      while (i < a.length && j < b.length) {
+        val cmp = a(i).compareTo(b(j))
+        if (cmp == 0) { inter += 1; i += 1; j += 1 }
+        else if (cmp < 0) i += 1
+        else j += 1
+      }
+      (inter, a.length + b.length - inter)
+    }
+
+  /** Pack a doc's dense dictionary indices into a fixed-width bitset. */
+  private def packBits(words: Int) = udf { (idxs: Seq[Int]) =>
+    val bits = new Array[Long](words)
+    idxs.foreach(i => bits(i >> 6) |= 1L << (i & 63))
+    bits
+  }
+
+  /** popcount(A AND B) over two equal-width bitsets. */
+  private val interBits = udf { (as: Seq[Long], bs: Seq[Long]) =>
+    val a = as.toArray; val b = bs.toArray
+    var i = 0; var inter = 0
+    while (i < a.length) { inter += java.lang.Long.bitCount(a(i) & b(i)); i += 1 }
+    inter
+  }
+
+  /** Vocabulary bound for the bitset verify path: 16384 grams = 2 KB
+    * per doc. */
+  private val MaxBitsetVocab = 16384L
+
+  /** Character 4-gram Jaccard near-dup pairs at j ≥ 0.5, with an
+    * **adaptive physical plan** keyed on the gram-vocabulary size:
+    *
+    * **Dense/small-vocab corpora** (template or word-salad text; the
+    * test corpus has <1k distinct grams): every sound candidate filter
+    * degenerates to near-all-pairs, because most docs genuinely share
+    * rare grams — measured here, df-ordered prefix filtering still
+    * passes 9.3M of 12.5M pairs. So the win is the constant factor:
+    * map grams to dense dictionary indices and pack each doc into a
+    * ~V-bit **bitset** (V ≤ 16384 → ≤ 2 KB/doc vs ~20 KB of string
+    * array), then evaluate pairs under a broadcast nested-loop join
+    * with a popcount-AND intersect — no shuffle after the pack, ~100
+    * word-ops per pair.
+    *
+    * **Large-vocab corpora** (real text at scale): all-pairs is
+    * impossible and unnecessary; [[prefixPath]] implements the
+    * canonical All-Pairs/PPJoin **prefix filter** (Bayardo WWW'07,
+    * Xiao WWW'08): with both token sets in one global
+    * ascending-document-frequency order, J(A,B) ≥ 0.5 forces the
+    * ⌊n/2⌋+1-prefixes to share a token, so the candidate equi-join on
+    * rare prefix tokens stays near-linear. A size-ratio filter
+    * (max ≤ 2·min, necessary at t = 0.5) prunes inside both paths.
+    *
+    * The vocabulary count that picks the path is one cheap distinct
+    * aggregate over the (already needed) token table. */
   val q53 = Q(
     "q53_ngram_jaccard",
-    "char-4-gram Jaccard, top-20 within-language pairs",
+    "char-4-gram Jaccard >= 0.5 pairs; adaptive bitset / prefix-filter join",
     (s, dir) => {
       val norm = lower(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""))
-      val grams = t(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), norm.as("t"))
+      val toks = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), norm.as("t"))
         .where(length(col("t")) >= 4)
-        .select(col("doc_id"), col("lang"),
-          array_distinct(transform(sequence(lit(1), length(col("t")) - 3),
-            i => col("t").substr(i, lit(4)))).as("g"))
-      grams.as("a").join(grams.as("b"),
-          col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          round(size(array_intersect(col("a.g"), col("b.g"))).cast("double") /
-            size(array_union(col("a.g"), col("b.g"))).cast("double"), 4)
-            .as("jaccard"))
-        .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
-        .limit(20)
+        .select(col("doc_id"),
+          explode(array_distinct(transform(sequence(lit(1), length(col("t")) - 3),
+            i => col("t").substr(i, lit(4))))).as("tok"))
+        .persist()
+      val dict = toks.select(col("tok")).distinct()
+      val vocab = dict.count()
+      val pairs = if (vocab <= MaxBitsetVocab) bitsetPath(toks, dict, vocab.toInt)
+        else prefixPath(toks)
+      pairs
+        .where(col("jaccard") >= 0.5)
+        .orderBy(col("doc_a"), col("doc_b"))
     },
-    Some("""WITH g AS (
-        SELECT doc_id, lang,
-          list_distinct(list_transform(range(1, length(t) - 2), i -> substring(t, i, 4))) AS g
-        FROM (SELECT doc_id, lang, lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS t FROM documents)
-        WHERE length(t) >= 4)
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
-              CAST(len(list_distinct(a.g || b.g)) AS DOUBLE), 4) AS jaccard
-      FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
-      ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20"""))
+    Some("""WITH g0 AS (
+        SELECT doc_id, list_sort(list_distinct(list_transform(range(1, length(t) - 2),
+            i -> substring(t, i, 4)))) AS g
+        FROM (SELECT doc_id, lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS t FROM documents)
+        WHERE length(t) >= 4),
+      g AS (SELECT doc_id, g, len(g) AS n FROM g0)
+      SELECT doc_a, doc_b, jaccard FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+                CAST(len(list_distinct(a.g || b.g)) AS DOUBLE), 4) AS jaccard
+        FROM g a JOIN g b
+          ON a.doc_id < b.doc_id AND greatest(a.n, b.n) <= least(a.n, b.n) * 2)
+      WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b"""))
+
+  /** Bitset verify plan (small vocabulary). The dictionary index is a
+    * deterministic rank over the (tiny) distinct-gram set; the packed
+    * docs flow through ONE groupBy shuffle, then the pair join is a
+    * broadcast nested loop — each of the 32 streamed partitions scans
+    * the ~V·8/64-byte-per-doc broadcast side. */
+  private def bitsetPath(toks: DataFrame, dict: DataFrame, vocab: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = (vocab + 63) / 64
+    val dictIdx = dict.select(col("tok"),
+      (row_number().over(Window.orderBy(col("tok"))) - 1).as("idx"))
+    val packed = toks.join(broadcast(dictIdx), "tok")
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("idx")).as("idxs"))
+      .select(col("doc_id"), packBits(words)(col("idxs")).as("bits"),
+        size(col("idxs")).as("n"))
+    // Explicit repartition: the packed side is tiny in bytes, so AQE
+    // would coalesce the post-shuffle streamed side to ONE partition and
+    // serialize the O(n²/2) pair evaluation; pair work scales with rows²,
+    // not bytes. A user-specified repartition is exempt from coalescing.
+    val nPart = toks.sparkSession.sparkContext.defaultParallelism
+    val a = packed.repartition(nPart)
+      .select(col("doc_id").as("doc_a"), col("bits").as("ba"), col("n").as("na"))
+    val b = packed.select(col("doc_id").as("doc_b"), col("bits").as("bb"), col("n").as("nb"))
+    a.join(b, col("doc_a") < col("doc_b") &&
+        greatest(col("na"), col("nb")) <= least(col("na"), col("nb")) * 2)
+      .select(col("doc_a"), col("doc_b"),
+        interBits(col("ba"), col("bb")).as("inter"), col("na"), col("nb"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"), 4).as("jaccard"))
+  }
+
+  /** Prefix-filter plan (large vocabulary): df-ordered ⌊n/2⌋+1
+    * prefixes → candidate equi-join on prefix tokens → dedup → exact
+    * merge-pass verify. Shuffles scale with corpus size; no all-pairs
+    * stage anywhere. */
+  private def prefixPath(toks: DataFrame): DataFrame = {
+    val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val grams = toks.join(dfreq, "tok")
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("gdf"))
+      .select(col("doc_id"),
+        array_sort(transform(col("gdf"), x => x("tok"))).as("g"),
+        expr("slice(transform(gdf, x -> x.tok), 1, size(gdf) DIV 2 + 1)").as("pref"),
+        size(col("gdf")).as("n"))
+      .persist()
+    val pref = grams.select(col("doc_id"), col("n"), explode(col("pref")).as("tok"))
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.tok") === col("b.tok") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          greatest(col("a.n"), col("b.n")) <= least(col("a.n"), col("b.n")) * 2)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(grams.select(col("doc_id").as("doc_a"), col("g").as("ga")), "doc_a")
+      .join(grams.select(col("doc_id").as("doc_b"), col("g").as("gb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        jaccardCounts(col("ga"), col("gb")).as("iu"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("iu._1").cast("double") / col("iu._2").cast("double"), 4)
+          .as("jaccard"))
+  }
 
   /** Embedding-cosine near-dup: sign-LSH blocking (axis-aligned
     * hyperplanes at dims 1/17/33/49 → 16 buckets) then exact cosine

@@ -1,0 +1,174 @@
+package graft.queries
+
+import graft.Q
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types.LongType
+
+/** Structured Streaming operators over the `events` table, run to
+  * completion with `Trigger.AvailableNow` so each query is a finite,
+  * deterministic, oracle-checkable job while exercising the *real*
+  * streaming machinery: file-source `readStream`, streaming windowed
+  * aggregation, streaming deduplication state, and
+  * `flatMapGroupsWithState` custom session state.
+  *
+  * Scale notes: on a live cluster these same plans run unbounded —
+  * swap `AvailableNow` for a processing-time trigger, add
+  * `withWatermark` so window/dedup state is evicted (the reference has
+  * no streaming at all — SURVEY.md §2.8 — so watermark policy is ours
+  * to choose), and replace the memory/foreachBatch sinks with a real
+  * sink. Complete-mode output is used here only because it makes the
+  * one-shot result exactly reproducible; its state is bounded by the
+  * number of distinct (window, event_type) groups, not by input rows.
+  */
+object StreamingOps {
+
+  final case class SessionEvent(user_id: Long, ts_us: Long)
+  final case class OpenSession(n_events: Long, start_us: Long, end_us: Long)
+  final case class SessionOut(user_id: Long, n_events: Long, start_us: Long, end_us: Long)
+
+  /** 30-minute session gap, in epoch micros. */
+  private val GapUs = 30L * 60 * 1000000
+
+  /** `readStream` over the events parquet with the batch-derived
+    * schema; nanos ts rebuilt to micros exactly like `Tables.load`. */
+  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$dir/events.parquet"
+    val schema = s.read.parquet(path).schema
+    // The source path must be a glob: for a non-glob path the
+    // file-stream source force-sets basePath to the path itself, which
+    // then fails the "basePath must be a directory" check when the path
+    // names the single parquet file.
+    val df = s.readStream.schema(schema).option("basePath", dir)
+      .parquet(s"$dir/events.{parquet}")
+    if (schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else df
+  }
+
+  /** Run a streaming DF to completion into a memory sink; return the
+    * sink table. Query names are dropped first so reruns in one
+    * session (Bench warm loops) don't collide. */
+  private def runToTable(s: SparkSession, df: DataFrame, name: String,
+      mode: OutputMode): DataFrame = {
+    s.catalog.dropTempView(name)
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  /** Streaming tumbling-window aggregation: 1-hour event-time windows
+    * per event_type, counts + exact-decimal value sums. Complete mode
+    * → the memory sink holds the full windowed result at stream end. */
+  val q65 = Q(
+    "q65_stream_tumbling",
+    "Structured Streaming 1h tumbling windows per event_type (AvailableNow)",
+    (s, dir) => {
+      val agg = eventsStream(s, dir)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .select(unix_micros(col("window.start")).as("window_start_us"),
+          col("event_type"), col("n_events"), col("sum_value"))
+      runToTable(s, agg, "stream_tumbling", OutputMode.Complete())
+        .orderBy(col("window_start_us"), col("event_type"))
+    },
+    Some(s"""SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+        event_type, count(*) AS n_events, ${oSum("value", "sum_value")}
+      FROM events GROUP BY 1, 2 ORDER BY window_start_us, event_type"""))
+
+  /** Streaming deduplication: first event per (user_id, event_type)
+    * via `dropDuplicates` state, appended to the sink; the per-type
+    * distinct-user counts are then a batch aggregate over the sink
+    * table (which rows win is arrival-order-dependent; the *counts*
+    * are exactly the distinct pair counts, hence deterministic). */
+  val q66 = Q(
+    "q66_stream_dedup",
+    "streaming dropDuplicates state: distinct (user, event_type) counts",
+    (s, dir) => {
+      val dedup = eventsStream(s, dir)
+        .select(col("user_id"), col("event_type"))
+        .dropDuplicates("user_id", "event_type")
+      runToTable(s, dedup, "stream_dedup", OutputMode.Append())
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type, count(DISTINCT user_id) AS n_users
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  /** Custom streaming state via `flatMapGroupsWithState`: per-user
+    * 30-minute-gap sessionization. Closed sessions are emitted as soon
+    * as a later event proves the gap; the trailing open session stays
+    * in state (and is never emitted — on a live stream a timeout would
+    * flush it). Oracle = gap-split sessions minus each user's last. */
+  val q67 = Q(
+    "q67_stream_sessions",
+    "flatMapGroupsWithState 30-min-gap sessions; open tail kept in state",
+    (s, dir) => {
+      import s.implicits._
+      val events = eventsStream(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+        .as[SessionEvent]
+      val sessions = events
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState(
+          OutputMode.Update(), GroupStateTimeout.NoTimeout)(sessionize)
+      val buf = new scala.collection.mutable.ArrayBuffer[SessionOut]
+      val q = sessions.writeStream
+        .outputMode(OutputMode.Update())
+        .foreachBatch { (batch: Dataset[SessionOut], _: Long) =>
+          buf.synchronized { buf ++= batch.collect() }; ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.createDataFrame(buf.toSeq)
+        .orderBy(col("user_id"), col("start_us"))
+    },
+    Some(s"""WITH x AS (
+        SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+      b AS (
+        SELECT user_id, ts_us,
+          CASE WHEN lag(ts_us) OVER w IS NULL
+                 OR ts_us - lag(ts_us) OVER w > $GapUs THEN 1 ELSE 0 END AS brk
+        FROM x WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+      sess AS (
+        SELECT user_id, ts_us,
+          sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+                         ROWS UNBOUNDED PRECEDING) AS sid
+        FROM b),
+      g AS (
+        SELECT user_id, sid, count(*) AS n_events,
+          min(ts_us) AS start_us, max(ts_us) AS end_us
+        FROM sess GROUP BY 1, 2),
+      m AS (SELECT user_id, max(sid) AS last_sid FROM g GROUP BY 1)
+      SELECT g.user_id AS user_id, n_events, start_us, end_us
+      FROM g JOIN m ON g.user_id = m.user_id AND g.sid < m.last_sid
+      ORDER BY g.user_id, start_us"""))
+
+  /** Session state transition: merge sorted incoming events into the
+    * open session; a gap > 30 min closes it (emit) and opens a new one.
+    * The final open session is written back to state. */
+  private def sessionize(user: Long, rows: Iterator[SessionEvent],
+      state: GroupState[OpenSession]): Iterator[SessionOut] = {
+    val incoming = rows.map(_.ts_us).toArray.sorted
+    var open = state.getOption.orNull
+    val out = Seq.newBuilder[SessionOut]
+    incoming.foreach { ts =>
+      open match {
+        case null => open = OpenSession(1, ts, ts)
+        case o if ts - o.end_us > GapUs =>
+          out += SessionOut(user, o.n_events, o.start_us, o.end_us)
+          open = OpenSession(1, ts, ts)
+        case o =>
+          open = OpenSession(o.n_events + 1, o.start_us, math.max(o.end_us, ts))
+      }
+    }
+    if (open != null) state.update(open)
+    out.result().iterator
+  }
+
+  def all: Seq[Q] = Seq(q65, q66, q67)
+}

@@ -1,0 +1,95 @@
+package graft
+
+import graft.etl._
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Spark end-to-end tests for the dedupe/merge dataflow: connected
+  * components (both the driver union-find fast path and the
+  * distributed label-propagation fallback) and the full
+  * dedupeAndMerge, mirroring the reference's monkeypatched-build tests
+  * (tests/test_combine_helpers.py:190-484).
+  */
+class PipelineSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def comps(vertices: Seq[Long], edges: Seq[(Long, Long)],
+      distributed: Boolean): Map[Long, Long] = {
+    import spark.implicits._
+    val vds = vertices.map(java.lang.Long.valueOf).toDS()
+    val eds = edges.map { case (s, d) => Pipeline.Edge(s, d) }.toDS()
+    val df =
+      if (distributed) Pipeline.distributedComponents(vds, eds)
+      else Pipeline.connectedComponents(vds, eds)
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("connected components: transitive chain collapses to one component") {
+    for (distributed <- Seq(false, true)) {
+      val got = comps(0L to 6L, Seq((0L, 1L), (1L, 2L), (3L, 4L), (5L, 4L)), distributed)
+      assert(got(0) == got(1) && got(1) == got(2))
+      assert(got(3) == got(4) && got(4) == got(5))
+      assert(got(0) != got(3))
+      assert(got(6) == 6L) // isolated vertex keeps its own id
+      assert(got(0) == 0L && got(3) == 3L) // min-id labeling
+    }
+  }
+
+  test("connected components: long path needs multiple propagation rounds") {
+    val n = 33L
+    val edges = (0L until n - 1).map(i => (i + 1, i)) // reversed order
+    for (distributed <- Seq(false, true)) {
+      val got = comps(0L until n, edges, distributed)
+      assert(got.values.toSet == Set(0L))
+    }
+  }
+
+  test("dedupeAndMerge end-to-end: nickname cluster + distinct household survive") {
+    import spark.implicits._
+    def c(id: Long) = Contact.blank(id)
+    val raw = Seq(
+      c(0).copy(source = "gmail", source_row_id = "0", first_name = "Bob",
+        last_name = "Smith", emails = Seq(EmailEntry("bob@x.com", "home"))),
+      c(1).copy(source = "mac_vcf", source_row_id = "1", first_name = "Robert",
+        last_name = "Smith", emails = Seq(EmailEntry("BOB@X.COM", ""))),
+      c(2).copy(source = "gmail", source_row_id = "2", first_name = "Alice",
+        last_name = "Smith"),
+      c(3).copy(source = "linkedin", source_row_id = "3", first_name = "Carol",
+        last_name = "Jones", company = "Acme")).toDS()
+    val norm = Pipeline.normalize(raw)
+    val (merged, lineage) = Pipeline.dedupeAndMerge(norm, raw)
+    val out = merged.collect()
+    assert(out.length == 3) // Bob+Robert merged; Alice and Carol alone
+    val bob = out.find(m => m.contact.last_name == "Smith" && m.source_row_count == 2)
+    assert(bob.isDefined)
+    assert(bob.get.contact.emails.map(_.value) == Seq("bob@x.com"))
+    assert(bob.get.source_count == 2)
+    // duplicate-id guard (combine_contacts.py:1519-1525)
+    assert(out.map(_.contact_id).distinct.length == out.length)
+    assert(lineage.collect().length == 4)
+  }
+
+  test("flatten projects first valid channel per label bucket") {
+    import spark.implicits._
+    val m = MergedContact(
+      contact_id = "id-1",
+      contact = Contact.blank(0).copy(
+        full_name = "Ann Yu",
+        emails = Seq(EmailEntry("bad@x.com", "invalid"), EmailEntry("a@x.com", "work")),
+        phones = Seq(PhoneEntry("+16175550100", "home", "22")),
+        addresses = Seq(AddressEntry("", "", "1 Elm St", "Boston", "MA", "02108", "US", "home"))),
+      addresses_json = "[]", source_count = 1, source_row_count = 1,
+      invalid_emails = Nil, non_standard_phones = Nil)
+    val row = Pipeline.flatten(Seq(m).toDS()).collect().head
+    assert(row.getAs[String]("work_email") == "a@x.com")
+    assert(row.getAs[String]("home_email") == "")
+    assert(row.getAs[String]("home_phone") == "+16175550100x22")
+    assert(row.getAs[String]("home_address") == "1 Elm St, Boston, MA, 02108, US")
+  }
+}
