@@ -387,5 +387,107 @@ object ContactOps {
         round(count(*) * 100.0 / sum(count(*)) OVER (), 2) AS pct
       FROM conf3 GROUP BY confidence_bucket ORDER BY bucket"""))
 
-  val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48)
+  // -- q49: multi-format ingestion round-trip ---------------------------
+
+  /** End-to-end exercise of the file-format readers inside the
+    * correctness gate: synthesize a LinkedIn connections CSV (with
+    * preamble noise) and a vCard 3.0 export from the customer table,
+    * parse them back through graft.sources.Sources, and aggregate the
+    * parsed fields per source. The oracle recomputes the same
+    * aggregates from the same scalar derivations — any divergence in
+    * header sniffing, CSV quoting, URL filtering, date parsing, TYPE
+    * handling or N-line splitting breaks the hash match. */
+  val q49 = Q(
+    "q49_sources_roundtrip",
+    "LinkedIn-CSV + vCard exports synthesized, parsed back, aggregated",
+    (s, dir) => {
+      import s.implicits._
+      val k = col("c_custkey")
+      def pick(values: Seq[String], idx: Column): Column =
+        element_at(array(values.map(lit): _*), (idx + 1).cast("int"))
+      val first = pick(Synth.Firsts, k % 16)
+      val last = pick(Synth.Lasts, k % 20)
+      val cls = (k % 400).cast("string")
+      val email = when(k % 5 =!= 0,
+        concat(lower(first), lit("."), lower(last), cls, lit("@example.com"))).otherwise("")
+      val phone = when(k % 7 =!= 0,
+        concat(lit("+1 (617) 555-"), lpad(cls, 4, "0"))).otherwise("")
+      val company = when(k % 6 < 3, pick(Synth.Companies, k % 6)).otherwise("")
+      val url = when(k % 10 === 7, lit("https://example.com/u"))
+        .otherwise(concat(lit("https://www.linkedin.com/in/"), lower(first), lit("-"), lower(last)))
+      val connected = concat(lit("2023-"), lpad((k % 12 + 1).cast("string"), 2, "0"),
+        lit("-"), lpad((k % 28 + 1).cast("string"), 2, "0"))
+      val customers = t(s, dir, "customer").orderBy("c_custkey")
+
+      val csvLines = customers.select(concat_ws(",", first, last, url, email,
+        company, pick(Synth.Titles, k % 5), connected).as("l")).as[String].collect()
+      val vcfBlocks = customers.select(concat(
+        lit("BEGIN:VCARD\nVERSION:3.0\nFN:"), first, lit(" "), last,
+        lit("\nN:"), last, lit(";"), first, lit(";;;"),
+        when(email =!= "", concat(lit("\nEMAIL;TYPE=WORK:"), email)).otherwise(""),
+        when(phone =!= "", concat(lit("\nTEL;TYPE=CELL:"), phone)).otherwise(""),
+        when(company =!= "", concat(lit("\nORG:"), company)).otherwise(""),
+        lit("\nEND:VCARD")).as("b")).as[String].collect()
+
+      val outDir = java.nio.file.Paths.get("/tmp",
+        "graft_q49_" + Integer.toHexString(dir.hashCode))
+      java.nio.file.Files.createDirectories(outDir)
+      val liPath = outDir.resolve("linkedin.csv")
+      val vcfPath = outDir.resolve("contacts.vcf")
+      java.nio.file.Files.writeString(liPath,
+        ("Notes:\n\"export preamble\"\n" +
+          "First Name,Last Name,URL,Email Address,Company,Position,Connected On\n") +
+          csvLines.mkString("\n") + "\n")
+      java.nio.file.Files.writeString(vcfPath, vcfBlocks.mkString("\n") + "\n")
+
+      graft.sources.Sources.linkedin(s, liPath.toString)
+        .unionByName(graft.sources.Sources.vcards(s, vcfPath.toString))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum((col("linkedin_url") =!= "").cast("long")).as("n_urls"),
+          sum(size(col("emails")).cast("long")).as("n_emails"),
+          sum(size(col("phones")).cast("long")).as("n_phones"),
+          countDistinct(when(col("company") =!= "", col("company"))).as("n_companies"),
+          sum(length(col("full_name_raw")).cast("long")).as("name_chars"),
+          sum((col("source_timestamp") =!= "").cast("long")).as("n_ts"))
+        .orderBy(col("source"))
+    },
+    Some {
+      val first = s"${Synth.Firsts.map(v => s"'$v'").mkString("[", ", ", "]")}[CAST(c_custkey % 16 AS INT) + 1]"
+      val last = s"${Synth.Lasts.map(v => s"'$v'").mkString("[", ", ", "]")}[CAST(c_custkey % 20 AS INT) + 1]"
+      val companies = Synth.Companies.map(v => s"'$v'").mkString("[", ", ", "]")
+      s"""WITH d AS (
+        SELECT c_custkey AS k, $first AS first, $last AS last,
+          $first || ' ' || $last AS fn,
+          CASE WHEN c_custkey % 5 <> 0
+               THEN lower($first) || '.' || lower($last) || CAST(c_custkey % 400 AS VARCHAR) || '@example.com'
+               ELSE '' END AS email,
+          CASE WHEN c_custkey % 7 <> 0
+               THEN '+1 (617) 555-' || lpad(CAST(c_custkey % 400 AS VARCHAR), 4, '0')
+               ELSE '' END AS phone,
+          CASE WHEN c_custkey % 6 < 3 THEN $companies[CAST(c_custkey % 6 AS INT) + 1] ELSE '' END AS company
+        FROM customer)
+      SELECT * FROM (
+        SELECT 'linkedin' AS source, count(*) AS n,
+          CAST(sum(CASE WHEN k % 10 <> 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_urls,
+          CAST(sum(CASE WHEN email <> '' THEN 1 ELSE 0 END) AS BIGINT) AS n_emails,
+          CAST(0 AS BIGINT) AS n_phones,
+          count(DISTINCT CASE WHEN company <> '' THEN company END) AS n_companies,
+          CAST(sum(length(fn)) AS BIGINT) AS name_chars,
+          count(*) AS n_ts
+        FROM d
+        UNION ALL
+        SELECT 'mac_vcf', count(*),
+          CAST(0 AS BIGINT),
+          CAST(sum(CASE WHEN email <> '' THEN 1 ELSE 0 END) AS BIGINT),
+          CAST(sum(CASE WHEN phone <> '' THEN 1 ELSE 0 END) AS BIGINT),
+          count(DISTINCT CASE WHEN company <> '' THEN company END),
+          CAST(sum(length(fn)) AS BIGINT),
+          CAST(0 AS BIGINT)
+        FROM d)
+      ORDER BY source"""
+    })
+
+  val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49)
 }
