@@ -25,13 +25,17 @@ object DedupOps {
 
   private def toks(c: Column): Column = split(trim(c), " +")
 
-  /** Distinct word 3-gram shingle set (same shingling as q34). */
-  private def shingles3(c: Column): Column = {
-    val tk = toks(c)
+  /** Distinct word 3-gram shingle set over an ALREADY-SPLIT token
+    * array column. Callers must materialize the split in a separate
+    * projection first: `transform` lambdas are interpreted, so an
+    * inlined split() would re-evaluate once per element access. */
+  private def shingles3FromToks(tk: Column): Column =
     array_distinct(transform(sequence(lit(1), size(tk) - 2),
       i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1),
         element_at(tk, i + 2))))
-  }
+
+  /** Distinct word 3-gram shingle set (same shingling as q34). */
+  private def shingles3(c: Column): Column = shingles3FromToks(toks(c))
 
   private val oShingles3 =
     """SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
@@ -79,25 +83,32 @@ object DedupOps {
 
   /** MinHash + LSH near-dup pairs, exact-Jaccard-verified.
     *
-    * Plan: explode shingles → one 60-bit hash per (doc, shingle) →
-    * groupBy(doc) with 12 min() aggregates (map-side partial agg) →
-    * stack 4 band keys → self-join on (band, key) → distinct candidate
-    * pairs → join shingle sets back → exact Jaccard ≥ 0.8. The band
-    * self-join is the only shuffle over candidates; the final verify
-    * joins shingles by doc_id (hash join on the small candidate set). */
+    * Plan: split tokens ONCE in their own projection (a higher-order
+    * `transform` lambda is interpreted, so any expression it references
+    * re-evaluates per element — an inlined split() turned the shingle
+    * build O(tokens²·len)); shingle strings explode through a generator
+    * and md5 in codegen; then ONE groupBy(doc) computes all 12 min()
+    * signatures AND the distinct-hash set for the verify step (single
+    * shuffle, map-side partial agg). Band keys stack from the signature
+    * row; the band self-join emits candidates; verify is exact Jaccard
+    * over the per-doc hash sets (collisions map both engines
+    * identically, so counts agree). */
   val q51 = Q(
     "q51_minhash_lsh",
     "MinHash(12)/LSH(4x3) candidate pairs verified at Jaccard >= 0.8",
     (s, dir) => {
-      val sh = t(s, dir, "documents")
+      val tk = t(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"), shingles3(col("text")).as("sh"))
-        .where(size(col("sh")) > 0)
-      val hashed = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+        .select(col("doc_id"), toks(col("text")).as("tk"))
+        .where(size(col("tk")) >= 3)
+      val hashed = tk
+        .select(col("doc_id"), explode(shingles3FromToks(col("tk"))).as("shingle"))
         .select(col("doc_id"), (h60(col("shingle")) % P).as("h"))
       val minAggs = AB.zipWithIndex.map { case ((a, b), i) =>
         min((lit(a) * col("h") + lit(b)) % P).as(s"m$i") }
-      val sig = hashed.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+      val sig = hashed.groupBy(col("doc_id"))
+        .agg(minAggs.head, minAggs.tail :+ sort_array(collect_set(col("h"))).as("hs"): _*)
+        .persist()
       val banded = sig.select(col("doc_id"), expr(
         (0 until Bands).map { bnd =>
           val key = (0 until RowsPerBand).map(r => s"m${bnd * RowsPerBand + r}")
@@ -110,12 +121,12 @@ object DedupOps {
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
-      val sa = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-      val sb = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-      cand.join(sa, "doc_a").join(sb, "doc_b")
+      cand
+        .join(sig.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+        .join(sig.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
         .select(col("doc_a"), col("doc_b"),
-          round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-            size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 4)
+          round(size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
+            size(array_union(col("hs_a"), col("hs_b"))).cast("double"), 4)
             .as("jaccard"))
         .where(col("jaccard") >= 0.8)
         .orderBy(col("doc_a"), col("doc_b"))
@@ -134,7 +145,8 @@ object DedupOps {
         FROM (SELECT doc_id, unnest(sh) AS shingle FROM sh)),
       sig AS (
         SELECT doc_id,
-          $mins
+          $mins,
+          list_sort(list(DISTINCT h)) AS hs
         FROM hashed GROUP BY doc_id),
       banded AS (
         $bandRows),
@@ -144,10 +156,10 @@ object DedupOps {
           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
       SELECT doc_a, doc_b, jaccard FROM (
         SELECT doc_a, doc_b,
-          round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
-                CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE), 4) AS jaccard
-        FROM cand JOIN sh sa ON cand.doc_a = sa.doc_id
-                  JOIN sh sb ON cand.doc_b = sb.doc_id)
+          round(CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) /
+                CAST(len(list_distinct(sa.hs || sb.hs)) AS DOUBLE), 4) AS jaccard
+        FROM cand JOIN sig sa ON cand.doc_a = sa.doc_id
+                  JOIN sig sb ON cand.doc_b = sb.doc_id)
       WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b"""
     })
 
@@ -237,14 +249,6 @@ object DedupOps {
     bits
   }
 
-  /** popcount(A AND B) over two equal-width bitsets. */
-  private val interBits = udf { (as: Seq[Long], bs: Seq[Long]) =>
-    val a = as.toArray; val b = bs.toArray
-    var i = 0; var inter = 0
-    while (i < a.length) { inter += java.lang.Long.bitCount(a(i) & b(i)); i += 1 }
-    inter
-  }
-
   /** Vocabulary bound for the bitset verify path: 16384 grams = 2 KB
     * per doc. */
   private val MaxBitsetVocab = 16384L
@@ -332,10 +336,11 @@ object DedupOps {
     val a = packed.repartition(nPart)
       .select(col("doc_id").as("doc_a"), col("bits").as("ba"), col("n").as("na"))
     val b = packed.select(col("doc_id").as("doc_b"), col("bits").as("bb"), col("n").as("nb"))
+    graft.plans.BitsetIntersectCount.register(toks.sparkSession)
     a.join(b, col("doc_a") < col("doc_b") &&
         greatest(col("na"), col("nb")) <= least(col("na"), col("nb")) * 2)
       .select(col("doc_a"), col("doc_b"),
-        interBits(col("ba"), col("bb")).as("inter"), col("na"), col("nb"))
+        expr("bitset_intersect_count(ba, bb)").as("inter"), col("na"), col("nb"))
       .select(col("doc_a"), col("doc_b"),
         round(col("inter").cast("double") /
           (col("na") + col("nb") - col("inter")).cast("double"), 4).as("jaccard"))
