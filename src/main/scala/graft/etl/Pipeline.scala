@@ -79,11 +79,18 @@ object Pipeline {
       .select(col("row_id"), col("block"), col("e.kt").as("kt"), col("e.k").as("k"))
       .where(col("k") =!= "")
       .distinct()
+    // One 0/1 flag column per keytype instead of collect_set: primitive
+    // max() aggregates stay in codegen hash aggregation, where a set
+    // aggregate forces the object-hash path over millions of pair
+    // groups.
+    val KeyTypes = Seq("ln", "nm", "nr", "em", "ph", "ak", "li")
+    val flagAggs = KeyTypes.map(kt =>
+      max(when(col("x.kt") === kt, 1).otherwise(0)).as(s"f_$kt"))
     val matches = keys.as("x").join(keys.as("y"),
         col("x.block") === col("y.block") && col("x.kt") === col("y.kt") &&
           col("x.k") === col("y.k") && col("x.row_id") < col("y.row_id"))
       .groupBy(col("x.row_id").as("src"), col("y.row_id").as("dst"))
-      .agg(collect_set(col("x.kt")).as("kts"))
+      .agg(flagAggs.head, flagAggs.tail: _*)
 
     // Scalar per-row attributes needed by the native decision; joined
     // (broadcast at this scale, hash join at cluster scale) onto the
@@ -96,7 +103,7 @@ object Pipeline {
       .join(sc("a").withColumnRenamed("row_id", "src"), "src")
       .join(sc("b").withColumnRenamed("row_id", "dst"), "dst")
 
-    def has(kt: String) = array_contains(col("kts"), kt)
+    def has(kt: String) = col(s"f_$kt") === 1
     val emailOv = has("em"); val phoneOv = has("ph")
     val addrOv = has("ak"); val liEq = has("li")
     val corrob = emailOv.cast("int") + phoneOv.cast("int") +
