@@ -1,0 +1,84 @@
+package graft
+
+import graft.functions.{Ids, Names, Phones, Similarity, TextNorm}
+import graft.sources.Channels
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+/** Property tests for the pure function kernels (SURVEY.md §5:
+  * E.164 fallback, name parsing, label normalization, UUIDv5).
+  * ScalaCheck runs under sbt's native framework support.
+  */
+object FunctionProps extends Properties("functions") {
+
+  private val digits10 = Gen.listOfN(10, Gen.numChar).map(_.mkString)
+  private val nameToken = Gen.nonEmptyListOf(Gen.alphaChar).map(_.mkString.take(12))
+  private val freeText = Gen.listOf(Gen.frequency(
+    (8, Gen.alphaNumChar), (2, Gen.oneOf(' ', '.', '-', ',', '\'')))).map(_.mkString.take(60))
+
+  property("e164: any 10-digit number gets +1") = forAll(digits10) { d =>
+    Phones.formatE164(d) == s"+1$d"
+  }
+
+  property("e164: 11 digits starting with 1 get +") = forAll(digits10) { d =>
+    Phones.formatE164("1" + d) == s"+1$d"
+  }
+
+  property("e164 idempotent on its own output") = forAll(digits10) { d =>
+    val once = Phones.formatE164(d)
+    Phones.formatE164(once) == once
+  }
+
+  property("uuid5 deterministic, version 5, RFC 4122 variant") = forAll(freeText) { s =>
+    val u = Ids.uuid5(s)
+    u == Ids.uuid5(s) &&
+      u.matches("[0-9a-f]{8}-[0-9a-f]{4}-5[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}")
+  }
+
+  property("norm idempotent") = forAll(freeText) { s =>
+    val n = TextNorm.norm(s)
+    TextNorm.norm(n) == n
+  }
+
+  property("norm output lowercase, single-spaced") = forAll(freeText) { s =>
+    val n = TextNorm.norm(s)
+    n == n.toLowerCase && !n.contains("  ") && n == n.trim
+  }
+
+  property("normLabel idempotent") = forAll(freeText) { s =>
+    val l = TextNorm.normLabel(s)
+    TextNorm.normLabel(l) == l
+  }
+
+  property("seqRatio: identity is 1, bounded [0,1]") = forAll(nameToken, nameToken) { (a, b) =>
+    val r = Similarity.seqRatio(a, b)
+    Similarity.seqRatio(a, a) == 1.0 && r >= 0.0 && r <= 1.0
+  }
+
+  property("seqRatio: empty-vs-nonempty is 0") = forAll(nameToken) { a =>
+    Similarity.seqRatio(a, "") == 0.0 && Similarity.seqRatio("", "") == 1.0
+  }
+
+  property("nicknameEquivalent symmetric") = forAll(nameToken, nameToken) { (a, b) =>
+    Similarity.nicknameEquivalent(a, b) == Similarity.nicknameEquivalent(b, a)
+  }
+
+  property("parseMultiLast: parts re-assemble from original tokens") =
+    forAll(Gen.choose(1, 4), Gen.listOfN(4, nameToken)) { (n, tokens) =>
+      val name = tokens.take(n).mkString(" ")
+      val (first, middle, last) = Names.parseMultiLast(name)
+      val out = Seq(first, middle, last).filter(_.nonEmpty).flatMap(_.split(" "))
+      out.forall(name.split(" ").contains) || name.trim.isEmpty
+    }
+
+  property("stripPhoneExtension: extension is <=6 digits; no ext leaves input intact") =
+    forAll(digits10, Gen.choose(1, 999999)) { (d, ext) =>
+      val (_, e1) = Channels.stripPhoneExtension(s"$d;$ext")
+      val (base2, e2) = Channels.stripPhoneExtension(d)
+      e1 == ext.toString && e1.length <= 6 && base2 == d && e2.isEmpty
+    }
+
+  property("vcard unescape removes escaped separators") = Prop {
+    Channels.unescapeVcard("""a\;b\,c\nd\\e""") == "a;b,c\nd\\e"
+  }
+}
