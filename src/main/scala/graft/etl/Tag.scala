@@ -23,6 +23,27 @@ object Tag {
   val MartialRe = "tai\\s*chi|wu\\s*an|wu\\s*dao|kung\\s*fu|shaolin|martial\\s*arts"
   val NutcrackerRe = "nutcracker|\\bcherub(s)?\\b|jose\\s*mateo|ballet"
 
+  /** Per-contact notes blob from the raw-source notes re-reads
+    * (tag_contacts.py:85-107): lineage ⨝ notes on (source,
+    * source_row_id), snippets joined " | " in source-load order
+    * (linkedin, gmail, mac_vcf — the reference's concatenation order)
+    * then source_row_id order, made deterministic via array_sort over
+    * (rank, row, note) structs rather than relying on partition order.
+    *
+    * `notes` columns: source, source_row_id, note — union of
+    * [[graft.sources.Sources.gmailNotes]] / `vcfNotes`. */
+  def notesBlob(lineage: DataFrame, notes: DataFrame): DataFrame = {
+    val rank = when(col("source") === "linkedin", 0)
+      .when(col("source") === "gmail", 1).otherwise(2)
+    lineage.select(col("contact_id"), col("source"), col("source_row_id"))
+      .join(notes, Seq("source", "source_row_id"))
+      .groupBy(col("contact_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(rank.as("r"),
+          col("source_row_id").cast("long").as("i"), col("note").as("n")))),
+        x => x.getField("n")), " | ").as("notes_blob"))
+  }
+
   /** Adds boolean tag columns, a sorted pipe-joined `tags` column, the
     * relationship category, and referral_priority. Expects columns:
     * company, title, linkedin_url, notes_blob, emails, addresses,

@@ -292,4 +292,43 @@ object Sources {
     linkedin(spark, linkedinPath)
       .unionByName(gmail(spark, gmailPath))
       .unionByName(vcards(spark, vcfPath))
+
+  /** Tag-stage raw notes re-reads (tag_contacts.py:34-68): project
+    * (source, source_row_id, note) straight from the raw exports.
+    * Row ids count EVERY record (not just noted ones) so they line up
+    * with the loader-assigned source_row_ids. */
+  private def notesDf(spark: SparkSession, path: String, source: String)(
+      parse: String => Seq[String]): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path)))
+      return Seq.empty[(String, String, String)].toDF("source", "source_row_id", "note")
+    spark.sparkContext.wholeTextFiles(path)
+      .sortBy(_._1)
+      .flatMap { case (_, content) => parse(content) }
+      .zipWithIndex()
+      .filter(_._1.nonEmpty)
+      .map { case (note, idx) => (source, idx.toString, note) }
+      .toDF("source", "source_row_id", "note")
+  }
+
+  /** Gmail Notes column per row ("" when the column is absent). */
+  def gmailNotes(spark: SparkSession, path: String): org.apache.spark.sql.DataFrame =
+    notesDf(spark, path, "gmail") { content =>
+      val t = Csv.table(content)
+      if (!t.header.contains("Notes")) t.rows.map(_ => "")
+      else t.rows.map(row => t.get(row, "Notes"))
+    }
+
+  /** First NOTE: line of each vCard block (tag_contacts.py:50-68 —
+    * unlike the consolidate-stage parser, this one reads notes). */
+  def vcfNotes(spark: SparkSession, path: String): org.apache.spark.sql.DataFrame =
+    notesDf(spark, path, "mac_vcf") { content =>
+      content.split("END:VCARD").filter(_.contains("BEGIN:VCARD")).toSeq.map { block =>
+        block.linesIterator.map(_.stripSuffix("\r"))
+          .find(_.startsWith("NOTE:"))
+          .map(_.drop(5).trim).getOrElse("")
+      }
+    }
 }
