@@ -489,5 +489,38 @@ object ContactOps {
       ORDER BY source"""
     })
 
-  val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49)
+  // -- q57: invalid-channel insights ------------------------------------
+
+  /** The insight-notebook analyses (scripts/invalid_email_insights.ipynb,
+    * scripts/non_standard_phone_insights.ipynb): explode the
+    * invalid-email / non-standard-phone side-channels accumulated by
+    * normalization and count occurrences per value. */
+  val q57 = Q(
+    "q57_invalid_channel_insights",
+    "explode invalid_emails / non_standard_phones side-channels, count per value",
+    (s, dir) => {
+      val n = normalized(s, dir).toDF()
+      val em = n.select(lit("invalid_email").as("channel"),
+        explode(col("invalid_emails")).as("value"))
+      val ph = n.select(lit("non_standard_phone").as("channel"),
+        explode(col("non_standard_phones")).as("value"))
+      em.union(ph)
+        .groupBy(col("channel"), col("value"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("channel"), col("value"))
+    },
+    Some(s"""WITH ${Synth.sqlNormCte}
+      SELECT channel, value, n FROM (
+        SELECT 'invalid_email' AS channel, trim(email_raw) AS value, count(*) AS n
+        FROM snorm2 WHERE trim(email_raw) <> '' AND email_norm = ''
+        GROUP BY 2
+        UNION ALL
+        SELECT 'non_standard_phone', trim(phone_raw) || '::invalid', count(*)
+        FROM snorm2
+        WHERE trim(phone_raw) <> ''
+          AND NOT (phone_e164 LIKE '+%' AND length(regexp_replace(phone_raw, '[^0-9]', '', 'g')) >= 11)
+        GROUP BY 2)
+      ORDER BY channel, value"""))
+
+  val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q57)
 }
