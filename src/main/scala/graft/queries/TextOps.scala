@@ -167,5 +167,37 @@ object TextOps {
         WHERE len(toks) >= 3)
       GROUP BY shingle ORDER BY n DESC, shingle LIMIT 25"""))
 
-  val all: Seq[Q] = Seq(q30, q31, q32, q33, q34)
+  /** BPE-ish pre-tokenizer regex (GPT-2-style pre-split shape:
+    * contraction suffixes, space-prefixed letter runs, digit runs,
+    * punctuation runs). Plain ASCII classes so Java regex (Spark) and
+    * RE2 (DuckDB) agree. */
+  private val BpeRe = "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+  /** Subword-style token accounting: the LLM-pipeline token-count
+    * estimate (whitespace counting under-counts punctuation-heavy
+    * text). regexp_extract_all keeps the split in codegen. */
+  val q35 = Q(
+    "q35_bpe_tokens",
+    "BPE-style regex pre-tokenization counts vs whitespace counts",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(expr(s"regexp_extract_all(text, \"$BpeRe\", 0)")).as("bpe_tokens"),
+          size(tokens(col("text"))).as("ws_tokens"),
+          length(col("text")).as("n_chars"))
+        .withColumn("chars_per_token",
+          round(col("n_chars").cast("double") / col("bpe_tokens").cast("double"), 4))
+        .orderBy(col("doc_id")),
+    Some {
+      val re = BpeRe.replace("'", "''")
+      s"""SELECT doc_id,
+        CAST(len(regexp_extract_all(text, '$re')) AS INTEGER) AS bpe_tokens,
+        CAST(len(string_split_regex(trim(text), ' +')) AS INTEGER) AS ws_tokens,
+        CAST(length(text) AS INTEGER) AS n_chars,
+        round(CAST(length(text) AS DOUBLE) /
+              CAST(len(regexp_extract_all(text, '$re')) AS DOUBLE), 4) AS chars_per_token
+      FROM documents ORDER BY doc_id"""
+    })
+
+  val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35)
 }
