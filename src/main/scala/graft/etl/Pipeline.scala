@@ -56,8 +56,12 @@ object Pipeline {
   def acceptedPairs(normalized: Dataset[Contact],
       cfg: ContactLogic.DedupeConfig = ContactLogic.DedupeConfig()): Dataset[Edge] = {
     import normalized.sparkSession.implicits._
-    val slim = normalized.map(ContactLogic.toMatchRec)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint rather than persist: it materializes the slim
+    // rows once (no columnar-cache conversion) AND truncates the
+    // logical plan, so the several downstream actions stop re-analyzing
+    // the full normalize lineage — at this plan size Catalyst analysis
+    // was half the stage's cold wall-clock.
+    val slim = normalized.map(ContactLogic.toMatchRec).localCheckpoint(true)
 
     // Inverted index of match keys: one (row, keytype, key) row per
     // name/nickname-root/email/phone/address-key/linkedin value. A
@@ -235,7 +239,9 @@ object Pipeline {
       : (Dataset[MergedContact], Dataset[Lineage]) = {
     val spark = normalized.sparkSession
     import spark.implicits._
-    val normPersisted = normalized.persist(StorageLevel.MEMORY_AND_DISK)
+    // See the localCheckpoint note in acceptedPairs: materialize +
+    // truncate lineage once; three downstream consumers.
+    val normPersisted = normalized.localCheckpoint(true)
     val edges = acceptedPairs(normPersisted, cfg)
     val comps = connectedComponents(
       normPersisted.select(col("row_id").as[java.lang.Long]), edges)
