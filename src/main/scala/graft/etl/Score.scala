@@ -93,6 +93,18 @@ object Score {
   }
 
   /** Bucket histogram (confidence_report.py:239-262). */
+  /** Corpus validation summary (validate_quality.py:223-233): totals +
+    * channel-presence percentages. */
+  def validationSummary(scored: DataFrame): DataFrame = {
+    def pct(c: Column) = round(
+      sum(when(c > 0, 1).otherwise(0)) * lit(100.0) / count(lit(1)), 2)
+    scored.agg(
+      count(lit(1)).as("contacts_total"),
+      pct(col("email_total")).as("has_any_email_pct"),
+      pct(col("phone_total")).as("has_any_phone_pct"),
+      pct(col("addr_total")).as("has_any_address_pct"))
+  }
+
   def summary(scored: DataFrame): DataFrame = {
     scored.groupBy(col("confidence_bucket").as("bucket"))
       .agg(count(lit(1)).as("count"))

@@ -489,6 +489,21 @@ object ContactOps {
       ORDER BY source"""
     })
 
+  // -- q56b/q58: corpus validation summary ------------------------------
+
+  /** The validate-stage stdout summary (validate_quality.py:223-233):
+    * corpus totals and channel-presence percentages. */
+  val q58 = Q(
+    "q58_validation_summary",
+    "corpus totals + has-any-channel percentages (validate stage summary)",
+    (s, dir) => Score.validationSummary(scoredContacts(s, dir)),
+    Some(s"""WITH ${Synth.sqlNormCte}
+      SELECT count(*) AS contacts_total,
+        round(sum(CASE WHEN email_total > 0 THEN 1 ELSE 0 END) * 100.0 / count(*), 2) AS has_any_email_pct,
+        round(sum(CASE WHEN phone_total > 0 THEN 1 ELSE 0 END) * 100.0 / count(*), 2) AS has_any_phone_pct,
+        round(sum(CASE WHEN addr_total > 0 THEN 1 ELSE 0 END) * 100.0 / count(*), 2) AS has_any_address_pct
+      FROM scontact"""))
+
   // -- q57: invalid-channel insights ------------------------------------
 
   /** The insight-notebook analyses (scripts/invalid_email_insights.ipynb,
@@ -522,5 +537,5 @@ object ContactOps {
         GROUP BY 2)
       ORDER BY channel, value"""))
 
-  val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q57)
+  val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q57, q58)
 }
