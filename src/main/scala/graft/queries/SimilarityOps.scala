@@ -125,5 +125,84 @@ object SimilarityOps {
         round(cos6, 4) AS cosine
       FROM ranked WHERE rank <= $ATopK ORDER BY query_id, rank"""))
 
-  val all: Seq[Q] = Seq(q55, q56)
+  private val IvfCells = 16
+  private val IvfProbe = 2
+
+  /** IVF-Flat ANN: a 16-centroid coarse quantizer (deterministic
+    * training sample: the 16 lowest vec_ids), every vector assigned to
+    * its best cell, queries probing their nprobe=2 nearest cells, exact
+    * cosine inside the probed cells only.
+    *
+    * Scale shape: the centroid table broadcasts; assignment is one
+    * scan + a 16-way scored window (no shuffle of vectors, only
+    * (vec_id, cell)); the probe join is an equi-join on cell id, so
+    * search cost tracks corpus/IvfCells × nprobe instead of the full
+    * scan — the standard IVF trade vs q55's exact baseline, with
+    * better recall than q56's single-bucket LSH probe. */
+  val q59 = Q(
+    "q59_ann_ivf_topk",
+    s"IVF($IvfCells,nprobe=$IvfProbe) ANN top-$ATopK for $NQueries query vectors",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").as("v"))
+        .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+      val cents = e.where(col("vec_id") < IvfCells)
+        .select(col("vec_id").as("cell"), col("v").as("cv"), col("norm").as("cn"))
+      val affinity = e.join(broadcast(cents), lit(true))
+        .select(col("vec_id"), col("v"), col("norm"), col("cell"),
+          round(dot(col("v"), col("cv")) / (col("norm") * col("cn")), 6).as("aff"))
+      val aw = Window.partitionBy(col("vec_id"))
+        .orderBy(col("aff").desc, col("cell").asc)
+      val ranked = affinity.withColumn("crank", row_number().over(aw))
+      val assigned = ranked.where(col("crank") === 1)
+        .select(col("vec_id"), col("v"), col("norm"), col("cell"))
+      val probes = ranked.where(col("vec_id") < NQueries && col("crank") <= IvfProbe)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("norm").as("qn"), col("cell"))
+      val scored = assigned.join(broadcast(probes),
+          assigned("cell") === probes("cell") && col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(dot(col("qv"), col("v")) / (col("qn") * col("norm")), 6).as("cos6"))
+        .distinct()
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos6").desc, col("neighbor_id").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= ATopK)
+        .select(col("query_id"), col("rank").cast("int").as("rank"),
+          col("neighbor_id"), round(col("cos6"), 4).as("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""WITH e AS (
+        SELECT vec_id, embedding AS v,
+          sqrt(${oDot("embedding", "embedding")}) AS norm
+        FROM embeddings),
+      cents AS (
+        SELECT vec_id AS cell, v AS cv, norm AS cn FROM e WHERE vec_id < $IvfCells),
+      affinity AS (
+        SELECT e.vec_id, e.v, e.norm, cents.cell,
+          round(${oDot("e.v", "cents.cv")} / (e.norm * cents.cn), 6) AS aff
+        FROM e CROSS JOIN cents),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+          ORDER BY aff DESC, cell ASC) AS crank
+        FROM affinity),
+      assigned AS (
+        SELECT vec_id, v, norm, cell FROM ranked WHERE crank = 1),
+      probes AS (
+        SELECT vec_id AS query_id, v AS qv, norm AS qn, cell
+        FROM ranked WHERE vec_id < $NQueries AND crank <= $IvfProbe),
+      scored AS (
+        SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id,
+          round(${oDot("p.qv", "a.v")} / (p.qn * a.norm), 6) AS cos6
+        FROM assigned a JOIN probes p
+          ON a.cell = p.cell AND a.vec_id <> p.query_id),
+      final AS (
+        SELECT query_id, neighbor_id, cos6,
+          row_number() OVER (PARTITION BY query_id ORDER BY cos6 DESC, neighbor_id ASC) AS rank
+        FROM scored)
+      SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+        round(cos6, 4) AS cosine
+      FROM final WHERE rank <= $ATopK ORDER BY query_id, rank"""))
+
+  val all: Seq[Q] = Seq(q55, q56, q59)
 }
