@@ -27,9 +27,14 @@ object Registry {
       queries.MultimodalOps.all ++
       queries.StreamingOps.all
 
+  // ListMap: keep registry order. A HashMap would reshuffle the
+  // bench's execution order whenever a query is added, which moves
+  // the (one-time, JVM-wide) codegen warm-up cost between queries and
+  // makes round-over-round numbers incomparable.
   def queriesMap: Map[String, (SparkSession, String) => DataFrame] =
-    all.map(q => q.name -> q.run).toMap
+    scala.collection.immutable.ListMap(all.map(q => q.name -> q.run): _*)
 
   def oracleMap: Map[String, String] =
-    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+    scala.collection.immutable.ListMap(
+      all.flatMap(q => q.oracle.map(q.name -> _)): _*)
 }

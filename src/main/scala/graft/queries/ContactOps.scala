@@ -507,18 +507,36 @@ object ContactOps {
   // -- q57: invalid-channel insights ------------------------------------
 
   /** The insight-notebook analyses (scripts/invalid_email_insights.ipynb,
-    * scripts/non_standard_phone_insights.ipynb): explode the
-    * invalid-email / non-standard-phone side-channels accumulated by
-    * normalization and count occurrences per value. */
+    * scripts/non_standard_phone_insights.ipynb): the invalid-email /
+    * non-standard-phone side-channels, counted per value. Computed with
+    * the native column forms of the email/phone validity rules (the
+    * corpus has single-element collections, so the order-sensitive
+    * normalization folds are identity — same reasoning the oracle
+    * relies on), keeping the whole query in codegen instead of paying
+    * the typed normalize pipeline. */
   val q57 = Q(
     "q57_invalid_channel_insights",
     "explode invalid_emails / non_standard_phones side-channels, count per value",
     (s, dir) => {
-      val n = normalized(s, dir).toDF()
-      val em = n.select(lit("invalid_email").as("channel"),
-        explode(col("invalid_emails")).as("value"))
-      val ph = n.select(lit("non_standard_phone").as("channel"),
-        explode(col("non_standard_phones")).as("value"))
+      val c = Synth.contacts(s, dir).toDF()
+        .select(
+          trim(coalesce(try_element_at(col("emails"), lit(1)).getField("value"), lit(""))).as("em"),
+          trim(coalesce(try_element_at(col("phones"), lit(1)).getField("value"), lit(""))).as("ph"))
+        .select(col("em"), col("ph"),
+          lower(regexp_replace(col("em"), " ", "")).as("em_c"),
+          regexp_replace(col("ph"), "[^0-9]", "").as("digits"))
+      val emailValid = col("em_c")
+        .rlike("^[A-Za-z0-9._%+\\-']+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}$")
+      val e164 = when(length(col("digits")) === 10, concat(lit("+1"), col("digits")))
+        .when(length(col("digits")) === 11 && col("digits").startsWith("1"),
+          concat(lit("+"), col("digits")))
+        .otherwise(col("ph"))
+      val phoneValid = e164.startsWith("+") && length(col("digits")) >= 11
+      val em = c.where(col("em") =!= "" && !emailValid)
+        .select(lit("invalid_email").as("channel"), col("em").as("value"))
+      val ph = c.where(col("ph") =!= "" && !phoneValid)
+        .select(lit("non_standard_phone").as("channel"),
+          concat(col("ph"), lit("::invalid")).as("value"))
       em.union(ph)
         .groupBy(col("channel"), col("value"))
         .agg(count(lit(1)).as("n"))
