@@ -309,5 +309,65 @@ object Relational {
       HAVING round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) > 150
       ORDER BY total_qty DESC, l_orderkey"""))
 
-  val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14)
+  /** Two-phase salted aggregation over a pathologically skewed key
+    * (l_returnflag has 3 values, so a plain groupBy funnels ~200k rows
+    * per reducer at sf0.1 and one-key-per-task at cluster scale):
+    * phase 1 pre-aggregates on (key, salt) — map-side combine plus 16×
+    * reducer fan-out — phase 2 combines the 48 partials. The salt only
+    * redistributes work; sums are exact-decimal so the result equals
+    * the unsalted oracle bit-for-bit. */
+  val q27 = Q(
+    "q27_salted_agg",
+    "two-phase salted aggregation over the skewed l_returnflag key",
+    (s, dir) => {
+      val partial = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"),
+          pmod(col("l_orderkey"), lit(16)).as("salt"))
+        .groupBy(col("l_returnflag"), col("salt"))
+        .agg(sum(money(col("l_quantity"))).as("q"),
+          sum(money(col("l_extendedprice"))).as("p"),
+          count(lit(1)).as("n"))
+      partial.groupBy(col("l_returnflag"))
+        .agg(round(sum(col("q")).cast("double"), 2).as("sum_qty"),
+          round(sum(col("p")).cast("double"), 2).as("sum_price"),
+          sum(col("n")).as("n_rows"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some(s"""SELECT l_returnflag, ${oSum("l_quantity", "sum_qty")},
+        ${oSum("l_extendedprice", "sum_price")}, count(*) AS n_rows
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** Bucketed co-located join: both sides written as 8-bucket tables
+    * on the join key, so the sort-merge join (forced via MERGE hint —
+    * the dim side would otherwise broadcast at this SF) reads
+    * bucket-aligned files and needs NO shuffle exchange on either
+    * side. This is the pre-partitioning device for joins repeated
+    * across many queries/runs at scale: pay the bucketed write once,
+    * skip the join shuffle every time after. */
+  val q28 = Q(
+    "q28_bucketed_colocated_join",
+    "8-bucket bucketed tables joined shuffle-free (MERGE hint)",
+    (s, dir) => {
+      val base = s"/tmp/graft_buckets_${Integer.toHexString(dir.hashCode)}"
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_totalprice"))
+        .write.format("parquet").bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", s"$base/orders").mode("overwrite").saveAsTable("b_orders")
+      t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .write.format("parquet").bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", s"$base/customer").mode("overwrite").saveAsTable("b_customer")
+      s.table("b_orders").hint("MERGE")
+        .join(s.table("b_customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("c_mktsegment"))
+    },
+    Some(s"""SELECT c_mktsegment, count(*) AS n_orders,
+        ${oSum("o_totalprice", "sum_price")}
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
+    q12, q13, q14, q27, q28)
 }
