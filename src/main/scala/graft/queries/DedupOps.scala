@@ -388,9 +388,11 @@ object DedupOps {
     "q54_embedding_neardup",
     "sign-LSH-bucketed embedding pairs with cosine >= 0.35",
     (s, dir) => {
-      val dot = (x: Column, y: Column) =>
-        aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-          lit(0.0), (acc, v) => acc + v)
+      // Native sequential-fold dot product (plans.VecDotProduct): the
+      // interpreted aggregate(zip_with(...)) form allocated per pair
+      // and GC-thrashed the bucketed self-join at high parallelism.
+      graft.plans.VecDotProduct.register(s)
+      val dot = (x: Column, y: Column) => call_function("vec_dot", x, y)
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").as("v"))
         .withColumn("norm", sqrt(dot(col("v"), col("v"))))

@@ -23,9 +23,15 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityOps {
 
-  private def dot(x: Column, y: Column): Column =
-    aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Native sequential-fold dot product (plans.VecDotProduct): same
+    * double accumulation order as the previous
+    * aggregate(zip_with(...)) form — bit-identical scores — but
+    * codegen'd with no per-pair allocation. Callers register the
+    * function via [[withDot]]. */
+  private def dot(x: Column, y: Column): Column = call_function("vec_dot", x, y)
+
+  private def withDot(s: org.apache.spark.sql.SparkSession): Unit =
+    graft.plans.VecDotProduct.register(s)
 
   private val oDot =
     (a: String, b: String) =>
@@ -40,6 +46,7 @@ object SimilarityOps {
     "q55_cosine_topk",
     s"brute-force cosine top-$TopK neighbors for $NQueries query vectors",
     (s, dir) => {
+      withDot(s)
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").as("v"))
         .withColumn("norm", sqrt(dot(col("v"), col("v"))))
@@ -81,6 +88,7 @@ object SimilarityOps {
     "q56_ann_lsh_topk",
     s"sign-LSH bucketed ANN top-$ATopK for $NQueries query vectors",
     (s, dir) => {
+      withDot(s)
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").as("v"))
         .withColumn("norm", sqrt(dot(col("v"), col("v"))))
@@ -143,6 +151,7 @@ object SimilarityOps {
     "q59_ann_ivf_topk",
     s"IVF($IvfCells,nprobe=$IvfProbe) ANN top-$ATopK for $NQueries query vectors",
     (s, dir) => {
+      withDot(s)
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").as("v"))
         .withColumn("norm", sqrt(dot(col("v"), col("v"))))
