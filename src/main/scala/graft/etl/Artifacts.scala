@@ -83,6 +83,9 @@ object Artifacts {
     df.coalesce(1).write
       .option("header", "true")
       .option("quoteAll", "true")
+      // RFC-4180 doubled quotes ("" not \") — Spark's backslash-escape
+      // default breaks standard CSV readers on embedded JSON.
+      .option("escape", "\"")
       .mode("overwrite")
       .csv(path)
 

@@ -1,0 +1,50 @@
+package graft.etl
+
+import graft.sources.Sources
+import org.apache.spark.sql.SparkSession
+
+/** The consolidate stage as a runnable main — the library equivalent
+  * of the reference's `contacts-consolidate` CLI
+  * (combine_contacts.py:1532-1575): load the three sources, normalize,
+  * dedupe+merge, write the three CSV artifacts.
+  *
+  * Usage: runMain graft.etl.ConsolidateMain
+  *   <linkedinCsv> <gmailCsv> <macVcf> <outDir> [configYamlPath]
+  * (pass "" for a missing source; config resolves CLI > yaml > default
+  * via [[Config]]).
+  */
+object ConsolidateMain {
+  def main(args: Array[String]): Unit = {
+    val Array(linkedinCsv, gmailCsv, macVcf, outDir) = args.take(4)
+    val yamlText = args.lift(4).map(p =>
+      new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8"))
+    val resolved = Config.load(Config.Cli(
+      linkedinCsv = Some(linkedinCsv).filter(_.nonEmpty),
+      gmailCsv = Some(gmailCsv).filter(_.nonEmpty),
+      macVcf = Some(macVcf).filter(_.nonEmpty),
+      outDir = Some(outDir)), yamlText)
+
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel(resolved.logLevel match {
+      case "DEBUG" | "INFO" | "WARN" | "ERROR" => resolved.logLevel
+      case "WARNING" => "WARN"
+      case _ => "WARN"
+    })
+
+    val raw = Sources.loadAll(spark,
+      resolved.inputs("linkedin_csv").getOrElse(""),
+      resolved.inputs("gmail_csv").getOrElse(""),
+      resolved.inputs("mac_vcf").getOrElse(""))
+    val normalized = Pipeline.normalize(raw, resolved.normalization)
+    val (merged, lineage) = Pipeline.dedupeAndMerge(normalized, raw, resolved.dedupe)
+    Artifacts.writeConsolidated(merged, lineage, resolved.outputsDir)
+    println(s"consolidated ${merged.count()} contacts -> ${resolved.outputsDir}")
+    spark.stop()
+  }
+}

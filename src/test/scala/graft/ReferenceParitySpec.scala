@@ -1,0 +1,82 @@
+package graft
+
+import graft.etl.{Artifacts, Pipeline}
+import graft.sources.Sources
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+
+/** Golden-file differential parity with the reference implementation.
+  *
+  * The fixture exports under src/test/resources/difftest were run
+  * through the actual reference pipeline
+  * (`python -m contacts_etl.combine_contacts`, fallback paths — no
+  * email_validator/phonenumbers) and its three artifacts captured as
+  * goldens. This spec runs OUR full pipeline (Sources → normalize →
+  * dedupeAndMerge → Artifacts) over the same files and asserts
+  * cell-for-cell equality on every golden column — including the
+  * UUIDv5 contact_ids, which hash the complete merge key material
+  * (names, company, title, sorted channels, lineage keys), so an
+  * equality here certifies end-to-end behavioral parity of
+  * normalization, merge decisions, channel unions and rendering.
+  */
+class ReferenceParitySpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def res(name: String): String =
+    Paths.get(getClass.getResource(s"/difftest/$name").toURI).toString
+
+  /** Minimal RFC-4180 row parser for the golden CSVs (reuses the
+    * production parser). */
+  private def golden(name: String): (Vector[String], Seq[Map[String, String]]) = {
+    val t = graft.sources.Csv.table(Files.readString(Paths.get(res(name))))
+    (t.header, t.rows.map(r => t.header.zip(r).toMap))
+  }
+
+  private def collectRows(df: DataFrame): Seq[Map[String, String]] = {
+    val cols = df.columns
+    df.collect().map(r => cols.zipWithIndex.map { case (c, i) =>
+      c -> Option(r.get(i)).map(_.toString).getOrElse("") }.toMap).toSeq
+  }
+
+  private lazy val artifacts: (Seq[Map[String, String]], Seq[Map[String, String]], Seq[Map[String, String]]) = {
+    val raw = Sources.loadAll(spark, res("linkedin.csv"), res("gmail.csv"), res("contacts.vcf"))
+    val normalized = Pipeline.normalize(raw)
+    val (merged, lineage) = Pipeline.dedupeAndMerge(normalized, raw)
+    (collectRows(Artifacts.consolidatedContacts(merged)),
+      collectRows(Artifacts.consolidatedLineage(lineage)),
+      collectRows(Artifacts.flattenedContacts(merged)))
+  }
+
+  private def assertParity(name: String, ours: Seq[Map[String, String]],
+      sortKeys: Seq[String]): Unit = {
+    val (goldenHeader, goldenRows) = golden(name)
+    val key = (m: Map[String, String]) => sortKeys.map(m.getOrElse(_, "")).mkString("")
+    val g = goldenRows.sortBy(key)
+    val o = ours.sortBy(key)
+    assert(o.size == g.size, s"$name: row count ${o.size} vs golden ${g.size}")
+    for (((gr, or), idx) <- g.zip(o).zipWithIndex; c <- goldenHeader) {
+      assert(or.getOrElse(c, "") == gr(c),
+        s"$name row $idx col $c: ours=${or.getOrElse(c, "")} golden=${gr(c)}")
+    }
+  }
+
+  test("consolidated_contacts matches the reference byte-for-byte (incl. contact_ids)") {
+    assertParity("golden_consolidated_contacts.csv", artifacts._1, Seq("contact_id"))
+  }
+
+  test("consolidated_lineage matches the reference") {
+    assertParity("golden_consolidated_lineage.csv", artifacts._2,
+      Seq("contact_id", "source", "source_row_id"))
+  }
+
+  test("flattened_contacts matches the reference") {
+    assertParity("golden_flattened_contacts.csv", artifacts._3, Seq("contact_id"))
+  }
+}
