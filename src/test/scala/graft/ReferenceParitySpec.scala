@@ -67,6 +67,20 @@ class ReferenceParitySpec extends AnyFunSuite {
     }
   }
 
+  /** Second corpus: name-grammar stress (parenthesized nicknames,
+    * professional suffixes, hyphenated/apostrophe surnames, surname
+    * particles), `:::` address variants, phone extensions in `;NN`,
+    * `ext N` and `pNN#` forms — including the reference's
+    * vCard-escape-order quirk (trailing backslash in a name). */
+  private lazy val artifacts2: (Seq[Map[String, String]], Seq[Map[String, String]], Seq[Map[String, String]]) = {
+    val raw = Sources.loadAll(spark, res("lin2.csv"), res("gmail2.csv"), res("vcf2.vcf"))
+    val normalized = Pipeline.normalize(raw)
+    val (merged, lineage) = Pipeline.dedupeAndMerge(normalized, raw)
+    (collectRows(Artifacts.consolidatedContacts(merged)),
+      collectRows(Artifacts.consolidatedLineage(lineage)),
+      collectRows(Artifacts.flattenedContacts(merged)))
+  }
+
   test("consolidated_contacts matches the reference byte-for-byte (incl. contact_ids)") {
     assertParity("golden_consolidated_contacts.csv", artifacts._1, Seq("contact_id"))
   }
@@ -78,5 +92,18 @@ class ReferenceParitySpec extends AnyFunSuite {
 
   test("flattened_contacts matches the reference") {
     assertParity("golden_flattened_contacts.csv", artifacts._3, Seq("contact_id"))
+  }
+
+  test("corpus 2 (name grammar / variants / extensions): consolidated_contacts parity") {
+    assertParity("golden2_consolidated_contacts.csv", artifacts2._1, Seq("contact_id"))
+  }
+
+  test("corpus 2: lineage parity") {
+    assertParity("golden2_consolidated_lineage.csv", artifacts2._2,
+      Seq("contact_id", "source", "source_row_id"))
+  }
+
+  test("corpus 2: flattened parity") {
+    assertParity("golden2_flattened_contacts.csv", artifacts2._3, Seq("contact_id"))
   }
 }
