@@ -66,6 +66,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("mapGroupsWithState keeps one running aggregate per key across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Double)]
+    val totals = input.toDS()
+      .groupByKey(_._1)
+      .mapGroupsWithState[Double, (Long, Double)](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (user, rows, state: org.apache.spark.sql.streaming.GroupState[Double]) =>
+          val sum = state.getOption.getOrElse(0.0) + rows.map(_._2).sum
+          state.update(sum)
+          (user, sum)
+      }
+    val q = totals.toDF("user_id", "total").writeStream
+      .format("memory").queryName("running_totals")
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      input.addData((1L, 10.0), (1L, 5.0), (2L, 1.0))
+      q.processAllAvailable()
+      input.addData((1L, 1.0), (3L, 7.0))
+      q.processAllAvailable()
+      // Update-mode memory sink appends each batch's updated rows;
+      // totals only grow, so max per key = the current state (robust
+      // to collect order across batch blocks).
+      val latest = spark.table("running_totals").collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+      assert(latest == Map(1L -> 16.0, 2L -> 1.0, 3L -> 7.0))
+    } finally q.stop()
+  }
+
   test("streaming dropDuplicates state spans micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
