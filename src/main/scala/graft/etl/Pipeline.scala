@@ -100,6 +100,7 @@ object Pipeline {
     // (broadcast at this scale, hash join at cluster scale) onto the
     // pair table instead of dragging full MatchRec structs through it.
     val scalars = slim.select(col("row_id"), col("lastNorm"), col("suffixNorm"),
+      lower(col("suffix")).as("suffixLower"),
       col("isLinkedinSrc"), (size(col("normNames")) > 0).as("named"))
     def sc(side: String) = scalars.columns.filter(_ != "row_id")
       .foldLeft(scalars)((d, c) => d.withColumnRenamed(c, s"${side}_$c"))
@@ -125,7 +126,23 @@ object Pipeline {
     val liGateOk = (!col("a_isLinkedinSrc") && !col("b_isLinkedinSrc")) || emailOv ||
       (col("a_lastNorm") === col("b_lastNorm") && (exactAlign || nickAlign) &&
         col("a_suffixNorm") === col("b_suffixNorm"))
-    val nativeAccept = (exactAlign || nickAlign) &&
+    // Threshold-aware score check (merge.py:35-84 semantics, any cfg):
+    // firstSim is exactly 1.0 on a lowercase-equal pair and at least
+    // 0.96 on a nickname-equivalent pair, so this score is exact for
+    // the former and a lower bound for the latter. Accepting on the
+    // lower bound is sound for ANY threshold configuration; a nickname
+    // pair whose true similarity exceeds the floor merely falls through
+    // to the Scala shouldMerge path below (candidateFilter keeps it).
+    val suffixBonus = when(col("a_suffixLower") =!= "" &&
+      col("a_suffixLower") === col("b_suffixLower"), 0.1).otherwise(0.0)
+    val simFloor = when(exactAlign, 1.0).otherwise(0.96)
+    val scoreLb = lit(0.7) * simFloor + suffixBonus +
+      when(emailOv, 1.0).otherwise(0.0) + when(phoneOv, 1.0).otherwise(0.0) +
+      when(addrOv, 0.5).otherwise(0.0) + when(liEq, 0.8).otherwise(0.0)
+    val scoreOk = scoreLb >= cfg.mergeScoreThreshold ||
+      (simFloor >= cfg.firstNameSimilarityThreshold &&
+        scoreLb >= cfg.relaxedMergeThreshold)
+    val nativeAccept = (exactAlign || nickAlign) && scoreOk &&
       (bothCore || corrob > 0) && liGateOk &&
       (if (cfg.requireCorroborator) corrob > 0 else lit(true))
     // Necessary condition for any merge (the decision gates): name-
@@ -196,7 +213,8 @@ object Pipeline {
         .select(col("id"), udf((id: Long) => lookup.value.getOrElse(id, id))
           .apply(col("id")).as("comp"))
     }
-    distributedComponents(vertexIds, edgesP)
+    try distributedComponents(vertexIds, edgesP)
+    finally edgesP.unpersist()
   }
 
   private[graft] def distributedComponents(vertexIds: Dataset[java.lang.Long],

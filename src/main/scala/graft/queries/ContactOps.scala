@@ -429,8 +429,7 @@ object ContactOps {
         when(company =!= "", concat(lit("\nORG:"), company)).otherwise(""),
         lit("\nEND:VCARD")).as("b")).as[String].collect()
 
-      val outDir = java.nio.file.Paths.get("/tmp",
-        "graft_q49_" + Integer.toHexString(dir.hashCode))
+      val outDir = java.nio.file.Paths.get(localScratch(s, "q49", dir))
       java.nio.file.Files.createDirectories(outDir)
       val liPath = outDir.resolve("linkedin.csv")
       val vcfPath = outDir.resolve("contacts.vcf")

@@ -106,9 +106,13 @@ object DedupOps {
         .select(col("doc_id"), (h60(col("shingle")) % P).as("h"))
       val minAggs = AB.zipWithIndex.map { case ((a, b), i) =>
         min((lit(a) * col("h") + lit(b)) % P).as(s"m$i") }
+      // localCheckpoint, not persist: materializes once for the three
+      // consumers AND is released by the ContextCleaner when the plan
+      // is dropped — a persist() here would pin executor blocks for the
+      // rest of the session (nothing runs after the query's action).
       val sig = hashed.groupBy(col("doc_id"))
         .agg(minAggs.head, minAggs.tail :+ sort_array(collect_set(col("h"))).as("hs"): _*)
-        .persist()
+        .localCheckpoint(true)
       val banded = sig.select(col("doc_id"), expr(
         (0 until Bands).map { bnd =>
           val key = (0 until RowsPerBand).map(r => s"m${bnd * RowsPerBand + r}")
@@ -290,7 +294,7 @@ object DedupOps {
         .select(col("doc_id"),
           explode(array_distinct(transform(sequence(lit(1), length(col("t")) - 3),
             i => col("t").substr(i, lit(4))))).as("tok"))
-        .persist()
+        .localCheckpoint(true) // see q51 sig note: cleaner-released, not session-pinned
       val dict = toks.select(col("tok")).distinct()
       val vocab = dict.count()
       val pairs = if (vocab <= MaxBitsetVocab) bitsetPath(toks, dict, vocab.toInt)
@@ -359,7 +363,7 @@ object DedupOps {
         array_sort(transform(col("gdf"), x => x("tok"))).as("g"),
         expr("slice(transform(gdf, x -> x.tok), 1, size(gdf) DIV 2 + 1)").as("pref"),
         size(col("gdf")).as("n"))
-      .persist()
+      .localCheckpoint(true) // see q51 sig note: cleaner-released, not session-pinned
     val pref = grams.select(col("doc_id"), col("n"), explode(col("pref")).as("tok"))
     val cand = pref.as("a").join(pref.as("b"),
         col("a.tok") === col("b.tok") &&

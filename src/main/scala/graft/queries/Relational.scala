@@ -348,7 +348,7 @@ object Relational {
     "q28_bucketed_colocated_join",
     "8-bucket bucketed tables joined shuffle-free (MERGE hint)",
     (s, dir) => {
-      val base = s"/tmp/graft_buckets_${Integer.toHexString(dir.hashCode)}"
+      val base = localScratch(s, "buckets", dir)
       t(s, dir, "orders")
         .select(col("o_custkey"), col("o_totalprice"))
         .write.format("parquet").bucketBy(8, "o_custkey").sortBy("o_custkey")

@@ -47,4 +47,20 @@ package object queries {
   /** DuckDB text of [[h60]]. */
   def oH60(e: String): String =
     s"CAST(('0x' || substring(md5($e), 1, 15)) AS BIGINT)"
+
+  /** Driver-local scratch dir for queries that must synthesize file
+    * fixtures (q49) or bucketed tables (q28). Keyed by the FULL
+    * sanitized input dir (no hashCode collisions between sfDirs) plus
+    * the Spark application id, so concurrent sessions never
+    * cross-contaminate. NOTE: the path lives on the DRIVER's local
+    * disk and is read back via the local filesystem — valid only under
+    * a local[] master; a cluster deployment would point this at a
+    * shared filesystem instead. */
+  def localScratch(spark: SparkSession, tag: String, dir: String): String = {
+    require(spark.sparkContext.isLocal,
+      s"$tag synthesizes driver-local fixtures; requires a local[] master")
+    val safeDir = dir.replaceAll("[^a-zA-Z0-9]+", "_")
+    val safeApp = spark.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]+", "_")
+    s"/tmp/graft_${tag}_${safeDir}_$safeApp"
+  }
 }

@@ -34,9 +34,12 @@ object Sources {
   private def readFiles(spark: SparkSession, path: String, rowBase: Long)(
       parse: String => Seq[Contact]): Dataset[Contact] = {
     import spark.implicits._
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(path))) {
+    // Resolve the filesystem FROM the path, not the default FS: a
+    // scheme-qualified path (s3://, hdfs://) on a cluster whose default
+    // FS differs would otherwise always report missing.
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hPath)) {
       org.slf4j.LoggerFactory.getLogger(getClass)
         .warn("source path missing: {}", path)
       return spark.emptyDataset[Contact]
@@ -300,9 +303,12 @@ object Sources {
   private def notesDf(spark: SparkSession, path: String, source: String)(
       parse: String => Seq[String]): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(path)))
+    // Resolve the filesystem FROM the path, not the default FS: a
+    // scheme-qualified path (s3://, hdfs://) on a cluster whose default
+    // FS differs would otherwise always report missing.
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hPath))
       return Seq.empty[(String, String, String)].toDF("source", "source_row_id", "note")
     spark.sparkContext.wholeTextFiles(path)
       .sortBy(_._1)

@@ -75,6 +75,54 @@ class PipelineSpec extends AnyFunSuite {
     assert(lineage.collect().length == 4)
   }
 
+  test("acceptedPairs matches brute-force shouldMerge under non-default thresholds") {
+    import spark.implicits._
+    def c(id: Long) = Contact.blank(id)
+    // Pair classes that exercise every fast-accept branch: exact name
+    // equality (sim 1.0), nickname equivalence (sim floor 0.96),
+    // suffix bonus, channel corroborators, linkedin-source strict gate,
+    // nameless pairs, and a norm-equal-but-not-lowercase-equal name.
+    val raw = Seq(
+      c(0).copy(source = "gmail", first_name = "Bob", last_name = "Smith",
+        emails = Seq(EmailEntry("bob@x.com", "home"))),
+      c(1).copy(source = "mac_vcf", first_name = "Robert", last_name = "Smith",
+        emails = Seq(EmailEntry("bob@x.com", ""))),
+      c(2).copy(source = "gmail", first_name = "Bob", last_name = "Smith",
+        suffix = "Jr"),
+      c(3).copy(source = "gmail", first_name = "Bob", last_name = "Smith",
+        suffix = "jr", phones = Seq(PhoneEntry("+16175550100", "", ""))),
+      c(4).copy(source = "linkedin", first_name = "Robert", last_name = "Smith",
+        linkedin_url = "https://linkedin.com/in/rsmith"),
+      c(5).copy(source = "gmail", first_name = "", last_name = "Smith",
+        phones = Seq(PhoneEntry("+16175550100", "", ""))),
+      c(6).copy(source = "gmail", first_name = "José", last_name = "Smith"),
+      c(7).copy(source = "gmail", first_name = "Jose", last_name = "Smith",
+        emails = Seq(EmailEntry("jose@x.com", "home"))),
+      c(8).copy(source = "gmail", first_name = "Liz", last_name = "Smith"),
+      c(9).copy(source = "gmail", first_name = "Elizabeth", last_name = "Smith")).toDS()
+    val norm = Pipeline.normalize(raw).collect().toSeq
+    val normDs = norm.toDS()
+    val configs = Seq(
+      ContactLogic.DedupeConfig(),
+      ContactLogic.DedupeConfig(relaxedMergeThreshold = 0.8),
+      ContactLogic.DedupeConfig(firstNameSimilarityThreshold = 0.97),
+      ContactLogic.DedupeConfig(mergeScoreThreshold = 2.0, relaxedMergeThreshold = 1.5),
+      ContactLogic.DedupeConfig(requireCorroborator = true),
+      ContactLogic.DedupeConfig(nicknameEquivalence = false,
+        relaxedMergeThreshold = 0.69))
+    val recs = norm.map(ContactLogic.toMatchRec)
+    for (cfg <- configs) {
+      val expected = (for {
+        a <- recs; b <- recs
+        if a.row_id < b.row_id && a.block == b.block
+        if ContactLogic.shouldMerge(a, b, cfg)
+      } yield (a.row_id, b.row_id)).toSet
+      val got = Pipeline.acceptedPairs(normDs, cfg).collect()
+        .map(e => (e.src, e.dst)).toSet
+      assert(got == expected, s"cfg=$cfg")
+    }
+  }
+
   test("flatten projects first valid channel per label bucket") {
     import spark.implicits._
     val m = MergedContact(
