@@ -7,9 +7,14 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed session warmup: initialize the codegen pipeline, shuffle
+    // machinery and scheduler once so generic JVM/session start-up is
+    // not attributed to whichever query happens to run first.
+    spark.range(1000).selectExpr("sum(id) s").groupBy("s").count().count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -63,36 +63,88 @@ object Pipeline {
     // was half the stage's cold wall-clock.
     val slim = normalized.map(ContactLogic.toMatchRec).localCheckpoint(true)
 
+    // ---- Exact-name clique collapse -----------------------------------
+    // Rows agreeing on (block, first candidate lowercase, lastNorm,
+    // suffixNorm) with a core name form an accepted CLIQUE under the
+    // merge rule: the shared lowercase candidate forces seqRatio = 1.0,
+    // so score ≥ 0.7 and the relaxed path fires; the nameless gate sees
+    // two core names; the alignment gate sees norm-equal names; and the
+    // LinkedIn strict gate sees lastEq ∧ align ∧ genEq. Connected
+    // components only need a spanning structure, so each clique
+    // contributes a CHAIN to its min row_id (O(m) edges, every one a
+    // genuinely accepted pair) and its internal pairs are excluded from
+    // the pairwise machinery below — the standard exact-duplicate
+    // collapse of ER systems, turning near-complete-clique corpora from
+    // O(m²) pair evaluations into O(m).
+    //
+    // Threshold-aware: sound only when the config accepts a bare
+    // sim=1.0 score of 0.7 (scoreOk is monotone in the score, so the
+    // suffix-bonus class passes too) and no per-pair corroborator is
+    // demanded. Any other config disables the collapse and every pair
+    // flows through the full machinery.
+    val cliquesOn = !cfg.requireCorroborator &&
+      (0.7 >= cfg.mergeScoreThreshold ||
+        (1.0 >= cfg.firstNameSimilarityThreshold && 0.7 >= cfg.relaxedMergeThreshold))
+    val coreRow = size(col("lowerNames")) > 0 && col("lastNorm") =!= ""
+    val cliqueKey = concat_ws("\u0001", col("block"),
+      element_at(col("lowerNames"), 1), col("lastNorm"), col("suffixNorm"))
+    // Per-row clique id: the clique key for collapsible rows, a unique
+    // per-row sentinel otherwise (never equal across rows).
+    val cqCol =
+      if (cliquesOn) when(coreRow, cliqueKey).otherwise(concat(lit("__"), col("row_id")))
+      else concat(lit("__"), col("row_id"))
+    val cliqueEdges: Dataset[Edge] =
+      if (cliquesOn) {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(cliqueKey)
+        slim.where(coreRow)
+          .select(col("row_id"), min(col("row_id")).over(w).as("root"))
+          .where(col("row_id") =!= col("root"))
+          .select(col("root").as("src"), col("row_id").as("dst")).as[Edge]
+      } else normalized.sparkSession.emptyDataset[Edge]
+
     // Inverted index of match keys: one (row, keytype, key) row per
     // name/nickname-root/email/phone/address-key/linkedin value. A
     // candidate pair is two rows in one block sharing any key, so
     // candidate generation is a hash equi-join on (block, keytype, key)
     // whose output is proportional to the TRUE overlap count — never
     // the O(b²) of a per-block cross scan.
+    //
+    // Raw-lowercase name equality implies folded-norm equality (norm =
+    // NFKD-fold of the lowercase), so lowercase matches are a SUBSET of
+    // the "nm" matches: instead of a separate "ln" keytype (which would
+    // double the largest key groups and the join volume), each name key
+    // row carries its lowercase form in `lnk` and the pair aggregation
+    // recovers the lowercase-equality flag as max(x.lnk == y.lnk).
     def tagged(kt: String, arr: Column) =
-      transform(arr, x => struct(lit(kt).as("kt"), x.as("k")))
-    val keys = slim.select(col("row_id"), col("block"),
+      transform(arr, x => struct(lit(kt).as("kt"), x.as("k"), lit(null: String).as("lnk")))
+    val nameKeys = transform(arrays_zip(col("normNames"), col("lowerNames")),
+      x => struct(lit("nm").as("kt"), x.getField("normNames").as("k"),
+        x.getField("lowerNames").as("lnk")))
+    val keys = slim.select(col("row_id"), col("block"), cqCol.as("cq"),
         explode(concat(
-          tagged("ln", col("lowerNames")),
-          tagged("nm", col("normNames")),
+          nameKeys,
           tagged("nr", col("nickRoots")),
           tagged("em", col("emails")),
           tagged("ph", col("phones")),
           tagged("ak", col("addrKeys")),
           tagged("li", array(col("linkedin"))))).as("e"))
-      .select(col("row_id"), col("block"), col("e.kt").as("kt"), col("e.k").as("k"))
+      .select(col("row_id"), col("block"), col("cq"), col("e.kt").as("kt"),
+        col("e.k").as("k"), col("e.lnk").as("lnk"))
       .where(col("k") =!= "")
       .distinct()
     // One 0/1 flag column per keytype instead of collect_set: primitive
     // max() aggregates stay in codegen hash aggregation, where a set
     // aggregate forces the object-hash path over millions of pair
     // groups.
-    val KeyTypes = Seq("ln", "nm", "nr", "em", "ph", "ak", "li")
+    val KeyTypes = Seq("nm", "nr", "em", "ph", "ak", "li")
     val flagAggs = KeyTypes.map(kt =>
-      max(when(col("x.kt") === kt, 1).otherwise(0)).as(s"f_$kt"))
+      max(when(col("x.kt") === kt, 1).otherwise(0)).as(s"f_$kt")) :+
+      max(when(col("x.lnk").isNotNull && col("x.lnk") === col("y.lnk"), 1)
+        .otherwise(0)).as("f_ln")
     val matches = keys.as("x").join(keys.as("y"),
         col("x.block") === col("y.block") && col("x.kt") === col("y.kt") &&
-          col("x.k") === col("y.k") && col("x.row_id") < col("y.row_id"))
+          col("x.k") === col("y.k") && col("x.row_id") < col("y.row_id") &&
+          col("x.cq") =!= col("y.cq"))
       .groupBy(col("x.row_id").as("src"), col("y.row_id").as("dst"))
       .agg(flagAggs.head, flagAggs.tail: _*)
 
@@ -166,7 +218,7 @@ object Pipeline {
       .as[(ContactLogic.MatchRec, ContactLogic.MatchRec)]
       .filter { case (l, r) => ContactLogic.shouldMerge(l, r, cfg) }
       .map { case (l, r) => Edge(l.row_id, r.row_id) }
-    nativeEdges.union(scalaEdges)
+    nativeEdges.union(scalaEdges).union(cliqueEdges)
   }
 
   /** Edge-count threshold below which components are solved with a
@@ -258,8 +310,12 @@ object Pipeline {
     val spark = normalized.sparkSession
     import spark.implicits._
     // See the localCheckpoint note in acceptedPairs: materialize +
-    // truncate lineage once; three downstream consumers.
-    val normPersisted = normalized.localCheckpoint(true)
+    // truncate lineage once; three downstream consumers. Skip when the
+    // caller already handed us a checkpointed/materialized plan.
+    val normPersisted = normalized.queryExecution.logical match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => normalized
+      case _ => normalized.localCheckpoint(true)
+    }
     val edges = acceptedPairs(normPersisted, cfg)
     val comps = connectedComponents(
       normPersisted.select(col("row_id").as[java.lang.Long]), edges)

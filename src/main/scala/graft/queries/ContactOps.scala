@@ -19,8 +19,20 @@ import org.apache.spark.sql.functions._
   */
 object ContactOps {
 
+  /** Normalized synthetic corpus, materialized once per (session, dir)
+    * and shared by every downstream stage query — mirroring the
+    * reference pipeline, where consolidate writes its artifact once
+    * and validate/confidence/tag re-read it instead of recomputing
+    * (validate_quality.py:133, tag_contacts.py:119). localCheckpoint
+    * truncates the lineage so consumers stop re-analyzing (and
+    * re-running) the normalize map; blocks are cleaner-released when
+    * the session drops the reference. */
+  private val normMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.Dataset[Contact]]()
+
   private def normalized(s: SparkSession, dir: String) =
-    Pipeline.normalize(Synth.contacts(s, dir))
+    normMemo.computeIfAbsent(System.identityHashCode(s) + ":" + dir,
+      _ => Pipeline.normalize(Synth.contacts(s, dir)).localCheckpoint(true))
 
   // -- q40: name grammar ------------------------------------------------
 
@@ -246,7 +258,7 @@ object ContactOps {
     (s, dir) => {
       import s.implicits._
       val raw = Synth.contacts(s, dir)
-      val norm = Pipeline.normalize(raw)
+      val norm = normalized(s, dir)
       val (merged, _) = Pipeline.dedupeAndMerge(norm, raw)
       merged.map(m => (m.contact_id, m.contact.full_name, m.contact.company,
           m.source_count, m.source_row_count,
