@@ -2,8 +2,9 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Prof {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -14,6 +15,7 @@ object Prof {
       val t0 = System.nanoTime()
       val n = q.run(spark, dir).count()
       println(f"PROF ${q.name}%-28s run$i ${(System.nanoTime()-t0)/1e9}%8.2f s  rows=$n")
+      Scratch.releaseAll()
     }
     spark.stop()
   }

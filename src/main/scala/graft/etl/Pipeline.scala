@@ -330,7 +330,9 @@ object Pipeline {
       val members = it.toSeq.sortBy(_._2.row_id).map(t => (t._2, t._3))
       ContactLogic.mergeCluster(members)
     }
-    val mergedPersisted = merged.persist(StorageLevel.MEMORY_AND_DISK)
+    // Scoped: shared by the contacts and lineage sinks of ONE pipeline
+    // run, released by the harness afterwards (not session-pinned).
+    val mergedPersisted = graft.Scratch.scoped(merged)
     val out = mergedPersisted.map(_._1)
     val lineage = mergedPersisted.flatMap(_._2)
     (out, lineage)

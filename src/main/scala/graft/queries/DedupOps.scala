@@ -106,13 +106,12 @@ object DedupOps {
         .select(col("doc_id"), (h60(col("shingle")) % P).as("h"))
       val minAggs = AB.zipWithIndex.map { case ((a, b), i) =>
         min((lit(a) * col("h") + lit(b)) % P).as(s"m$i") }
-      // localCheckpoint, not persist: materializes once for the three
-      // consumers AND is released by the ContextCleaner when the plan
-      // is dropped — a persist() here would pin executor blocks for the
-      // rest of the session (nothing runs after the query's action).
-      val sig = hashed.groupBy(col("doc_id"))
-        .agg(minAggs.head, minAggs.tail :+ sort_array(collect_set(col("h"))).as("hs"): _*)
-        .localCheckpoint(true)
+      // Scratch.scoped: compressed columnar cache shared by the three
+      // consumers, released by the harness after the query's action —
+      // neither session-pinned (the r01 leak) nor raw-row checkpointed
+      // (2-5x the memory of the columnar cache at corpus scale).
+      val sig = graft.Scratch.scoped(hashed.groupBy(col("doc_id"))
+        .agg(minAggs.head, minAggs.tail :+ sort_array(collect_set(col("h"))).as("hs"): _*))
       val banded = sig.select(col("doc_id"), expr(
         (0 until Bands).map { bnd =>
           val key = (0 until RowsPerBand).map(r => s"m${bnd * RowsPerBand + r}")
@@ -287,14 +286,13 @@ object DedupOps {
     "char-4-gram Jaccard >= 0.5 pairs; adaptive bitset / prefix-filter join",
     (s, dir) => {
       val norm = lower(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""))
-      val toks = t(s, dir, "documents")
+      val toks = graft.Scratch.scoped(t(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), norm.as("t"))
         .where(length(col("t")) >= 4)
         .select(col("doc_id"),
           explode(array_distinct(transform(sequence(lit(1), length(col("t")) - 3),
-            i => col("t").substr(i, lit(4))))).as("tok"))
-        .localCheckpoint(true) // see q51 sig note: cleaner-released, not session-pinned
+            i => col("t").substr(i, lit(4))))).as("tok"))) // see q51 sig note
       val dict = toks.select(col("tok")).distinct()
       val vocab = dict.count()
       val pairs = if (vocab <= MaxBitsetVocab) bitsetPath(toks, dict, vocab.toInt)
@@ -356,14 +354,14 @@ object DedupOps {
     * stage anywhere. */
   private def prefixPath(toks: DataFrame): DataFrame = {
     val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val grams = toks.join(dfreq, "tok")
+    val grams0 = toks.join(dfreq, "tok")
       .groupBy(col("doc_id"))
       .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("gdf"))
       .select(col("doc_id"),
         array_sort(transform(col("gdf"), x => x("tok"))).as("g"),
         expr("slice(transform(gdf, x -> x.tok), 1, size(gdf) DIV 2 + 1)").as("pref"),
         size(col("gdf")).as("n"))
-      .localCheckpoint(true) // see q51 sig note: cleaner-released, not session-pinned
+    val grams = graft.Scratch.scoped(grams0) // see q51 sig note
     val pref = grams.select(col("doc_id"), col("n"), explode(col("pref")).as("tok"))
     val cand = pref.as("a").join(pref.as("b"),
         col("a.tok") === col("b.tok") &&
