@@ -250,6 +250,163 @@ object ContactOps {
                OR (last_eq AND names_align AND gen_eq)) AS merged
       FROM scored ORDER BY left_key, right_key"""))
 
+  // -- q64: dedupe components + cluster stats (oracle-checked CC) -------
+
+  /** The connected-components half of the dedupe pipeline under the
+    * DuckDB oracle. q45 (below) runs the reference-fidelity
+    * Ratcliff–Obershelp path whose UUIDv5 ids and R-O similarity DuckDB
+    * cannot reproduce (no sha1(), different edit-distance), so it is
+    * rows-only checked; THIS query runs the same dataflow shape —
+    * blocked self-join → scored decision rule → [[Pipeline.connectedComponents]]
+    * → per-cluster aggregation — with the levenshtein-ratio similarity
+    * that is bit-identical in both engines, making blocking, scoring,
+    * gating, transitive closure (min-label) and cluster aggregation all
+    * hash-checked. The oracle rebuilds the closure with 10 chained
+    * min-label propagation steps (component min-label radius here is
+    * ≤ 4; 10 gives slack).
+    *
+    * Scale note: the pair stage is the reference's own O(Σ b²) block
+    * scan (combine_contacts.py:1149-1152) — adequate because blocks are
+    * surname-bounded; the q45 path upgrades it to an inverted-index
+    * equi-join when key overlap is sparse. */
+  val q64 = Q(
+    "q64_dedupe_components",
+    "blocked scoring -> connected components -> per-cluster stats (oracle-checked)",
+    (s, dir) => {
+      import s.implicits._
+      val base = Synth.contacts(s, dir).toDF()
+        .select(
+          col("row_id").as("k"),
+          element_at(split(col("full_name_raw"), " "), -1).as("raw_last"),
+          col("full_name_raw"), col("source"), col("linkedin_url"),
+          when(size(col("emails")) > 0, element_at(col("emails"), 1).getField("value"))
+            .otherwise("").as("email_raw"),
+          when(size(col("phones")) > 0, element_at(col("phones"), 1).getField("value"))
+            .otherwise("").as("phone_raw"),
+          when(size(col("addresses")) > 0, concat_ws("",
+            element_at(col("addresses"), 1).getField("city"),
+            element_at(col("addresses"), 1).getField("state"),
+            element_at(col("addresses"), 1).getField("postal_code")))
+            .otherwise("").as("addr_key"))
+      val withNorm = base
+        .withColumn("last_name",
+          when(col("raw_last") === "Jr", element_at(split(col("full_name_raw"), " "), -2))
+            .otherwise(col("raw_last")))
+        .withColumn("first_name", when(col("full_name_raw").startsWith("Dr. "),
+          element_at(split(col("full_name_raw"), " "), 2))
+          .otherwise(element_at(split(col("full_name_raw"), " "), 1)))
+        .withColumn("suffix", when(col("raw_last") === "Jr", "Jr").otherwise(""))
+        .withColumn("email_val",
+          when(lower(regexp_replace(trim(col("email_raw")), " ", "")).rlike(EmailReSql),
+            lower(regexp_replace(trim(col("email_raw")), " ", "")))
+            .otherwise(trim(col("email_raw"))))
+        .withColumn("phone_val",
+          when(phoneValidCol(e164Col(col("phone_raw"))), e164Col(col("phone_raw")))
+            .otherwise(trim(col("phone_raw"))))
+        .localCheckpoint(true)
+      val a = withNorm.select(withNorm.columns.map(c => col(c).as(s"a_$c")): _*)
+      val b = withNorm.select(withNorm.columns.map(c => col(c).as(s"b_$c")): _*)
+      val sim = lit(1.0) - levenshtein(lower(col("a_first_name")), lower(col("b_first_name")))
+        .cast("double") / greatest(length(col("a_first_name")), length(col("b_first_name")))
+        .cast("double")
+      val emailsOverlap = col("a_email_val") =!= "" && col("a_email_val") === col("b_email_val")
+      val phonesOverlap = col("a_phone_val") =!= "" && col("a_phone_val") === col("b_phone_val")
+      val addrOverlap = col("a_addr_key") =!= "" && col("a_addr_key") === col("b_addr_key")
+      val linkedinEq = col("a_linkedin_url") =!= "" &&
+        col("a_linkedin_url") === col("b_linkedin_url")
+      val suffixEq = col("a_suffix") =!= "" &&
+        lower(col("a_suffix")) === lower(col("b_suffix"))
+      val score = lit(0.7) * sim +
+        when(suffixEq, 0.1).otherwise(0.0) +
+        when(emailsOverlap, 1.0).otherwise(0.0) +
+        when(phonesOverlap, 1.0).otherwise(0.0) +
+        when(addrOverlap, 0.5).otherwise(0.0) +
+        when(linkedinEq, 0.8).otherwise(0.0)
+      val namesAlign = lower(col("a_first_name")) === lower(col("b_first_name"))
+      val lastEq = lower(col("a_last_name")) === lower(col("b_last_name"))
+      val genEq = lower(col("a_suffix")) === lower(col("b_suffix"))
+      val ok0 = score >= 1.2 || (sim >= 0.88 && score >= 0.6)
+      val gate = namesAlign || emailsOverlap || linkedinEq
+      val liGate = !(col("a_source") === "linkedin" || col("b_source") === "linkedin") ||
+        emailsOverlap || (lastEq && namesAlign && genEq)
+      val edges = a.join(b, lower(col("a_last_name")) === lower(col("b_last_name")) &&
+          col("a_k") < col("b_k"))
+        .where(ok0 && gate && liGate)
+        .select(col("a_k").as("src"), col("b_k").as("dst"))
+        .as[Pipeline.Edge]
+      val comps = Pipeline.connectedComponents(
+        withNorm.select(col("k").as[java.lang.Long]), edges)
+      withNorm.join(comps, withNorm("k") === comps("id"))
+        .groupBy(col("comp").as("cluster_key"))
+        .agg(count(lit(1)).as("n_members"),
+          countDistinct(col("source")).as("n_sources"),
+          countDistinct(when(col("email_val") =!= "", col("email_val"))).as("n_emails"),
+          countDistinct(when(col("phone_val") =!= "", col("phone_val"))).as("n_phones"),
+          countDistinct(when(col("addr_key") =!= "", col("addr_key"))).as("n_addrs"))
+        .orderBy(col("cluster_key"))
+    },
+    Some {
+      // MATERIALIZED: each step reads the previous one twice; DuckDB
+      // inlines plain CTEs, which would re-evaluate the whole chain
+      // exponentially.
+      val steps = (1 to 10).map { i =>
+        s"""l$i AS MATERIALIZED (
+        SELECT v.k, least(v.lab, coalesce(min(n.lab), v.lab)) AS lab
+        FROM l${i - 1} v
+        LEFT JOIN sym e ON e.a = v.k
+        LEFT JOIN l${i - 1} n ON n.k = e.b
+        GROUP BY v.k, v.lab)"""
+      }.mkString(",\n      ")
+      s"""WITH ${Synth.sqlNormCte},
+      cmp AS (
+        SELECT k, source, linkedin_url, first_name, last_name, suffix,
+          CASE WHEN email_norm <> '' THEN email_norm ELSE trim(email_raw) END AS email_val,
+          CASE WHEN phone_e164 LIKE '+%' AND length(phone_digits) >= 11
+               THEN phone_e164 ELSE trim(phone_raw) END AS phone_val,
+          CASE WHEN has_addr THEN city || chr(1) || state_raw || chr(1) || postal ELSE '' END AS addr_key
+        FROM scontact),
+      pairs AS (
+        SELECT a.k AS src, b.k AS dst,
+          1.0 - CAST(levenshtein(lower(a.first_name), lower(b.first_name)) AS DOUBLE)
+              / CAST(greatest(length(a.first_name), length(b.first_name)) AS DOUBLE) AS sim,
+          a.email_val <> '' AND a.email_val = b.email_val AS emails_overlap,
+          a.phone_val <> '' AND a.phone_val = b.phone_val AS phones_overlap,
+          a.addr_key <> '' AND a.addr_key = b.addr_key AS addr_overlap,
+          a.linkedin_url <> '' AND a.linkedin_url = b.linkedin_url AS linkedin_eq,
+          a.suffix <> '' AND lower(a.suffix) = lower(b.suffix) AS suffix_eq,
+          lower(a.first_name) = lower(b.first_name) AS names_align,
+          lower(a.last_name) = lower(b.last_name) AS last_eq,
+          lower(a.suffix) = lower(b.suffix) AS gen_eq,
+          a.source = 'linkedin' OR b.source = 'linkedin' AS has_linkedin_src
+        FROM cmp a JOIN cmp b
+          ON lower(a.last_name) = lower(b.last_name) AND a.k < b.k),
+      edges AS (
+        SELECT src, dst FROM (
+          SELECT *,
+            0.7 * sim + CASE WHEN suffix_eq THEN 0.1 ELSE 0.0 END
+              + CASE WHEN emails_overlap THEN 1.0 ELSE 0.0 END
+              + CASE WHEN phones_overlap THEN 1.0 ELSE 0.0 END
+              + CASE WHEN addr_overlap THEN 0.5 ELSE 0.0 END
+              + CASE WHEN linkedin_eq THEN 0.8 ELSE 0.0 END AS score
+          FROM pairs)
+        WHERE (score >= 1.2 OR (sim >= 0.88 AND score >= 0.6))
+          AND (names_align OR emails_overlap OR linkedin_eq)
+          AND (NOT has_linkedin_src OR emails_overlap
+               OR (last_eq AND names_align AND gen_eq))),
+      sym AS MATERIALIZED (
+        SELECT src AS a, dst AS b FROM edges
+        UNION ALL SELECT dst AS a, src AS b FROM edges),
+      l0 AS MATERIALIZED (SELECT k, k AS lab FROM cmp),
+      $steps
+      SELECT l10.lab AS cluster_key, count(*) AS n_members,
+        count(DISTINCT c.source) AS n_sources,
+        count(DISTINCT CASE WHEN c.email_val <> '' THEN c.email_val END) AS n_emails,
+        count(DISTINCT CASE WHEN c.phone_val <> '' THEN c.phone_val END) AS n_phones,
+        count(DISTINCT CASE WHEN c.addr_key <> '' THEN c.addr_key END) AS n_addrs
+      FROM l10 JOIN cmp c ON c.k = l10.k
+      GROUP BY l10.lab ORDER BY cluster_key"""
+    })
+
   // -- q45: full dedupe + cluster merge (reference-fidelity path) -------
 
   val q45 = Q(
@@ -566,5 +723,5 @@ object ContactOps {
         GROUP BY 2)
       ORDER BY channel, value"""))
 
-  val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q57, q58)
+  val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q64, q46, q47, q48, q49, q57, q58)
 }
