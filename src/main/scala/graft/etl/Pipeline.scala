@@ -229,6 +229,14 @@ object Pipeline {
     * pathological edge volume. */
   val DriverUnionFindMaxEdges = 5000000L
 
+  /** Above this edge count, one distributed min-label contraction round
+    * runs before the driver union-find: each vertex hooks to
+    * min(self, neighbors), and only the QUOTIENT graph (distinct label
+    * pairs across original edges) is collected. Duplicate-heavy corpora
+    * produce near-clique components whose quotient is a handful of
+    * edges, so the driver never materializes the redundant bulk. */
+  val ContractionMinEdges = 50000L
+
   /** Connected components over the accepted-pair edges.
     *
     * Small edge sets (the normal case — see [[DriverUnionFindMaxEdges]])
@@ -245,7 +253,10 @@ object Pipeline {
     val spark = vertexIds.sparkSession
     import spark.implicits._
     val edgesP = edges.persist(StorageLevel.MEMORY_AND_DISK)
-    if (edgesP.count() <= DriverUnionFindMaxEdges) {
+    val edgeCount = edgesP.count()
+
+    // Driver union-find with path compression over an edge iterator.
+    def unionFind(es: Iterator[Edge]): Long => Long = {
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -254,19 +265,77 @@ object Pipeline {
         while (parent.getOrElse(c, c) != c) { val n = parent.getOrElse(c, c); parent(c) = r; c = n }
         r
       }
-      edgesP.collect().foreach { e =>
+      es.foreach { e =>
         val (ra, rb) = (find(e.src), find(e.dst))
         if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
       }
+      find
+    }
+
+    if (edgeCount <= ContractionMinEdges) {
+      val collected = edgesP.collect()
       edgesP.unpersist()
-      val labels = parent.keys.map(v => v -> find(v)).toMap
+      val find = unionFind(collected.iterator)
+      val labels = collected.iterator.flatMap(e => Iterator(e.src, e.dst))
+        .toSet.iterator.map((v: Long) => v -> find(v)).toMap
       val lookup = spark.sparkContext.broadcast(labels)
       return vertexIds.toDF("id")
         .select(col("id"), udf((id: Long) => lookup.value.getOrElse(id, id))
           .apply(col("id")).as("comp"))
     }
+    if (edgeCount <= DriverUnionFindMaxEdges)
+      return try quotientComponents(vertexIds, edgesP)
+      finally edgesP.unpersist()
     try distributedComponents(vertexIds, edgesP)
     finally edgesP.unpersist()
+  }
+
+  /** Two-phase connected components: (1) distributed hook — every
+    * vertex takes min(self, neighbors) as a provisional label; (2) the
+    * original edges are mapped through those labels and only DISTINCT
+    * label pairs (the quotient graph) reach the driver union-find. Any
+    * original edge links vertices whose provisional labels are joined
+    * in the quotient, so find(l1(v)) is a sound component id;
+    * duplicate-heavy corpora collapse near-cliques onto a handful of
+    * quotient edges instead of collecting the bulk. */
+  private[graft] def quotientComponents(vertexIds: Dataset[java.lang.Long],
+      edges: Dataset[Edge]): DataFrame = {
+    val spark = vertexIds.sparkSession
+    import spark.implicits._
+    val sym = edges.select(col("src").as("id"), col("dst").as("nb"))
+      .union(edges.select(col("dst").as("id"), col("src").as("nb")))
+    val l1 = sym.groupBy(col("id"))
+      .agg(min(col("nb")).as("nmin"))
+      .select(col("id"), least(col("id"), col("nmin")).as("lab"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val quotient = edges
+      .join(l1.select(col("id").as("src"), col("lab").as("ls")), "src")
+      .join(l1.select(col("id").as("dst"), col("lab").as("ld")), "dst")
+      .select(col("ls"), col("ld"))
+      .where(col("ls") =!= col("ld"))
+      .distinct()
+      .as[(Long, Long)]
+      .collect()
+
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent.getOrElse(c, c); parent(c) = r; c = n }
+      r
+    }
+    quotient.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val labels = l1.as[(Long, Long)].collect()
+      .map { case (v, lab) => v -> find(lab) }.toMap
+    l1.unpersist()
+    val lookup = spark.sparkContext.broadcast(labels)
+    vertexIds.toDF("id")
+      .select(col("id"), udf((id: Long) => lookup.value.getOrElse(id, id))
+        .apply(col("id")).as("comp"))
   }
 
   private[graft] def distributedComponents(vertexIds: Dataset[java.lang.Long],

@@ -157,7 +157,7 @@ object ContactOps {
             .otherwise("").as("email_raw"),
           when(size(col("phones")) > 0, element_at(col("phones"), 1).getField("value"))
             .otherwise("").as("phone_raw"),
-          when(size(col("addresses")) > 0, concat_ws("",
+          when(size(col("addresses")) > 0, concat_ws("\u0001",
             element_at(col("addresses"), 1).getField("city"),
             element_at(col("addresses"), 1).getField("state"),
             element_at(col("addresses"), 1).getField("postal_code")))
@@ -283,7 +283,7 @@ object ContactOps {
             .otherwise("").as("email_raw"),
           when(size(col("phones")) > 0, element_at(col("phones"), 1).getField("value"))
             .otherwise("").as("phone_raw"),
-          when(size(col("addresses")) > 0, concat_ws("",
+          when(size(col("addresses")) > 0, concat_ws("\u0001",
             element_at(col("addresses"), 1).getField("city"),
             element_at(col("addresses"), 1).getField("state"),
             element_at(col("addresses"), 1).getField("postal_code")))
@@ -329,13 +329,43 @@ object ContactOps {
       val gate = namesAlign || emailsOverlap || linkedinEq
       val liGate = !(col("a_source") === "linkedin" || col("b_source") === "linkedin") ||
         emailsOverlap || (lastEq && namesAlign && genEq)
-      val edges = a.join(b, lower(col("a_last_name")) === lower(col("b_last_name")) &&
-          col("a_k") < col("b_k"))
+      // Gate-implied candidate pruning: a pair can only pass `gate` if
+      // it shares the lowercase first name, the email value, or the
+      // linkedin url — so candidate generation is an equi-join on those
+      // three keys within the block, never the O(b²) block scan the
+      // oracle (correctly, at its scale) performs. Exact-name cliques
+      // (block, first, suffix) are always accepted (sim=1, relaxed
+      // path, genEq) and contribute O(m) spanning chains, excluded from
+      // pairwise work via clique-id inequality — same devices as the
+      // reference-fidelity path (Pipeline.acceptedPairs).
+      val cqKey = concat_ws("\u0001", lower(col("last_name")),
+        lower(col("first_name")), lower(col("suffix")))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(cqKey)
+      val chains = withNorm
+        .select(col("k"), min(col("k")).over(w).as("root"))
+        .where(col("k") =!= col("root"))
+        .select(col("root").as("src"), col("k").as("dst")).as[Pipeline.Edge]
+      val kk = withNorm.select(col("k"), lower(col("last_name")).as("blk"),
+          cqKey.as("cq"),
+          explode(array(
+            concat(lit("n:"), lower(col("first_name"))),
+            when(col("email_val") =!= "", concat(lit("e:"), col("email_val"))),
+            when(col("linkedin_url") =!= "", concat(lit("l:"), col("linkedin_url")))))
+            .as("ck"))
+        .where(col("ck").isNotNull)
+      val cand = kk.as("x").join(kk.as("y"),
+          col("x.blk") === col("y.blk") && col("x.ck") === col("y.ck") &&
+            col("x.k") < col("y.k") && col("x.cq") =!= col("y.cq"))
+        .select(col("x.k").as("ak"), col("y.k").as("bk"))
+        .distinct()
+      val pairEdges = cand
+        .join(a, col("ak") === col("a_k"))
+        .join(b, col("bk") === col("b_k"))
         .where(ok0 && gate && liGate)
         .select(col("a_k").as("src"), col("b_k").as("dst"))
         .as[Pipeline.Edge]
       val comps = Pipeline.connectedComponents(
-        withNorm.select(col("k").as[java.lang.Long]), edges)
+        withNorm.select(col("k").as[java.lang.Long]), pairEdges.union(chains))
       withNorm.join(comps, withNorm("k") === comps("id"))
         .groupBy(col("comp").as("cluster_key"))
         .agg(count(lit(1)).as("n_members"),

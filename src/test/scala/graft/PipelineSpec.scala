@@ -20,34 +20,49 @@ class PipelineSpec extends AnyFunSuite {
     .getOrCreate()
 
   private def comps(vertices: Seq[Long], edges: Seq[(Long, Long)],
-      distributed: Boolean): Map[Long, Long] = {
+      mode: String): Map[Long, Long] = {
     import spark.implicits._
     val vds = vertices.map(java.lang.Long.valueOf).toDS()
     val eds = edges.map { case (s, d) => Pipeline.Edge(s, d) }.toDS()
-    val df =
-      if (distributed) Pipeline.distributedComponents(vds, eds)
-      else Pipeline.connectedComponents(vds, eds)
+    val df = mode match {
+      case "distributed" => Pipeline.distributedComponents(vds, eds)
+      case "quotient" => Pipeline.quotientComponents(vds, eds)
+      case _ => Pipeline.connectedComponents(vds, eds)
+    }
     df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
+  private val ccModes = Seq("driver", "quotient", "distributed")
+
   test("connected components: transitive chain collapses to one component") {
-    for (distributed <- Seq(false, true)) {
-      val got = comps(0L to 6L, Seq((0L, 1L), (1L, 2L), (3L, 4L), (5L, 4L)), distributed)
-      assert(got(0) == got(1) && got(1) == got(2))
-      assert(got(3) == got(4) && got(4) == got(5))
-      assert(got(0) != got(3))
-      assert(got(6) == 6L) // isolated vertex keeps its own id
-      assert(got(0) == 0L && got(3) == 3L) // min-id labeling
+    for (mode <- ccModes) {
+      val got = comps(0L to 6L, Seq((0L, 1L), (1L, 2L), (3L, 4L), (5L, 4L)), mode)
+      assert(got(0) == got(1) && got(1) == got(2), mode)
+      assert(got(3) == got(4) && got(4) == got(5), mode)
+      assert(got(0) != got(3), mode)
+      assert(got(6) == 6L, mode) // isolated vertex keeps its own id
+      assert(got(0) == 0L && got(3) == 3L, mode) // min-id labeling
     }
   }
 
   test("connected components: long path needs multiple propagation rounds") {
     val n = 33L
     val edges = (0L until n - 1).map(i => (i + 1, i)) // reversed order
-    for (distributed <- Seq(false, true)) {
-      val got = comps(0L until n, edges, distributed)
-      assert(got.values.toSet == Set(0L))
+    for (mode <- ccModes) {
+      val got = comps(0L until n, edges, mode)
+      assert(got.values.toSet == Set(0L), mode)
     }
+  }
+
+  test("quotient components match driver union-find on a random graph") {
+    val rnd = new scala.util.Random(42)
+    val n = 400
+    val edges = Seq.fill(300)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+    val base = comps(0L until n.toLong, edges, "driver")
+    assert(comps(0L until n.toLong, edges, "quotient") == base)
+    assert(comps(0L until n.toLong, edges, "distributed") == base)
   }
 
   test("dedupeAndMerge end-to-end: nickname cluster + distinct household survive") {
