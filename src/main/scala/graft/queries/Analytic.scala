@@ -261,5 +261,107 @@ object Analytic {
         FROM customer)
       GROUP BY c_mktsegment, quartile ORDER BY c_mktsegment, quartile"""))
 
-  val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26)
+  // -- q29: as-of join (temporal point lookup) --------------------------
+
+  /** AS-OF join — an operator Spark lacks natively, re-expressed
+    * Spark-first as the union + running-`last` window pattern: anchor
+    * rows ('view' events) and probe rows (every other event) union into
+    * one stream, ONE shuffle+sort on (user, ts, kind) orders anchors
+    * before probes at equal timestamps, and `last(anchor_ts,
+    * ignoreNulls)` over rows-unbounded-preceding gives every probe the
+    * latest anchor at-or-before it. This is the canonical distributed
+    * as-of plan (one exchange, no range explosion, no per-key collect);
+    * a sort-merge self-join would shuffle twice and a BNL would be
+    * O(n·m). The DuckDB oracle uses its native ASOF JOIN, so the
+    * window re-expression is checked against a reference
+    * implementation of the real operator semantics. */
+  val q29 = Q(
+    "q29_asof_join",
+    "as-of join: latest preceding 'view' per event via union + running last window",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      val anchors = e.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), lit(0).as("kind"),
+          unix_micros(col("ts")).as("anchor_us"),
+          lit(null).cast("string").as("event_type"))
+      val probes = e.where(col("event_type") =!= "view")
+        .select(col("user_id"), col("ts"), lit(1).as("kind"),
+          lit(null).cast("long").as("anchor_us"), col("event_type"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("kind"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val matched = anchors.unionByName(probes)
+        .withColumn("m_us", last(col("anchor_us"), ignoreNulls = true).over(w))
+        .where(col("kind") === 1)
+        .select(col("event_type"),
+          (unix_micros(col("ts")) - col("m_us")).as("gap_us"))
+      matched.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          count(col("gap_us")).as("n_matched"),
+          round(sum(col("gap_us")).cast("double") / lit(1000000.0) /
+            count(col("gap_us")).cast("double"), 2).as("avg_gap_s"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH anchors AS (
+        SELECT user_id, ts FROM events WHERE event_type = 'view'),
+      probes AS (
+        SELECT event_id, user_id, ts, event_type FROM events WHERE event_type <> 'view'),
+      matched AS (
+        SELECT p.event_type, epoch_us(p.ts) - epoch_us(a.ts) AS gap_us
+        FROM probes p ASOF LEFT JOIN anchors a
+          ON p.user_id = a.user_id AND p.ts >= a.ts)
+      SELECT event_type, count(*) AS n_events,
+        count(gap_us) AS n_matched,
+        round(CAST(CAST(sum(gap_us) AS BIGINT) AS DOUBLE) / 1000000.0 /
+          CAST(count(gap_us) AS DOUBLE), 2) AS avg_gap_s
+      FROM matched GROUP BY event_type ORDER BY event_type"""))
+
+  // -- q39: range (interval) join via bin-bucketed equi-join ------------
+
+  /** Pure range join (no equi key): every event within ±5 minutes of a
+    * 'signup' event. Spark has no interval-join operator and the naive
+    * plan is an O(n·m) nested loop; the Spark-first device is BINNING —
+    * the probe side keeps its single 5-minute bucket, the interval side
+    * explodes the 2-3 buckets its window overlaps (sequence()), and the
+    * join becomes a shuffle hash equi-join on the bucket with a residual
+    * |dt| predicate. Each pair is produced exactly once because a probe
+    * event lives in exactly one bucket. Bucket width == window radius
+    * bounds duplication at 3x regardless of data volume — this plan
+    * scales linearly where the BNL is quadratic. The DuckDB oracle runs
+    * the declarative BETWEEN join (its IEJoin handles it at oracle
+    * scale). */
+  val q39 = Q(
+    "q39_range_join",
+    "interval join: events within +/-5min of signups via bucket binning",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      val BucketUs = 300000000L // 5 minutes in microseconds
+      val signups = e.where(col("event_type") === "signup")
+        .select(col("event_id").as("s_id"), unix_micros(col("ts")).as("s_us"))
+        // `div` = exact integer division (Spark's `/` on longs is DOUBLE)
+        .withColumn("bucket", explode(expr(
+          s"sequence((s_us - ${BucketUs}L) div ${BucketUs}L, (s_us + ${BucketUs}L) div ${BucketUs}L)")))
+      val probes = e.select(col("event_id").as("e_id"), col("event_type"),
+          unix_micros(col("ts")).as("e_us"))
+        .withColumn("bucket", expr(s"e_us div ${BucketUs}L"))
+      signups.join(probes, "bucket")
+        .where(abs(col("e_us") - col("s_us")) <= BucketUs && col("e_id") =!= col("s_id"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("s_id")).as("n_signups"),
+          countDistinct(col("e_id")).as("n_events"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH s AS (
+        SELECT event_id AS s_id, ts AS s_ts FROM events WHERE event_type = 'signup')
+      SELECT e.event_type, count(*) AS n_pairs,
+        count(DISTINCT s.s_id) AS n_signups,
+        count(DISTINCT e.event_id) AS n_events
+      FROM s JOIN events e
+        ON e.ts BETWEEN s.s_ts - INTERVAL 5 MINUTE AND s.s_ts + INTERVAL 5 MINUTE
+        AND e.event_id <> s.s_id
+      GROUP BY e.event_type ORDER BY e.event_type"""))
+
+  val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
+    q25, q26, q29, q39)
 }

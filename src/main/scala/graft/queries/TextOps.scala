@@ -199,5 +199,72 @@ object TextOps {
       FROM documents ORDER BY doc_id"""
     })
 
-  val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35)
+  // -- q36: deterministic train/val/test split --------------------------
+
+  /** Hash-based corpus splitting — the standard training-data split
+    * device: assignment is a pure function of the stable document id
+    * (never of row order or partitioning), so the split is reproducible
+    * across runs, engines and cluster layouts, and new documents route
+    * without reshuffling old ones. At 100 TB this is a narrow
+    * map + one aggregation; no sampling state, no driver round-trips. */
+  val q36 = Q(
+    "q36_train_split",
+    "deterministic hash split train/val/test (90/5/5) per source",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("source"),
+          (h60(concat(lit("split:"), col("doc_id"))) % 100).as("b"))
+        .withColumn("split",
+          when(col("b") < 90, "train").when(col("b") < 95, "val").otherwise("test"))
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("source"), col("split")),
+    Some(s"""SELECT source, split, count(*) AS n_docs FROM (
+        SELECT source,
+          CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+        FROM (SELECT source, ${oH60("'split:' || CAST(doc_id AS VARCHAR)")} % 100 AS b
+              FROM documents))
+      GROUP BY source, split ORDER BY source, split"""))
+
+  // -- q37: TF-IDF distinctive terms ------------------------------------
+
+  /** TF-IDF over the token table: one explode + two hash aggregations
+    * (term frequency per doc, document frequency per term) and a
+    * broadcast-sized term-dim join. ln() agrees between JVM and DuckDB
+    * libm for these magnitudes; the score is rounded to 4dp before the
+    * top-k to keep the hash comparison stable. */
+  val q37 = Q(
+    "q37_tfidf_topk",
+    "top-15 distinctive terms by max TF-IDF across the corpus",
+    (s, dir) => {
+      val n = t(s, dir, "documents").count()
+      val tf = t(s, dir, "documents")
+        .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
+        .where(col("term") =!= "")
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      tf.join(df, "term")
+        .select(col("term"), col("doc_id"),
+          round(col("tf").cast("double") *
+            log(lit(n.toDouble) / col("df").cast("double")), 4).as("tfidf"))
+        .groupBy(col("term"))
+        .agg(max(col("tfidf")).as("max_tfidf"), count(lit(1)).as("n_docs"))
+        .orderBy(col("max_tfidf").desc, col("term"))
+        .limit(15)
+    },
+    Some("""WITH tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM (
+          SELECT doc_id, unnest(string_split_regex(trim(lower(text)), ' +')) AS term
+          FROM documents)
+        WHERE term <> '' GROUP BY doc_id, term),
+      df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents)
+      SELECT term, max(tfidf) AS max_tfidf, count(*) AS n_docs FROM (
+        SELECT tf.term, tf.doc_id,
+          round(CAST(tf AS DOUBLE) * ln(n.n / CAST(df AS DOUBLE)), 4) AS tfidf
+        FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
+      GROUP BY term ORDER BY max_tfidf DESC, term LIMIT 15"""))
+
+  val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37)
 }
