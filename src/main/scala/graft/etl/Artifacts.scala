@@ -78,9 +78,13 @@ object Artifacts {
   }
 
   /** Header + quote-all UTF-8 CSV, one file per artifact (these are
-    * end-of-pipeline reports; for bulk data keep parquet). */
+    * end-of-pipeline reports; for bulk data keep parquet).
+    * repartition(1), not coalesce(1): coalesce propagates the
+    * 1-partition constraint up through every narrow stage, serializing
+    * the whole render onto one core; the shuffle keeps the upstream
+    * projection parallel and only the final file write is one task. */
   def writeCsv(df: DataFrame, path: String): Unit =
-    df.coalesce(1).write
+    df.repartition(1).write
       .option("header", "true")
       .option("quoteAll", "true")
       // RFC-4180 doubled quotes ("" not \") — Spark's backslash-escape

@@ -37,14 +37,19 @@ object ConsolidateMain {
       case _ => "WARN"
     })
 
+    val t0 = System.nanoTime()
+    // localCheckpoint: the parsed sources feed normalize AND the raw
+    // side of the merge join — materialize the (expensive) multi-format
+    // parse once instead of re-running it per consumer.
     val raw = Sources.loadAll(spark,
       resolved.inputs("linkedin_csv").getOrElse(""),
       resolved.inputs("gmail_csv").getOrElse(""),
-      resolved.inputs("mac_vcf").getOrElse(""))
+      resolved.inputs("mac_vcf").getOrElse("")).localCheckpoint(true)
     val normalized = Pipeline.normalize(raw, resolved.normalization)
     val (merged, lineage) = Pipeline.dedupeAndMerge(normalized, raw, resolved.dedupe)
     Artifacts.writeConsolidated(merged, lineage, resolved.outputsDir)
-    println(s"consolidated ${merged.count()} contacts -> ${resolved.outputsDir}")
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(f"consolidated ${merged.count()} contacts -> ${resolved.outputsDir} in $secs%.2f s")
     spark.stop()
   }
 }
