@@ -234,8 +234,10 @@ object Pipeline {
     * min(self, neighbors), and only the QUOTIENT graph (distinct label
     * pairs across original edges) is collected. Duplicate-heavy corpora
     * produce near-clique components whose quotient is a handful of
-    * edges, so the driver never materializes the redundant bulk. */
-  val ContractionMinEdges = 50000L
+    * edges, so the driver never materializes the redundant bulk.
+    * Below this size a direct collect (~30 MB at the threshold) beats
+    * the contraction's two extra shuffles. */
+  val ContractionMinEdges = 1000000L
 
   /** Connected components over the accepted-pair edges.
     *
