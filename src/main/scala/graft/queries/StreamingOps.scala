@@ -170,5 +170,53 @@ object StreamingOps {
     out.result().iterator
   }
 
-  def all: Seq[Q] = Seq(q65, q66, q67)
+  /** Stream-stream interval join: every click in the 10 minutes before
+    * a purchase by the same user. Both sides carry watermarks — on a
+    * live stream that bounds the join state (each side buffers only
+    * rows inside watermark + interval); with `AvailableNow` over one
+    * parquet file the job is a single micro-batch, so no row is
+    * watermark-dropped and the result equals the batch join, which is
+    * what the oracle computes. Joined pairs append to the sink; the
+    * per-hour aggregate is a batch query over the sink table. */
+  val q68 = Q(
+    "q68_stream_join",
+    "stream-stream interval join: clicks within 10min before same-user purchase",
+    (s, dir) => {
+      val purchases = eventsStream(s, dir)
+        .where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val clicks = eventsStream(s, dir)
+        .where(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("c_id"),
+          col("ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val joined = purchases.join(clicks,
+        col("user_id") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("interval 10 minutes") &&
+          col("c_ts") <= col("p_ts"))
+        .select(col("p_id"), col("c_id"),
+          unix_micros(col("p_ts")).as("p_us"), unix_micros(col("c_ts")).as("c_us"))
+      runToTable(s, joined, "stream_join", OutputMode.Append())
+        .groupBy((col("p_us") - pmod(col("p_us"), lit(3600000000L))).as("hour_us"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("p_id")).as("n_purchases"),
+          countDistinct(col("c_id")).as("n_clicks"))
+        .orderBy(col("hour_us"))
+    },
+    Some("""WITH p AS (
+        SELECT user_id, event_id AS p_id, epoch_us(ts) AS p_us
+        FROM events WHERE event_type = 'purchase'),
+      c AS (
+        SELECT user_id, event_id AS c_id, epoch_us(ts) AS c_us
+        FROM events WHERE event_type = 'click')
+      SELECT p_us - (p_us % 3600000000) AS hour_us,
+        count(*) AS n_pairs,
+        count(DISTINCT p_id) AS n_purchases,
+        count(DISTINCT c_id) AS n_clicks
+      FROM p JOIN c ON p.user_id = c.user_id
+        AND c_us >= p_us - 600000000 AND c_us <= p_us
+      GROUP BY 1 ORDER BY hour_us"""))
+
+  def all: Seq[Q] = Seq(q65, q66, q67, q68)
 }
