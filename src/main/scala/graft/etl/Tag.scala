@@ -20,6 +20,14 @@ object Tag {
       localCities: Seq[String] = Seq(
         "braintree", "quincy", "weymouth", "dedham", "milton", "hingham"))
 
+  /** The tag CLI's no-config fallback city list
+    * (tag_contacts.py:19-31 DEFAULT_LOCAL_CITIES) — config.yaml trims
+    * it to the six in [[TagSettings]]; a bare `contacts-tag` run uses
+    * all eleven. */
+  val CliDefaultSettings: TagSettings = TagSettings(localCities = Seq(
+    "braintree", "quincy", "weymouth", "dedham", "milton", "hingham",
+    "needham", "brookline", "cambridge", "somerville", "boston"))
+
   val MartialRe = "tai\\s*chi|wu\\s*an|wu\\s*dao|kung\\s*fu|shaolin|martial\\s*arts"
   val NutcrackerRe = "nutcracker|\\bcherub(s)?\\b|jose\\s*mateo|ballet"
 

@@ -106,4 +106,54 @@ class ReferenceParitySpec extends AnyFunSuite {
   test("corpus 2: flattened parity") {
     assertParity("golden2_flattened_contacts.csv", artifacts2._3, Seq("contact_id"))
   }
+
+  // ---- stages 2-4 over the CSV interchange format --------------------
+  // The stage goldens were produced by running the reference's
+  // contacts-validate / contacts-confidence / contacts-tag CLIs on the
+  // golden consolidate artifacts, so these tests isolate stage-2-4
+  // parity (CSV re-parse, metric counters, detail-JSON rendering,
+  // confidence arithmetic, tagging, referral priority) from the
+  // consolidate stage already covered above.
+
+  private def stageOutputs(prefix: String, gmail: String, vcf: String) = {
+    import graft.etl.Stages
+    val contacts = Stages.readArtifactCsv(spark,
+      res(s"${prefix}consolidated_contacts.csv"))
+    val lineageDf = Stages.readArtifactCsv(spark,
+      res(s"${prefix}consolidated_lineage.csv"))
+    val flattened = Stages.readArtifactCsv(spark,
+      res(s"${prefix}flattened_contacts.csv"))
+    val (report, scored) = Stages.validate(contacts, flattened)
+    val (confReport, confSummary) = Stages.confidence(contacts, report, flattened)
+    val notes = Sources.gmailNotes(spark, res(gmail))
+      .unionByName(Sources.vcfNotes(spark, res(vcf)))
+    val (tagged, _) = Stages.tag(contacts, lineageDf, notes, confReport)
+    (report, scored, confReport, confSummary, tagged)
+  }
+
+  private lazy val stages1 = stageOutputs("golden_", "gmail.csv", "contacts.vcf")
+  private lazy val stages2 = stageOutputs("golden2_", "gmail2.csv", "vcf2.vcf")
+
+  test("stage 2 validate: validation_report + contact_quality_scored parity") {
+    assertParity("golden_validation_report.csv", collectRows(stages1._1), Seq("contact_id"))
+    assertParity("golden_contact_quality_scored.csv", collectRows(stages1._2), Seq("contact_id"))
+  }
+
+  test("stage 3 confidence: report + summary parity") {
+    assertParity("golden_confidence_report.csv", collectRows(stages1._3), Seq("contact_id"))
+    assertParity("golden_confidence_summary.csv", collectRows(stages1._4), Seq("bucket"))
+  }
+
+  test("stage 4 tag: tagged_contacts parity (referral_targets = same rows resorted)") {
+    assertParity("golden_tagged_contacts.csv", collectRows(stages1._5), Seq("contact_id"))
+    assertParity("golden_referral_targets.csv", collectRows(stages1._5), Seq("contact_id"))
+  }
+
+  test("corpus 2: stage 2-4 parity") {
+    assertParity("golden2_validation_report.csv", collectRows(stages2._1), Seq("contact_id"))
+    assertParity("golden2_contact_quality_scored.csv", collectRows(stages2._2), Seq("contact_id"))
+    assertParity("golden2_confidence_report.csv", collectRows(stages2._3), Seq("contact_id"))
+    assertParity("golden2_confidence_summary.csv", collectRows(stages2._4), Seq("bucket"))
+    assertParity("golden2_tagged_contacts.csv", collectRows(stages2._5), Seq("contact_id"))
+  }
 }
