@@ -305,11 +305,13 @@ object ValidateMain {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val spark = StageSession.session()
+    val t0 = System.nanoTime()
     val contacts = Stages.readArtifactCsv(spark, s"$dir/consolidated_contacts")
     val flattened = Stages.readArtifactCsv(spark, s"$dir/flattened_contacts")
     val (report, scored) = Stages.validate(contacts, flattened)
     Artifacts.writeCsv(report, s"$dir/validation_report")
     Artifacts.writeCsv(scored, s"$dir/contact_quality_scored")
+    println(f"validate stage in ${(System.nanoTime() - t0) / 1e9}%.2f s")
     val s = Score.validationSummary(
       scored.select(col("contact_id"),
         col("email_total").cast("int").as("email_total"),
@@ -329,9 +331,11 @@ object ConfidenceMain {
     val contacts = Stages.readArtifactCsv(spark, s"$dir/consolidated_contacts")
     val validation = Stages.readArtifactCsv(spark, s"$dir/validation_report")
     val flattened = Stages.readArtifactCsv(spark, s"$dir/flattened_contacts")
+    val t0 = System.nanoTime()
     val (report, summary) = Stages.confidence(contacts, validation, flattened)
     Artifacts.writeCsv(report, s"$dir/confidence_report")
     Artifacts.writeCsv(summary, s"$dir/confidence_summary")
+    println(f"confidence stage in ${(System.nanoTime() - t0) / 1e9}%.2f s")
     spark.stop()
   }
 }
@@ -348,9 +352,11 @@ object TagMain {
     val confidence = Stages.readArtifactCsv(spark, s"$dir/confidence_report")
     val notes = graft.sources.Sources.gmailNotes(spark, gmailCsv)
       .unionByName(graft.sources.Sources.vcfNotes(spark, macVcf))
+    val t0 = System.nanoTime()
     val (tagged, targets) = Stages.tag(contacts, lineage, notes, confidence)
     Artifacts.writeCsv(tagged, s"$dir/tagged_contacts")
     Artifacts.writeCsv(targets, s"$dir/referral_targets")
+    println(f"tag stage in ${(System.nanoTime() - t0) / 1e9}%.2f s")
     spark.stop()
   }
 }

@@ -20,13 +20,18 @@ object Tag {
       localCities: Seq[String] = Seq(
         "braintree", "quincy", "weymouth", "dedham", "milton", "hingham"))
 
-  /** The tag CLI's no-config fallback city list
-    * (tag_contacts.py:19-31 DEFAULT_LOCAL_CITIES) — config.yaml trims
-    * it to the six in [[TagSettings]]; a bare `contacts-tag` run uses
-    * all eleven. */
-  val CliDefaultSettings: TagSettings = TagSettings(localCities = Seq(
-    "braintree", "quincy", "weymouth", "dedham", "milton", "hingham",
-    "needham", "brookline", "cambridge", "somerville", "boston"))
+  /** The tag CLI's no-config fallback settings: EMPTY prior
+    * company/domain lists (config_loader.py:141 defaults — so a bare
+    * `contacts-tag` run never tags work_colleague) and the full
+    * eleven-city DEFAULT_LOCAL_CITIES (tag_contacts.py:19-31).
+    * config.yaml narrows the cities to the six in [[TagSettings]] and
+    * supplies the company/domain lists. */
+  val CliDefaultSettings: TagSettings = TagSettings(
+    priorCompanies = Nil,
+    priorDomains = Nil,
+    localCities = Seq(
+      "braintree", "quincy", "weymouth", "dedham", "milton", "hingham",
+      "needham", "brookline", "cambridge", "somerville", "boston"))
 
   val MartialRe = "tai\\s*chi|wu\\s*an|wu\\s*dao|kung\\s*fu|shaolin|martial\\s*arts"
   val NutcrackerRe = "nutcracker|\\bcherub(s)?\\b|jose\\s*mateo|ballet"
@@ -61,12 +66,15 @@ object Tag {
       col("company"), col("title"), col("linkedin_url"), col("notes_blob")))
     val companyLower = lower(trim(col("company")))
     val priorCompanyHit = s.priorCompanies
-      .map(p => companyLower.contains(p)).reduce(_ || _)
+      .map(p => companyLower.contains(p))
+      .foldLeft(lit(false))(_ || _) // empty list (CLI default) → never hits
     val domainOf = (e: Column) =>
       when(e.getField("value").contains("@"),
         lower(element_at(split(e.getField("value"), "@"), 2))).otherwise("")
-    val priorDomainHit = exists(col("emails"), e =>
-      s.priorDomains.map(d => domainOf(e).contains(d)).reduce(_ || _))
+    val priorDomainHit =
+      if (s.priorDomains.isEmpty) lit(false)
+      else exists(col("emails"), e =>
+        s.priorDomains.map(d => domainOf(e).contains(d)).reduce(_ || _))
     val cityMatch = (a: Column) => {
       val city = lower(trim(a.getField("city")))
       s.localCities.map(lc => city === lc || city.contains(lc)).reduce(_ || _)
