@@ -31,12 +31,17 @@ object StreamingOps {
   /** 30-minute session gap, in epoch micros. */
   private val GapUs = 30L * 60 * 1000000
 
+  private val schemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
   /** `readStream` over the events parquet with the batch-derived
-    * schema; nanos ts rebuilt to micros exactly like `Tables.load`. */
+    * schema (memoized per session+dir — q68 builds two streams);
+    * nanos ts rebuilt to micros exactly like `Tables.load`. */
   private def eventsStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$dir/events.parquet"
-    val schema = s.read.parquet(path).schema
+    val schema = schemaMemo.computeIfAbsent(
+      System.identityHashCode(s) + ":" + path, _ => s.read.parquet(path).schema)
     // The source path must be a glob: for a non-glob path the
     // file-stream source force-sets basePath to the path itself, which
     // then fails the "basePath must be a directory" check when the path
