@@ -209,7 +209,8 @@ object Pipeline {
     // Only the ambiguous remainder (norm-equal-but-not-lowercase-equal
     // names, channel overlaps without name alignment, nameless pairs)
     // pays MatchRec deserialization and the Ratcliff–Obershelp call.
-    val recs = slim.select(col("row_id"), struct(slim.columns.map(col): _*).as("rec"))
+    val recs = slim.select(col("row_id"),
+      struct(slim.columns.toIndexedSeq.map(col): _*).as("rec"))
     val scalaEdges = pairs.where(!nativeAccept && candidateFilter)
       .select(col("src"), col("dst"))
       .join(recs.select(col("row_id").as("src"), col("rec").as("a")), "src")

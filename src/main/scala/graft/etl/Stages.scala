@@ -244,7 +244,7 @@ object Stages {
           .when(col("confidence_score") >= 40, "medium")
           .otherwise("low"))
     val report = withScore.select(
-      (contacts.columns.map(col) :+ col("confidence_score") :+
+      (contacts.columns.toIndexedSeq.map(col) :+ col("confidence_score") :+
         col("confidence_bucket")): _*)
     // Fixed bucket order incl. zero-count rows; half-even (bround)
     // pcts match pandas' numpy rounding (confidence_report.py:239-262).
@@ -289,7 +289,7 @@ object Stages {
       .withColumnRenamed("emails_csv", "emails")
       .withColumnRenamed("referral_priority", "referral_priority_score")
     val out = tagged.select(
-      (contacts.columns.map(col) :+ col("confidence_score") :+
+      (contacts.columns.toIndexedSeq.map(col) :+ col("confidence_score") :+
         col("tags") :+ col("relationship_category") :+
         col("notes_blob") :+ col("referral_priority_score")): _*)
     val targets = out.orderBy(col("referral_priority_score").desc,

@@ -108,7 +108,7 @@ object Names {
     }
 
     for (part <- parts) {
-      var tokens = ListBuffer(part.split("\\s+").filter(_.nonEmpty): _*)
+      var tokens = ListBuffer(part.split("\\s+").filter(_.nonEmpty).toIndexedSeq: _*)
       // consume leading prefix tokens
       val consumed = ListBuffer.empty[String]
       while (tokens.nonEmpty && namePrefixes.contains(normToken(tokens.head))) {

@@ -31,7 +31,7 @@ object ContactOps {
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.Dataset[Contact]]()
 
   private def normalized(s: SparkSession, dir: String) =
-    normMemo.computeIfAbsent(System.identityHashCode(s) + ":" + dir,
+    normMemo.computeIfAbsent(s"${System.identityHashCode(s)}:$dir",
       _ => Pipeline.normalize(Synth.contacts(s, dir)).localCheckpoint(true))
 
   // -- q40: name grammar ------------------------------------------------
@@ -178,8 +178,8 @@ object ContactOps {
         .withColumn("phone_val",
           when(phoneValidCol(e164Col(col("phone_raw"))), e164Col(col("phone_raw")))
             .otherwise(trim(col("phone_raw"))))
-      val a = withNorm.select(withNorm.columns.map(c => col(c).as(s"a_$c")): _*)
-      val b = withNorm.select(withNorm.columns.map(c => col(c).as(s"b_$c")): _*)
+      val a = withNorm.select(withNorm.columns.toIndexedSeq.map(c => col(c).as(s"a_$c")): _*)
+      val b = withNorm.select(withNorm.columns.toIndexedSeq.map(c => col(c).as(s"b_$c")): _*)
       val sim = lit(1.0) - levenshtein(lower(col("a_first_name")), lower(col("b_first_name")))
         .cast("double") / greatest(length(col("a_first_name")), length(col("b_first_name")))
         .cast("double")
@@ -304,8 +304,8 @@ object ContactOps {
           when(phoneValidCol(e164Col(col("phone_raw"))), e164Col(col("phone_raw")))
             .otherwise(trim(col("phone_raw"))))
         .localCheckpoint(true)
-      val a = withNorm.select(withNorm.columns.map(c => col(c).as(s"a_$c")): _*)
-      val b = withNorm.select(withNorm.columns.map(c => col(c).as(s"b_$c")): _*)
+      val a = withNorm.select(withNorm.columns.toIndexedSeq.map(c => col(c).as(s"a_$c")): _*)
+      val b = withNorm.select(withNorm.columns.toIndexedSeq.map(c => col(c).as(s"b_$c")): _*)
       val sim = lit(1.0) - levenshtein(lower(col("a_first_name")), lower(col("b_first_name")))
         .cast("double") / greatest(length(col("a_first_name")), length(col("b_first_name")))
         .cast("double")
