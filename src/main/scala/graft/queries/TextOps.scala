@@ -266,5 +266,52 @@ object TextOps {
         FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
       GROUP BY term ORDER BY max_tfidf DESC, term LIMIT 15"""))
 
-  val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37)
+  // -- q38: winnowing fingerprints --------------------------------------
+
+  /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03 —
+    * the MOSS scheme): hash every positional character 5-gram, then
+    * select the minimum hash in each sliding window of 4 consecutive
+    * positions; the distinct selected hashes are the document's
+    * fingerprint set, robust to insertions/reordering where the exact
+    * md5 fingerprint (q33) is not. Spark-first form: one positional
+    * explode (codegen) and one frame-window `min` per doc — a single
+    * shuffle on doc_id; fingerprints are fixed-width longs so the
+    * shuffle payload is bounded at any corpus size. */
+  val q38 = Q(
+    "q38_winnowing",
+    "winnowing fingerprint set sizes: min-hash per 4-window over 5-gram hashes",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val norm = lower(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""))
+      val grams = t(s, dir, "documents")
+        .select(col("doc_id"), norm.as("t"))
+        .where(length(col("t")) >= 5)
+        .select(col("doc_id"), posexplode(transform(
+          sequence(lit(1), length(col("t")) - 4),
+          i => col("t").substr(i, lit(5)))))
+        .select(col("doc_id"), col("pos"), h60(col("col")).as("h"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(Window.currentRow, 3)
+      grams
+        .select(col("doc_id"), min(col("h")).over(w).as("fp"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_windows"),
+          countDistinct(col("fp")).as("n_fingerprints"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH g AS (
+        SELECT doc_id, i AS pos, ${oH60("substring(t, i, 5)")} AS h
+        FROM (SELECT doc_id, lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS t
+              FROM documents)
+        CROSS JOIN unnest(range(1, length(t) - 3)) AS r(i)
+        WHERE length(t) >= 5)
+      SELECT doc_id, count(*) AS n_windows,
+        count(DISTINCT fp) AS n_fingerprints
+      FROM (
+        SELECT doc_id, min(h) OVER (PARTITION BY doc_id ORDER BY pos
+          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        FROM g)
+      GROUP BY doc_id ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38)
 }
