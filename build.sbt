@@ -12,6 +12,9 @@ libraryDependencies ++= Seq(
 scalacOptions ++= Seq("-deprecation")
 Test / fork := true
 run / fork := true
+// Forked run output goes straight to stdout, no "[info] " prefixes —
+// the driver parses Bench's JSON line from raw stdout.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
