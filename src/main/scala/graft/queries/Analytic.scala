@@ -362,6 +362,44 @@ object Analytic {
         AND e.event_id <> s.s_id
       GROUP BY e.event_type ORDER BY e.event_type"""))
 
+  // -- q70: RANGE-frame window (value-based, not row-based) -------------
+
+  /** Moving 30-day revenue per customer: a RANGE frame over epoch-day
+    * order, so the window is defined by VALUE distance (all orders
+    * within the 30 days before each order), not a fixed row count —
+    * the frame kind q16's running sum (ROWS) cannot express. Numeric
+    * epoch-day ordering keeps Spark's rangeBetween and DuckDB's RANGE
+    * frame bit-identical; sums are exact decimal. One shuffle on the
+    * partition key. */
+  val q70 = Q(
+    "q70_range_frame_window",
+    "30-day moving revenue per customer via RANGE window frame",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+        .rangeBetween(-30, 0)
+      t(s, dir, "orders")
+        .where(col("o_custkey") < 20)
+        .select(col("o_custkey"), col("o_orderkey"),
+          datediff(col("o_orderdate"), lit("1990-01-01").cast("date")).as("day"),
+          money(col("o_totalprice")).as("price"))
+        .withColumn("moving_30d",
+          round(sum(col("price")).over(w).cast("double"), 2))
+        .select(col("o_custkey"), col("o_orderkey"), col("day"),
+          round(col("price").cast("double"), 2).as("o_totalprice"),
+          col("moving_30d"))
+        .orderBy(col("o_custkey"), col("day"), col("o_orderkey"))
+    },
+    Some("""SELECT o_custkey, o_orderkey, day,
+        round(CAST(price AS DOUBLE), 2) AS o_totalprice,
+        round(CAST(sum(price) OVER (PARTITION BY o_custkey ORDER BY day
+          RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS moving_30d
+      FROM (
+        SELECT o_custkey, o_orderkey,
+          datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS day,
+          CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        FROM orders WHERE o_custkey < 20)
+      ORDER BY o_custkey, day, o_orderkey"""))
+
   val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q29, q39)
+    q25, q26, q29, q39, q70)
 }
