@@ -154,6 +154,65 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("acceptedPairs closure matches brute force on random corpora") {
+    import spark.implicits._
+    val firsts = Seq("Bob", "Robert", "BOB", "Liz", "Elizabeth", "Bill",
+      "William", "José", "Jose", "Carol", "")
+    val lasts = Seq("Smith", "Jones", "O'Neil", "")
+    val suffixes = Seq("", "", "Jr", "Sr")
+    val sources = Seq("gmail", "linkedin", "mac_vcf")
+    val emails = Seq("", "", "a@x.com", "b@x.com", "c@y.org")
+    val phones = Seq("", "", "+16175550100", "+16175550101")
+    val urls = Seq("", "", "https://linkedin.com/in/p1", "https://linkedin.com/in/p2")
+    def corpus(seed: Int): Seq[Contact] = {
+      val rnd = new scala.util.Random(seed)
+      def pick[A](xs: Seq[A]) = xs(rnd.nextInt(xs.length))
+      (0 until 20).map { i =>
+        Contact.blank(i.toLong).copy(
+          source = pick(sources), source_row_id = i.toString,
+          first_name = pick(firsts), last_name = pick(lasts),
+          suffix = pick(suffixes),
+          nickname = if (rnd.nextInt(4) == 0) pick(firsts) else "",
+          linkedin_url = pick(urls),
+          emails = Seq(pick(emails)).filter(_.nonEmpty)
+            .map(EmailEntry(_, pick(Seq("", "home", "work")))),
+          phones = Seq(pick(phones)).filter(_.nonEmpty)
+            .map(PhoneEntry(_, "", "")),
+          addresses = if (rnd.nextInt(3) == 0)
+            Seq(AddressEntry("", "", "1 Elm St", "Boston", "MA", "02108", "US", "home"))
+          else Nil)
+      }
+    }
+    def closure(vertices: Seq[Long], edges: Set[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long =
+        if (parent.getOrElse(x, x) == x) x
+        else { val r = find(parent(x)); parent(x) = r; r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      vertices.map(v => v -> find(v)).toMap
+    }
+    val cases = (1 to 6).map(s => (s, ContactLogic.DedupeConfig())) ++ Seq(
+      (7, ContactLogic.DedupeConfig(relaxedMergeThreshold = 0.8)),
+      (8, ContactLogic.DedupeConfig(requireCorroborator = true)))
+    for ((seed, cfg) <- cases) {
+      val norm = Pipeline.normalize(corpus(seed).toDS()).collect().toSeq
+      val recs = norm.map(ContactLogic.toMatchRec)
+      val expected = (for {
+        a <- recs; b <- recs
+        if a.row_id < b.row_id && a.block == b.block
+        if ContactLogic.shouldMerge(a, b, cfg)
+      } yield (a.row_id, b.row_id)).toSet
+      val got = Pipeline.acceptedPairs(norm.toDS(), cfg).collect()
+        .map(e => (e.src, e.dst)).toSet
+      val ids = recs.map(_.row_id)
+      assert(got.subsetOf(expected), s"seed=$seed unsound ${got -- expected} cfg=$cfg")
+      assert(closure(ids, got) == closure(ids, expected), s"seed=$seed cfg=$cfg")
+    }
+  }
+
   test("flatten projects first valid channel per label bucket") {
     import spark.implicits._
     val m = MergedContact(
