@@ -17,6 +17,15 @@ import org.apache.spark.sql.types._
   */
 object Stages {
 
+  /** Resolve an artifact written either by this engine (a directory of
+    * part files) or by the reference (a plain `<name>.csv`) — the
+    * stage CLIs accept both, so any single stage can be swapped
+    * between the two implementations. */
+  def artifactPath(dir: String, name: String): String = {
+    val d = new java.io.File(dir, name)
+    if (d.exists) d.getPath else s"$dir/$name.csv"
+  }
+
   /** All-string artifact read matching the reference's
     * `dtype=str, keep_default_na=False` (QUOTE_ALL, RFC-4180 quotes). */
   def readArtifactCsv(spark: SparkSession, path: String): DataFrame = {
@@ -306,8 +315,8 @@ object ValidateMain {
     val dir = args(0)
     val spark = StageSession.session()
     val t0 = System.nanoTime()
-    val contacts = Stages.readArtifactCsv(spark, s"$dir/consolidated_contacts")
-    val flattened = Stages.readArtifactCsv(spark, s"$dir/flattened_contacts")
+    val contacts = Stages.readArtifactCsv(spark, Stages.artifactPath(dir, "consolidated_contacts"))
+    val flattened = Stages.readArtifactCsv(spark, Stages.artifactPath(dir, "flattened_contacts"))
     val (report, scored) = Stages.validate(contacts, flattened)
     Artifacts.writeCsv(report, s"$dir/validation_report")
     Artifacts.writeCsv(scored, s"$dir/contact_quality_scored")
@@ -328,9 +337,9 @@ object ConfidenceMain {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val spark = StageSession.session()
-    val contacts = Stages.readArtifactCsv(spark, s"$dir/consolidated_contacts")
-    val validation = Stages.readArtifactCsv(spark, s"$dir/validation_report")
-    val flattened = Stages.readArtifactCsv(spark, s"$dir/flattened_contacts")
+    val contacts = Stages.readArtifactCsv(spark, Stages.artifactPath(dir, "consolidated_contacts"))
+    val validation = Stages.readArtifactCsv(spark, Stages.artifactPath(dir, "validation_report"))
+    val flattened = Stages.readArtifactCsv(spark, Stages.artifactPath(dir, "flattened_contacts"))
     val t0 = System.nanoTime()
     val (report, summary) = Stages.confidence(contacts, validation, flattened)
     Artifacts.writeCsv(report, s"$dir/confidence_report")
@@ -346,14 +355,20 @@ object ConfidenceMain {
 object TagMain {
   def main(args: Array[String]): Unit = {
     val Array(dir, gmailCsv, macVcf) = args.take(3)
+    // With a yaml config the tagging lists resolve like the reference's
+    // --config path (config.yaml semantics); without one the reference
+    // CLI's no-config defaults apply (Tag.CliDefaultSettings).
+    val settings = StageSession.yaml(args.lift(3))
+      .map(y => Config.load(Config.Cli(), Some(y)).tagging)
+      .getOrElse(Tag.CliDefaultSettings)
     val spark = StageSession.session()
-    val contacts = Stages.readArtifactCsv(spark, s"$dir/consolidated_contacts")
-    val lineage = Stages.readArtifactCsv(spark, s"$dir/consolidated_lineage")
-    val confidence = Stages.readArtifactCsv(spark, s"$dir/confidence_report")
+    val contacts = Stages.readArtifactCsv(spark, Stages.artifactPath(dir, "consolidated_contacts"))
+    val lineage = Stages.readArtifactCsv(spark, Stages.artifactPath(dir, "consolidated_lineage"))
+    val confidence = Stages.readArtifactCsv(spark, Stages.artifactPath(dir, "confidence_report"))
     val notes = graft.sources.Sources.gmailNotes(spark, gmailCsv)
       .unionByName(graft.sources.Sources.vcfNotes(spark, macVcf))
     val t0 = System.nanoTime()
-    val (tagged, targets) = Stages.tag(contacts, lineage, notes, confidence)
+    val (tagged, targets) = Stages.tag(contacts, lineage, notes, confidence, settings)
     Artifacts.writeCsv(tagged, s"$dir/tagged_contacts")
     Artifacts.writeCsv(targets, s"$dir/referral_targets")
     println(f"tag stage in ${(System.nanoTime() - t0) / 1e9}%.2f s")
@@ -362,6 +377,9 @@ object TagMain {
 }
 
 private[etl] object StageSession {
+  def yaml(path: Option[String]): Option[String] = path.filter(_.nonEmpty).map(p =>
+    new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8"))
+
   def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val s = SparkSession.builder()
