@@ -53,11 +53,27 @@ object StreamingOps {
     else df
   }
 
+  /** Stateful-stream shuffle width: every micro-batch commits one
+    * state-store delta file PER partition PER stateful operator (a
+    * stream-stream join keeps four stores per partition), so the batch
+    * session's CPU-count default multiplies small-file I/O without
+    * adding useful parallelism at this state volume. A live deployment
+    * sizes the streaming shuffle independently of the batch one. */
+  private val StreamPartitions = "8"
+
+  /** Run `f` with the streaming shuffle width, restoring the session
+    * conf afterwards (picked up when the streaming query STARTS). */
+  private def withStreamPartitions[A](s: SparkSession)(f: => A): A = {
+    val old = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", StreamPartitions)
+    try f finally s.conf.set("spark.sql.shuffle.partitions", old)
+  }
+
   /** Run a streaming DF to completion into a memory sink; return the
     * sink table. Query names are dropped first so reruns in one
     * session (Bench warm loops) don't collide. */
   private def runToTable(s: SparkSession, df: DataFrame, name: String,
-      mode: OutputMode): DataFrame = {
+      mode: OutputMode): DataFrame = withStreamPartitions(s) {
     s.catalog.dropTempView(name)
     val q = df.writeStream.format("memory").queryName(name)
       .outputMode(mode).trigger(Trigger.AvailableNow()).start()
@@ -122,13 +138,15 @@ object StreamingOps {
         .flatMapGroupsWithState(
           OutputMode.Update(), GroupStateTimeout.NoTimeout)(sessionize)
       val buf = new scala.collection.mutable.ArrayBuffer[SessionOut]
-      val q = sessions.writeStream
-        .outputMode(OutputMode.Update())
-        .foreachBatch { (batch: Dataset[SessionOut], _: Long) =>
-          buf.synchronized { buf ++= batch.collect() }; ()
-        }
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withStreamPartitions(s) {
+        val q = sessions.writeStream
+          .outputMode(OutputMode.Update())
+          .foreachBatch { (batch: Dataset[SessionOut], _: Long) =>
+            buf.synchronized { buf ++= batch.collect() }; ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       s.createDataFrame(buf.toSeq)
         .orderBy(col("user_id"), col("start_us"))
     },
