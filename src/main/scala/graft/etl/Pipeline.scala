@@ -410,6 +410,32 @@ object Pipeline {
     (out, lineage)
   }
 
+  /** Merged contacts WITHOUT lineage: the merged record derives
+    * entirely from the normalized members (raw records are consulted
+    * only for lineage's source_*_raw rendering — ContactLogic
+    * .mergeCluster:119-120), so a consumer that discards lineage can
+    * skip the raw-side join and half the Contact deserialization. */
+  def dedupeContacts(normalized: Dataset[Contact],
+      cfg: ContactLogic.DedupeConfig = ContactLogic.DedupeConfig())
+      : Dataset[MergedContact] = {
+    val spark = normalized.sparkSession
+    import spark.implicits._
+    val normPersisted = normalized.queryExecution.logical match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => normalized
+      case _ => normalized.localCheckpoint(true)
+    }
+    val edges = acceptedPairs(normPersisted, cfg)
+    val comps = connectedComponents(
+      normPersisted.select(col("row_id").as[java.lang.Long]), edges)
+      .as[(Long, Long)]
+    normPersisted.joinWith(comps, normPersisted("row_id") === comps("id"))
+      .groupByKey(_._2._2)
+      .mapGroups { (_, it) =>
+        val members = it.map(_._1).toSeq.sortBy(_.row_id).map(c => (c, c))
+        ContactLogic.mergeCluster(members)._1
+      }
+  }
+
   /** Flattened projection (combine_contacts.py:1457-1514): first
     * email/phone with a non-empty, non-"invalid" label per {home, work,
     * other} bucket, first labeled address rendered as "street, city,

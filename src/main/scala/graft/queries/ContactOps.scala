@@ -444,9 +444,8 @@ object ContactOps {
     "block -> self-join -> R-O merge rule -> connected components -> cluster merge",
     (s, dir) => {
       import s.implicits._
-      val raw = Synth.contacts(s, dir)
       val norm = normalized(s, dir)
-      val (merged, _) = Pipeline.dedupeAndMerge(norm, raw)
+      val merged = Pipeline.dedupeContacts(norm)
       merged.map(m => (m.contact_id, m.contact.full_name, m.contact.company,
           m.source_count, m.source_row_count,
           m.contact.emails.size, m.contact.phones.size, m.contact.addresses.size))
