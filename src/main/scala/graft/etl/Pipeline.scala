@@ -8,19 +8,25 @@ import org.apache.spark.storage.StorageLevel
   * combine_contacts.py:1429-1529, re-expressed as Spark shapes):
   *
   *   normalize   narrow typed map — no shuffle
-  *   block+pairs self equi-join on block key — ONE shuffle on the key;
-  *               AQE splits skewed blocks (giant surname buckets)
-  *   decide      column-free pure predicate per pair — pipelined
-  *   components  iterative min-label propagation over the accepted-pair
-  *               edge list until fixpoint (O(log n) rounds; edges are
-  *               tiny relative to input)
+  *   cliques     exact-name groups become O(m) spanning chains and are
+  *               excluded from pairwise work (threshold-aware)
+  *   block+pairs inverted-index equi-join on (block, keytype, key) —
+  *               candidate volume tracks true key overlap, never the
+  *               O(b²) block scan; AQE splits skewed key groups
+  *   decide      threshold-aware codegen fast-accept for the dominant
+  *               pair classes; only the ambiguous remainder pays Scala
+  *               deserialization for Ratcliff–Obershelp
+  *   components  ≤1M edges: direct driver union-find; 1M-5M: one
+  *               distributed hook round, union-find on the quotient
+  *               graph; beyond: distributed min-label propagation to
+  *               fixpoint
   *   merge       groupByKey(component).mapGroups — ONE shuffle; cluster
   *               sizes are bounded by duplicate multiplicity, so the
   *               per-group fold is O(dups) not O(n)
   *
-  * At 100 TB the only quadratic danger is a degenerate block; the
-  * blocking-key design (surname) plus AQE skew splitting keeps pair
-  * generation proportional to Σb² with small b.
+  * At 100 TB the only quadratic danger is a degenerate key group; the
+  * blocking-key design (surname) + clique collapse + AQE skew
+  * splitting keep pair generation proportional to true overlap.
   */
 object Pipeline {
 
