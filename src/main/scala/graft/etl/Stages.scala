@@ -90,6 +90,8 @@ object Stages {
       case '\n' => b.append("\\n")
       case '\r' => b.append("\\r")
       case '\t' => b.append("\\t")
+      case '\b' => b.append("\\b")
+      case '\f' => b.append("\\f")
       case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
       case c => b.append(c)
     }

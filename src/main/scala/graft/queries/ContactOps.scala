@@ -31,7 +31,10 @@ object ContactOps {
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.Dataset[Contact]]()
 
   private def normalized(s: SparkSession, dir: String) =
-    normMemo.computeIfAbsent(s"${System.identityHashCode(s)}:$dir",
+    // Keyed on sessionUUID (stable + unique), not identityHashCode: an
+    // identity hash can be reused by a new session after the old one is
+    // GC'd, which would hand it a Dataset bound to a dead session.
+    normMemo.computeIfAbsent(s"${sessionKey(s)}:$dir",
       _ => Pipeline.normalize(Synth.contacts(s, dir)).localCheckpoint(true))
 
   // -- q40: name grammar ------------------------------------------------
@@ -340,13 +343,21 @@ object ContactOps {
       // reference-fidelity path (Pipeline.acceptedPairs).
       val cqKey = concat_ws("\u0001", lower(col("last_name")),
         lower(col("first_name")), lower(col("suffix")))
+      // Clique chains only for rows with a core name: an empty
+      // first+last would chain unrelated rows into one component while
+      // the oracle's pairwise rule rejects them (levenshtein sim is
+      // NULL on empty names). Unnamed rows get a unique clique id so
+      // they still flow through the pairwise path (mirrors the coreRow
+      // guard in Pipeline.acceptedPairs).
+      val named = col("first_name") =!= "" && col("last_name") =!= ""
+      val cqCol = when(named, cqKey).otherwise(concat(lit("__"), col("k")))
       val w = org.apache.spark.sql.expressions.Window.partitionBy(cqKey)
-      val chains = withNorm
+      val chains = withNorm.where(named)
         .select(col("k"), min(col("k")).over(w).as("root"))
         .where(col("k") =!= col("root"))
         .select(col("root").as("src"), col("k").as("dst")).as[Pipeline.Edge]
       val kk = withNorm.select(col("k"), lower(col("last_name")).as("blk"),
-          cqKey.as("cq"),
+          cqCol.as("cq"),
           explode(array(
             concat(lit("n:"), lower(col("first_name"))),
             when(col("email_val") =!= "", concat(lit("e:"), col("email_val"))),

@@ -41,7 +41,7 @@ object StreamingOps {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$dir/events.parquet"
     val schema = schemaMemo.computeIfAbsent(
-      s"${System.identityHashCode(s)}:$path", _ => s.read.parquet(path).schema)
+      s"${sessionKey(s)}:$path", _ => s.read.parquet(path).schema)
     // The source path must be a glob: for a non-glob path the
     // file-stream source force-sets basePath to the path itself, which
     // then fails the "basePath must be a directory" check when the path

@@ -15,6 +15,17 @@ import org.apache.spark.sql.types.DecimalType
   *   - every query output is totally ordered.
   */
 package object queries {
+  /** Stable unique per-session memo key (JVM-lifetime unique), unlike
+    * System.identityHashCode which can be reused by a new session after
+    * a stopped one is GC'd — a reused hash would hand the new session a
+    * Dataset bound to the dead one. Weak keys: the map itself never
+    * pins a stopped session. */
+  private val sessionIds = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
+
+  def sessionKey(s: SparkSession): String =
+    sessionIds.computeIfAbsent(s, _ => java.util.UUID.randomUUID().toString)
+
   /** Exact 2-dp decimal view of a stored-as-double money/qty column. */
   def money(c: Column): Column = c.cast(DecimalType(18, 2))
 

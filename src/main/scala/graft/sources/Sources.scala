@@ -34,6 +34,9 @@ object Sources {
   private def readFiles(spark: SparkSession, path: String, rowBase: Long)(
       parse: String => Seq[Contact]): Dataset[Contact] = {
     import spark.implicits._
+    // "" is the documented no-source sentinel (TagMain/ConsolidateMain);
+    // hadoop Path would throw on it, so treat it as absent outright.
+    if (path == null || path.trim.isEmpty) return spark.emptyDataset[Contact]
     // Resolve the filesystem FROM the path, not the default FS: a
     // scheme-qualified path (s3://, hdfs://) on a cluster whose default
     // FS differs would otherwise always report missing.
@@ -303,6 +306,10 @@ object Sources {
   private def notesDf(spark: SparkSession, path: String, source: String)(
       parse: String => Seq[String]): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
+    // "" is the documented no-source sentinel (TagMain); hadoop Path
+    // would throw on it, so treat it as absent outright.
+    if (path == null || path.trim.isEmpty)
+      return Seq.empty[(String, String, String)].toDF("source", "source_row_id", "note")
     // Resolve the filesystem FROM the path, not the default FS: a
     // scheme-qualified path (s3://, hdfs://) on a cluster whose default
     // FS differs would otherwise always report missing.
