@@ -450,6 +450,181 @@ object ContactOps {
 
   // -- q45: full dedupe + cluster merge (reference-fidelity path) -------
 
+  /** Embedded Ratcliff–Obershelp similarity table over Synth's bounded
+    * first-name vocabulary. The merge rule's only non-SQL primitive is
+    * difflib-ratio similarity between first names; on this corpus every
+    * compared first name is one of [[Synth.Firsts]] (code constants,
+    * not data), so the full 16×16 ratio table is a fixed 120-row VALUES
+    * list the oracle can join. Values come from the SAME
+    * [[graft.functions.Similarity.seqRatio]] the engine executes
+    * (difflib-parity pinned by FunctionsSpec), rendered shortest-
+    * round-trip so DuckDB parses bit-identical doubles. */
+  private def simTabSql: String = {
+    val names = Synth.Firsts.map(_.toLowerCase)
+    val rows = for { a <- names; b <- names if a < b }
+      yield s"('$a','$b',CAST(${graft.functions.Similarity.seqRatio(a, b)} AS DOUBLE))"
+    s"simtab(sa, sb, sim) AS (SELECT * FROM (VALUES ${rows.mkString(", ")}))"
+  }
+
+  /** DuckDB replica of the reference-fidelity dedupe+merge (the q45
+    * dataflow) on the Synth corpus. Synth-specific exact reductions,
+    * each verified against the engine's own semantics:
+    *   - every row has a core name, so the nameless-corroborator gate
+    *     never fires and blocks are exactly the (canonical) last name;
+    *   - nickname equivalence is an identity no-op (all 16 Firsts have
+    *     distinct nickname roots) and the max off-diagonal seqRatio is
+    *     0.571 < 0.88, so the relaxed path and the name-vote fuzzy
+    *     merge (≥0.9) fire only on exact-equal lowercase firsts;
+    *   - choose_best_first_name reduces to: per member weight
+    *     (linkedin→2 else 1) + 1.5 if it carries a valid email (the
+    *     email-local guess always equals the member's own first name),
+    *     argmax by weight then first appearance; the kept-invalid
+    *     email's guess key ("invalid email") is never explicit and
+    *     never fuzzy-merges, so it cannot win;
+    *   - _choose_by_priority = first strictly-best non-empty value,
+    *     i.e. ORDER BY ts DESC NULLS LAST, priority DESC, position.
+    * The closure uses 16 chained min-label rounds (component label
+    * radius at sf0.01 is ≤ 7; 16 gives slack). */
+  private def q45OracleSql: String = {
+    val steps = (1 to 16).map { i =>
+      s"""l$i AS MATERIALIZED (
+        SELECT v.k, least(v.lab, coalesce(min(n.lab), v.lab)) AS lab
+        FROM l${i - 1} v
+        LEFT JOIN sym e ON e.ea = v.k
+        LEFT JOIN l${i - 1} n ON n.k = e.eb
+        GROUP BY v.k, v.lab)"""
+    }.mkString(",\n      ")
+    // _choose_by_priority (combine_contacts.py:264-277): first
+    // strictly-best non-empty value in cluster order.
+    def byPriority(colName: String, alias: String): String =
+      s"""sel_$alias AS (
+        SELECT comp, $colName AS $alias FROM (
+          SELECT comp, $colName, row_number() OVER (PARTITION BY comp
+            ORDER BY dt DESC NULLS LAST, prio DESC, pos) AS rn
+          FROM mm WHERE $colName <> '') WHERE rn = 1)"""
+    s"""WITH ${Synth.sqlNormCte},
+      $simTabSql,
+      mem AS (
+        SELECT k, source, linkedin_url, company, title, prefix, suffix,
+          first AS fname, last AS lname,
+          CASE WHEN email_norm <> '' THEN email_norm
+               WHEN trim(email_raw) <> '' THEN trim(email_raw)
+               ELSE '' END AS em_out,
+          email_norm,
+          CASE WHEN trim(phone_raw) = '' THEN ''
+               WHEN phone_e164 LIKE '+%' AND length(phone_digits) >= 11 THEN phone_e164
+               ELSE trim(phone_raw) END AS ph_out,
+          has_addr, street, city, state_norm, postal, addr_label,
+          CASE WHEN source = 'linkedin' THEN 3 WHEN source = 'mac_vcf' THEN 2
+               WHEN source = 'gmail' THEN 1 ELSE 0 END AS prio,
+          TRY_CAST(nullif(source_timestamp, '') AS DATE) AS dt
+        FROM scontact),
+      pairs AS (
+        SELECT a.k AS src, b.k AS dst,
+          CASE WHEN lower(a.fname) = lower(b.fname) THEN CAST(1.0 AS DOUBLE)
+               ELSE coalesce(st.sim, CAST(0.0 AS DOUBLE)) END AS sim,
+          a.em_out <> '' AND a.em_out = b.em_out AS email_ov,
+          a.ph_out <> '' AND a.ph_out = b.ph_out AS phone_ov,
+          a.has_addr AND b.has_addr AND a.city = b.city
+            AND a.state_norm = b.state_norm AND a.postal = b.postal AS addr_ov,
+          a.linkedin_url <> '' AND a.linkedin_url = b.linkedin_url AS li_eq,
+          a.suffix <> '' AND lower(a.suffix) = lower(b.suffix) AS suffix_eq,
+          lower(a.fname) = lower(b.fname) AS names_align,
+          lower(a.suffix) = lower(b.suffix) AS gen_eq,
+          a.source = 'linkedin' OR b.source = 'linkedin' AS has_li_src
+        FROM mem a JOIN mem b ON a.lname = b.lname AND a.k < b.k
+        LEFT JOIN simtab st ON st.sa = least(lower(a.fname), lower(b.fname))
+          AND st.sb = greatest(lower(a.fname), lower(b.fname))),
+      edges AS (
+        SELECT src, dst FROM (
+          SELECT *,
+            0.7 * sim + CASE WHEN suffix_eq THEN 0.1 ELSE 0.0 END
+              + CASE WHEN email_ov THEN 1.0 ELSE 0.0 END
+              + CASE WHEN phone_ov THEN 1.0 ELSE 0.0 END
+              + CASE WHEN addr_ov THEN 0.5 ELSE 0.0 END
+              + CASE WHEN li_eq THEN 0.8 ELSE 0.0 END AS score
+          FROM pairs)
+        WHERE (score >= 1.2 OR (sim >= 0.88 AND score >= 0.6))
+          AND (names_align OR email_ov OR li_eq)
+          AND (NOT has_li_src OR email_ov OR (names_align AND gen_eq))),
+      sym AS MATERIALIZED (
+        SELECT src AS ea, dst AS eb FROM edges
+        UNION ALL SELECT dst AS ea, src AS eb FROM edges),
+      l0 AS MATERIALIZED (SELECT k, k AS lab FROM mem),
+      $steps,
+      mm AS MATERIALIZED (
+        SELECT m.*, l16.lab AS comp,
+          row_number() OVER (PARTITION BY l16.lab ORDER BY m.k) AS pos
+        FROM mem m JOIN l16 ON l16.k = m.k),
+      ${byPriority("prefix", "prefix")},
+      ${byPriority("suffix", "suffix")},
+      ${byPriority("company", "company")},
+      ${byPriority("title", "title")},
+      ${byPriority("linkedin_url", "linkedin_url")},
+      firstvote AS (
+        SELECT comp, fname,
+          sum(CASE WHEN source = 'linkedin' THEN 2.0 ELSE 1.0 END
+            + CASE WHEN email_norm <> '' THEN 1.5 ELSE 0.0 END) AS w,
+          min(pos) AS fp
+        FROM mm GROUP BY comp, fname),
+      bestfirst AS (
+        SELECT comp, fname FROM (
+          SELECT comp, fname, row_number() OVER (PARTITION BY comp
+            ORDER BY w DESC, fp) AS rn FROM firstvote) WHERE rn = 1),
+      el AS (
+        SELECT comp, string_agg(v, '|' ORDER BY v) AS emails_list
+        FROM (SELECT DISTINCT comp, em_out AS v FROM mm WHERE em_out <> '')
+        GROUP BY comp),
+      pl AS (
+        SELECT comp, string_agg(v, '|' ORDER BY v) AS phones_list
+        FROM (SELECT DISTINCT comp, ph_out AS v FROM mm WHERE ph_out <> '')
+        GROUP BY comp),
+      agg AS (
+        SELECT comp,
+          count(*) AS source_row_count,
+          count(DISTINCT source) AS source_count,
+          count(DISTINCT CASE WHEN em_out <> '' THEN em_out END) AS n_emails,
+          count(DISTINCT CASE WHEN ph_out <> '' THEN ph_out END) AS n_phones,
+          count(DISTINCT CASE WHEN has_addr THEN street || chr(1) || city
+            || chr(1) || state_norm || chr(1) || postal || chr(1) || addr_label END)
+            AS n_addresses,
+          max(lname) AS lname
+        FROM mm GROUP BY comp)
+      SELECT
+        trim(concat_ws(' ', nullif(sp.prefix, ''), bf.fname, agg.lname,
+          nullif(ss.suffix, ''))) AS full_name,
+        coalesce(sc.company, '') AS company,
+        coalesce(st2.title, '') AS title,
+        coalesce(sl.linkedin_url, '') AS linkedin_url,
+        coalesce(el.emails_list, '') AS emails_list,
+        coalesce(pl.phones_list, '') AS phones_list,
+        agg.source_count, agg.source_row_count,
+        agg.n_emails, agg.n_phones, agg.n_addresses
+      FROM agg
+      JOIN bestfirst bf USING (comp)
+      LEFT JOIN sel_prefix sp USING (comp)
+      LEFT JOIN sel_suffix ss USING (comp)
+      LEFT JOIN sel_company sc USING (comp)
+      LEFT JOIN sel_title st2 USING (comp)
+      LEFT JOIN sel_linkedin_url sl USING (comp)
+      LEFT JOIN el USING (comp)
+      LEFT JOIN pl USING (comp)
+      ORDER BY full_name, emails_list, phones_list, company, title, linkedin_url,
+        source_count, source_row_count, n_emails, n_phones, n_addresses"""
+  }
+
+  /** The flagship reference-fidelity dedupe+merge, hash-checked.
+    *
+    * The Spark side runs the REAL pipeline — typed normalize,
+    * [[Pipeline.acceptedPairs]] (Ratcliff–Obershelp + nickname
+    * machinery), tiered connected components, [[ContactLogic
+    * .mergeCluster]] — and projects the merged output WITHOUT the
+    * UUIDv5 `contact_id`: DuckDB has no sha1(), so the id itself is
+    * verified by FunctionProps + ReferenceParitySpec goldens instead,
+    * while everything the id is derived from (chosen name, channel
+    * sets, lineage cluster membership) IS hashed here. Rows are fully
+    * ordered by the entire projection, so the hash is deterministic
+    * even under cluster-output ties. */
   val q45 = Q(
     "q45_dedupe_merge",
     "block -> self-join -> R-O merge rule -> connected components -> cluster merge",
@@ -457,14 +632,22 @@ object ContactOps {
       import s.implicits._
       val norm = normalized(s, dir)
       val merged = Pipeline.dedupeContacts(norm)
-      merged.map(m => (m.contact_id, m.contact.full_name, m.contact.company,
-          m.source_count, m.source_row_count,
-          m.contact.emails.size, m.contact.phones.size, m.contact.addresses.size))
-        .toDF("contact_id", "full_name", "company", "source_count",
-          "source_row_count", "n_emails", "n_phones", "n_addresses")
-        .orderBy("contact_id")
+      merged.map(m => (m.contact.full_name, m.contact.company, m.contact.title,
+          m.contact.linkedin_url,
+          m.contact.emails.map(_.value).mkString("|"),
+          m.contact.phones.map(p =>
+            graft.functions.Phones.withExtension(p.value, p.extension)).mkString("|"),
+          m.source_count.toLong, m.source_row_count.toLong,
+          m.contact.emails.size.toLong, m.contact.phones.size.toLong,
+          m.contact.addresses.size.toLong))
+        .toDF("full_name", "company", "title", "linkedin_url", "emails_list",
+          "phones_list", "source_count", "source_row_count",
+          "n_emails", "n_phones", "n_addresses")
+        .orderBy("full_name", "emails_list", "phones_list", "company", "title",
+          "linkedin_url", "source_count", "source_row_count",
+          "n_emails", "n_phones", "n_addresses")
     },
-    None)
+    Some(q45OracleSql))
 
   // -- q46: quality + confidence scoring --------------------------------
 
