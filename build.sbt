@@ -10,6 +10,10 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 scalacOptions ++= Seq("-deprecation")
+// Dev profiling/plan-audit mains live under tools/scala, compiled in
+// the Test scope: they stay buildable (sbt "Test/runMain graft.Prof")
+// without counting as product code in src/main.
+Test / unmanagedSourceDirectories += baseDirectory.value / "tools" / "scala"
 Test / fork := true
 run / fork := true
 // Forked run output goes straight to stdout, no "[info] " prefixes —

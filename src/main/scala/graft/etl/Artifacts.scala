@@ -77,14 +77,30 @@ object Artifacts {
         s"duplicate contact_id detected in consolidated output: ${dups.mkString(", ")}")
   }
 
-  /** Header + quote-all UTF-8 CSV, one file per artifact (these are
-    * end-of-pipeline reports; for bulk data keep parquet).
+  /** Header + quote-all UTF-8 CSV (the reference's `csv.QUOTE_ALL`
+    * discipline).
+    *
+    * `singleFile = true` (reference-parity mode) emits one file via
     * repartition(1), not coalesce(1): coalesce propagates the
     * 1-partition constraint up through every narrow stage, serializing
     * the whole render onto one core; the shuffle keeps the upstream
-    * projection parallel and only the final file write is one task. */
-  def writeCsv(df: DataFrame, path: String): Unit =
-    df.repartition(1).write
+    * projection parallel and only the final write is one task. A
+    * round-robin repartition carries NO ordering contract, so
+    * order-significant artifacts (referral_targets is a ranked
+    * deliverable; confidence_summary has a fixed bucket order) must
+    * pass `sortCols` — the rows are re-sorted INSIDE the single
+    * partition, which is cheap (reports are small) and deterministic
+    * on any deployment, instead of relying on local-mode fetch order.
+    *
+    * `singleFile = false` is the scale mode: part-files written at the
+    * upstream parallelism (each internally sorted when `sortCols` is
+    * given). The stage CLIs read both layouts. */
+  def writeCsv(df: DataFrame, path: String,
+      sortCols: Seq[org.apache.spark.sql.Column] = Nil,
+      singleFile: Boolean = true): Unit = {
+    val placed = if (singleFile) df.repartition(1) else df
+    val sorted = if (sortCols.nonEmpty) placed.sortWithinPartitions(sortCols: _*) else placed
+    sorted.write
       .option("header", "true")
       .option("quoteAll", "true")
       // RFC-4180 doubled quotes ("" not \") — Spark's backslash-escape
@@ -92,14 +108,15 @@ object Artifacts {
       .option("escape", "\"")
       .mode("overwrite")
       .csv(path)
+  }
 
   /** The consolidate stage's three artifacts (combine_contacts.py:1562-1568). */
   def writeConsolidated(merged: Dataset[MergedContact], lineage: Dataset[Lineage],
-      outDir: String): Unit = {
+      outDir: String, singleFile: Boolean = true): Unit = {
     val contacts = consolidatedContacts(merged)
     assertUniqueIds(contacts)
-    writeCsv(contacts, s"$outDir/consolidated_contacts")
-    writeCsv(consolidatedLineage(lineage), s"$outDir/consolidated_lineage")
-    writeCsv(flattenedContacts(merged), s"$outDir/flattened_contacts")
+    writeCsv(contacts, s"$outDir/consolidated_contacts", singleFile = singleFile)
+    writeCsv(consolidatedLineage(lineage), s"$outDir/consolidated_lineage", singleFile = singleFile)
+    writeCsv(flattenedContacts(merged), s"$outDir/flattened_contacts", singleFile = singleFile)
   }
 }

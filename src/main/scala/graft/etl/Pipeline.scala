@@ -299,6 +299,14 @@ object Pipeline {
     finally edgesP.unpersist()
   }
 
+  /** Cap on the DISTINCT provisional labels the quotient tier may pull
+    * to the driver. The edge-count tier guard bounds quotient *edges*,
+    * but a pathological graph (long chains: 5M edges spanning 10M
+    * vertices) keeps one distinct label per ~vertex; past this cap the
+    * tier demotes itself to [[distributedComponents]] instead of
+    * collecting a vertex-scale array. */
+  val QuotientMaxLabels = 5000000L
+
   /** Two-phase connected components: (1) distributed hook — every
     * vertex takes min(self, neighbors) as a provisional label; (2) the
     * original edges are mapped through those labels and only DISTINCT
@@ -306,17 +314,34 @@ object Pipeline {
     * original edge links vertices whose provisional labels are joined
     * in the quotient, so find(l1(v)) is a sound component id;
     * duplicate-heavy corpora collapse near-cliques onto a handful of
-    * quotient edges instead of collecting the bulk. */
+    * quotient edges instead of collecting the bulk.
+    *
+    * Driver exposure is bounded on BOTH axes: quotient edges by the
+    * caller's edge-count tier guard, and distinct labels by
+    * `maxLabels` (exceeded → demote to the fully distributed tier).
+    * The per-vertex label table itself never leaves the cluster: the
+    * final mapping is vertexIds ⟕ l1 ⟕ broadcast(label→root), a
+    * codegen broadcast-hash join rather than a closure-captured map
+    * UDF. */
   private[graft] def quotientComponents(vertexIds: Dataset[java.lang.Long],
-      edges: Dataset[Edge]): DataFrame = {
+      edges: Dataset[Edge], maxLabels: Long = QuotientMaxLabels): DataFrame = {
     val spark = vertexIds.sparkSession
     import spark.implicits._
     val sym = edges.select(col("src").as("id"), col("dst").as("nb"))
       .union(edges.select(col("dst").as("id"), col("src").as("nb")))
+    // localCheckpoint: materialized once, referenced by the quotient
+    // join AND the (lazy) result plan; blocks release with the plan.
     val l1 = sym.groupBy(col("id"))
       .agg(min(col("nb")).as("nmin"))
       .select(col("id"), least(col("id"), col("nmin")).as("lab"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
+    // One bounded job decides guard AND fetches the labels: collect at
+    // most cap+1 distinct labels; overflow → demote.
+    val labs = l1.select(col("lab")).distinct()
+      .limit(math.min(maxLabels + 1, Int.MaxValue).toInt)
+      .as[Long].collect()
+    if (labs.length > maxLabels)
+      return distributedComponents(vertexIds, edges)
     val quotient = edges
       .join(l1.select(col("id").as("src"), col("lab").as("ls")), "src")
       .join(l1.select(col("id").as("dst"), col("lab").as("ld")), "dst")
@@ -338,13 +363,11 @@ object Pipeline {
       val (ra, rb) = (find(a), find(b))
       if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
     }
-    val labels = l1.as[(Long, Long)].collect()
-      .map { case (v, lab) => v -> find(lab) }.toMap
-    l1.unpersist()
-    val lookup = spark.sparkContext.broadcast(labels)
+    val roots = labs.toSeq.map(l => (l, find(l))).toDF("lab", "root")
     vertexIds.toDF("id")
-      .select(col("id"), udf((id: Long) => lookup.value.getOrElse(id, id))
-        .apply(col("id")).as("comp"))
+      .join(l1, Seq("id"), "left")
+      .join(broadcast(roots), Seq("lab"), "left")
+      .select(col("id"), coalesce(col("root"), col("id")).as("comp"))
   }
 
   private[graft] def distributedComponents(vertexIds: Dataset[java.lang.Long],
@@ -361,13 +384,22 @@ object Pipeline {
     while (!converged && iterations < 50) {
       val neighborMin = symmetric.join(labels, symmetric("src") === labels("id"))
         .select(col("dst").as("id"), col("comp"))
-      // localCheckpoint truncates the logical plan: without it every
-      // round's plan nests the previous round's join+union+agg, and
-      // analysis/optimization cost grows without bound (a k-hop path
-      // graph needs k rounds).
-      val next = labels.select(col("id"), col("comp"))
+      val hooked = labels.select(col("id"), col("comp"))
         .union(neighborMin)
         .groupBy("id").agg(min("comp").as("comp"))
+      // Pointer jumping: comp ← comp(comp). Labels are always vertex
+      // ids, so self-joining the label table halves label-chain depth
+      // each round — a path graph converges in O(log n) rounds where
+      // plain neighbor-min propagation needs O(diameter), which would
+      // silently exceed the iteration cap on a multi-thousand-hop
+      // chain. (Hashing-to-min + jumping is the standard two-phase
+      // round of Stergiou et al.-style distributed CC.)
+      // localCheckpoint truncates the logical plan: without it every
+      // round's plan nests the previous round's join+union+agg, and
+      // analysis/optimization cost grows without bound.
+      val parents = hooked.select(col("id").as("pid"), col("comp").as("pcomp"))
+      val next = hooked.join(parents, hooked("comp") === parents("pid"), "left")
+        .select(hooked("id"), coalesce(col("pcomp"), hooked("comp")).as("comp"))
         .localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("comp", "old_comp"), "id")
         .where(col("comp") =!= col("old_comp")).limit(1).count()

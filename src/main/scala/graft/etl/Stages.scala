@@ -345,7 +345,13 @@ object ConfidenceMain {
     val t0 = System.nanoTime()
     val (report, summary) = Stages.confidence(contacts, validation, flattened)
     Artifacts.writeCsv(report, s"$dir/confidence_report")
-    Artifacts.writeCsv(summary, s"$dir/confidence_summary")
+    // Fixed bucket order is part of the artifact contract; re-sorted
+    // inside the single output partition (repartition(1) has no
+    // ordering guarantee — see Artifacts.writeCsv).
+    Artifacts.writeCsv(summary, s"$dir/confidence_summary",
+      sortCols = Seq(when(col("bucket") === "very_high", 0)
+        .when(col("bucket") === "high", 1)
+        .when(col("bucket") === "medium", 2).otherwise(3)))
     println(f"confidence stage in ${(System.nanoTime() - t0) / 1e9}%.2f s")
     spark.stop()
   }
@@ -372,7 +378,13 @@ object TagMain {
     val t0 = System.nanoTime()
     val (tagged, targets) = Stages.tag(contacts, lineage, notes, confidence, settings)
     Artifacts.writeCsv(tagged, s"$dir/tagged_contacts")
-    Artifacts.writeCsv(targets, s"$dir/referral_targets")
+    // referral_targets is a RANKED deliverable: re-assert the ranking
+    // inside the single output partition (same keys as Stages.tag's
+    // orderBy) so the written order never depends on shuffle fetch
+    // order.
+    Artifacts.writeCsv(targets, s"$dir/referral_targets",
+      sortCols = Seq(col("referral_priority_score").desc,
+        col("confidence_score").desc, col("contact_id")))
     println(f"tag stage in ${(System.nanoTime() - t0) / 1e9}%.2f s")
     spark.stop()
   }

@@ -811,28 +811,34 @@ object ContactOps {
         lit("-"), lpad((k % 28 + 1).cast("string"), 2, "0"))
       val customers = t(s, dir, "customer").orderBy("c_custkey")
 
-      val csvLines = customers.select(concat_ws(",", first, last, url, email,
-        company, pick(Synth.Titles, k % 5), connected).as("l")).as[String].collect()
-      val vcfBlocks = customers.select(concat(
+      // Fixture synthesis is fully distributed: the CSV body and vCard
+      // blocks are written as text part-files straight from executors
+      // (no driver collect), with each CSV part file carrying its own
+      // preamble + header — exactly what a directory of per-account
+      // exports looks like, and what the preamble sniff must handle
+      // per file anyway. localScratch only chooses the path (driver
+      // and executors share a filesystem under local[]; a cluster
+      // deployment would point this at shared storage).
+      val scratch = localScratch(s, "q49", dir)
+      val liDir = s"$scratch/linkedin"
+      val vcfDir = s"$scratch/contacts_vcf"
+      val liPreamble = "Notes:\n\"export preamble\"\n" +
+        "First Name,Last Name,URL,Email Address,Company,Position,Connected On"
+      customers.select(concat_ws(",", first, last, url, email,
+          company, pick(Synth.Titles, k % 5), connected).as("l")).as[String]
+        .mapPartitions(it => Iterator(liPreamble) ++ it)
+        .write.mode("overwrite").text(liDir)
+      customers.select(concat(
         lit("BEGIN:VCARD\nVERSION:3.0\nFN:"), first, lit(" "), last,
         lit("\nN:"), last, lit(";"), first, lit(";;;"),
         when(email =!= "", concat(lit("\nEMAIL;TYPE=WORK:"), email)).otherwise(""),
         when(phone =!= "", concat(lit("\nTEL;TYPE=CELL:"), phone)).otherwise(""),
         when(company =!= "", concat(lit("\nORG:"), company)).otherwise(""),
-        lit("\nEND:VCARD")).as("b")).as[String].collect()
+        lit("\nEND:VCARD")).as("b")).as[String]
+        .write.mode("overwrite").text(vcfDir)
 
-      val outDir = java.nio.file.Paths.get(localScratch(s, "q49", dir))
-      java.nio.file.Files.createDirectories(outDir)
-      val liPath = outDir.resolve("linkedin.csv")
-      val vcfPath = outDir.resolve("contacts.vcf")
-      java.nio.file.Files.writeString(liPath,
-        ("Notes:\n\"export preamble\"\n" +
-          "First Name,Last Name,URL,Email Address,Company,Position,Connected On\n") +
-          csvLines.mkString("\n") + "\n")
-      java.nio.file.Files.writeString(vcfPath, vcfBlocks.mkString("\n") + "\n")
-
-      graft.sources.Sources.linkedin(s, liPath.toString)
-        .unionByName(graft.sources.Sources.vcards(s, vcfPath.toString))
+      graft.sources.Sources.linkedin(s, liDir)
+        .unionByName(graft.sources.Sources.vcards(s, vcfDir))
         .groupBy(col("source"))
         .agg(
           count(lit(1)).as("n"),

@@ -65,4 +65,38 @@ class ArtifactsSpec extends AnyFunSuite {
     assert(spark.read.option("header", "true").csv(s"$out/consolidated_lineage").count() == 1)
     assert(spark.read.option("header", "true").csv(s"$out/flattened_contacts").count() == 1)
   }
+
+  test("writeCsv sortCols yields a deterministically ordered single file") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-artifacts-order").toString
+    // Many input partitions in reverse order: a bare repartition(1) has
+    // no ordering contract, sortCols must impose the ranking.
+    val df = spark.range(0, 500).select(
+      org.apache.spark.sql.functions.col("id"),
+      (org.apache.spark.sql.functions.lit(499) -
+        org.apache.spark.sql.functions.col("id")).as("score"))
+      .repartition(7)
+    Artifacts.writeCsv(df, out,
+      sortCols = Seq(org.apache.spark.sql.functions.col("score").desc))
+    val file = Files.list(new java.io.File(out).toPath)
+      .toArray.map(_.toString).filter(_.endsWith(".csv")).head
+    val scores = Files.readAllLines(java.nio.file.Paths.get(file))
+      .toArray.map(_.toString).drop(1)
+      .map(_.split(",")(1).replace("\"", "").toLong)
+    assert(scores.toSeq == scores.toSeq.sorted.reverse)
+    assert(scores.length == 500)
+  }
+
+  test("writeCsv partitioned mode emits part files the CSV reader accepts") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-artifacts-parts").toString
+    val df = Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("k", "v").repartition(3)
+    Artifacts.writeCsv(df, out, singleFile = false)
+    val files = Files.list(new java.io.File(out).toPath)
+      .toArray.map(_.toString).filter(_.endsWith(".csv"))
+    assert(files.length > 1) // genuinely partitioned output
+    val back = spark.read.option("header", "true").csv(out)
+    assert(back.count() == 3)
+    assert(back.columns.toSeq == Seq("k", "v"))
+  }
 }

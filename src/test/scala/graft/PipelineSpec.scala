@@ -54,6 +54,25 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("quotient tier demotes to distributed CC past the label cap (long chain)") {
+    import spark.implicits._
+    // A path graph is the quotient tier's worst case: the hook round
+    // leaves ~one distinct provisional label per vertex, so the label
+    // collect would scale with VERTEX count even though the edge-count
+    // guard passed. With the cap exceeded the tier must demote to
+    // distributedComponents — whose pointer-jumping rounds are also
+    // exercised here: a 2048-hop chain converges only because label
+    // depth halves each round (plain neighbor-min propagation would
+    // need 2047 rounds and silently stop wrong at the iteration cap).
+    val n = 2048L
+    val vds = (0L until n).map(java.lang.Long.valueOf).toDS()
+    val eds = (0L until n - 1).map(i => Pipeline.Edge(i + 1, i)).toDS()
+    val got = Pipeline.quotientComponents(vds, eds, maxLabels = 100L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == n)
+    assert(got.values.toSet == Set(0L))
+  }
+
   test("quotient components match driver union-find on a random graph") {
     val rnd = new scala.util.Random(42)
     val n = 400
