@@ -9,6 +9,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // A 69-query session generates far more than the default 100
+      // cached codegen classes; evictions force multi-second Janino
+      // recompiles of the big typed-pipeline encoders mid-run
+      // (measured ~5 s on the first contact query). Static conf, so
+      // it must be set before the session exists.
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup pass (standard benchmark methodology, cf. JMH):

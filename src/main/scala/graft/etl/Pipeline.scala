@@ -36,7 +36,18 @@ object Pipeline {
   def normalize(contacts: Dataset[Contact],
       settings: ContactLogic.Settings = ContactLogic.Settings()): Dataset[Contact] = {
     import contacts.sparkSession.implicits._
-    contacts.map(c => ContactLogic.normalizeRecord(c, settings))
+    // Per-record normalization is the pipeline's CPU-heavy narrow
+    // stage, and a narrow map inherits the INPUT layout's parallelism:
+    // one small parquet file or one wholeTextFiles export = ONE task
+    // doing all the work while every other core idles (measured 4-8×
+    // on the bench corpus, whose 312 KB source parquet is a single
+    // split). Repartition up to the cluster's parallelism only when
+    // the input is under-partitioned — a well-split 100 TB scan keeps
+    // its layout and stays shuffle-free.
+    val par = contacts.sparkSession.sparkContext.defaultParallelism
+    val balanced =
+      if (contacts.rdd.getNumPartitions < par) contacts.repartition(par) else contacts
+    balanced.map(c => ContactLogic.normalizeRecord(c, settings))
   }
 
   /** Accepted merge pairs: block, self-join on the blocking key, apply
@@ -157,9 +168,15 @@ object Pipeline {
     // Scalar per-row attributes needed by the native decision; joined
     // (broadcast at this scale, hash join at cluster scale) onto the
     // pair table instead of dragging full MatchRec structs through it.
+    // `single`/`cand1`: rows with exactly one first-name candidate
+    // (the overwhelmingly common case — a nickname adds a second)
+    // qualify for the fully native per-pair decision below.
     val scalars = slim.select(col("row_id"), col("lastNorm"), col("suffixNorm"),
       lower(col("suffix")).as("suffixLower"),
-      col("isLinkedinSrc"), (size(col("normNames")) > 0).as("named"))
+      col("isLinkedinSrc"), (size(col("normNames")) > 0).as("named"),
+      (size(col("lowerNames")) === 1).as("single"),
+      when(size(col("lowerNames")) === 1, element_at(col("lowerNames"), 1))
+        .otherwise("").as("cand1"))
     def sc(side: String) = scalars.columns.filter(_ != "row_id")
       .foldLeft(scalars)((d, c) => d.withColumnRenamed(c, s"${side}_$c"))
     val pairs = matches
@@ -203,6 +220,40 @@ object Pipeline {
     val nativeAccept = (exactAlign || nickAlign) && scoreOk &&
       (bothCore || corrob > 0) && liGateOk &&
       (if (cfg.requireCorroborator) corrob > 0 else lit(true))
+
+    // Fully native decision for SINGLE-candidate pairs (neither row
+    // has a nickname): with one candidate per side, computeSignals'
+    // cross-product max degenerates to one seqRatio call — evaluated
+    // by the codegen'd [[graft.plans.SeqRatio]] expression — and every
+    // remaining clause of shouldMerge (nickname floor via the nr-key
+    // overlap, score adds in the reference's order, relaxed path,
+    // nameless-corroborator gate, alignment gate, LinkedIn strict
+    // gate, require-corroborator flag) is exact column logic for ANY
+    // config. These pairs never deserialize a MatchRec; only
+    // nickname-bearing or nameless rows fall through to Scala.
+    graft.plans.SeqRatio.register(normalized.sparkSession)
+    val bothSingle = col("a_single") && col("b_single")
+    val simSingle0 = expr("seq_ratio(a_cand1, b_cand1)")
+    val simSingle =
+      if (cfg.nicknameEquivalence)
+        when(has("nr"), greatest(simSingle0, lit(0.96))).otherwise(simSingle0)
+      else simSingle0
+    // Same add order as ContactLogic.computeSignals — float parity.
+    val scoreSingle = lit(0.7) * simSingle + suffixBonus +
+      when(emailOv, 1.0).otherwise(0.0) + when(phoneOv, 1.0).otherwise(0.0) +
+      when(addrOv, 0.5).otherwise(0.0) + when(liEq, 0.8).otherwise(0.0)
+    val okSingle = scoreSingle >= cfg.mergeScoreThreshold ||
+      (simSingle >= cfg.firstNameSimilarityThreshold &&
+        scoreSingle >= cfg.relaxedMergeThreshold)
+    val alignGateSingle = has("nm") || nickAlign || emailOv || liEq
+    val liGateSingle = (!col("a_isLinkedinSrc") && !col("b_isLinkedinSrc")) ||
+      emailOv ||
+      (col("a_lastNorm") === col("b_lastNorm") && (has("nm") || nickAlign) &&
+        col("a_suffixNorm") === col("b_suffixNorm"))
+    val decideSingle = okSingle && alignGateSingle && liGateSingle &&
+      (bothCore || corrob > 0) &&
+      (if (cfg.requireCorroborator) corrob > 0 else lit(true))
+
     // Necessary condition for any merge (the decision gates): name-
     // bearing pairs must align on normalized name, nickname root, email
     // or linkedin; nameless pairs need a corroborating overlap.
@@ -210,14 +261,14 @@ object Pipeline {
       when(bothNamed, has("nm") || exactAlign || nickAlign || emailOv || liEq)
         .otherwise(corrob > 0)
 
-    val nativeEdges = pairs.where(nativeAccept)
+    val nativeEdges = pairs
+      .where((bothSingle && decideSingle) || (!bothSingle && nativeAccept))
       .select(col("src"), col("dst")).as[Edge]
-    // Only the ambiguous remainder (norm-equal-but-not-lowercase-equal
-    // names, channel overlaps without name alignment, nameless pairs)
-    // pays MatchRec deserialization and the Ratcliff–Obershelp call.
+    // Only the ambiguous multi-candidate/nameless remainder pays
+    // MatchRec deserialization and the Scala shouldMerge.
     val recs = slim.select(col("row_id"),
       struct(slim.columns.toIndexedSeq.map(col): _*).as("rec"))
-    val scalaEdges = pairs.where(!nativeAccept && candidateFilter)
+    val scalaEdges = pairs.where(!bothSingle && !nativeAccept && candidateFilter)
       .select(col("src"), col("dst"))
       .join(recs.select(col("row_id").as("src"), col("rec").as("a")), "src")
       .join(recs.select(col("row_id").as("dst"), col("rec").as("b")), "dst")

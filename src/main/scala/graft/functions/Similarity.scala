@@ -52,6 +52,14 @@ object Similarity {
     2.0 * matches / (a.length + b.length)
   }
 
+  /** UTF8String entry point for the codegen'd Catalyst expression
+    * ([[graft.plans.SeqRatio]]): generated Java calls this static
+    * forwarder directly, no boxing beyond the unavoidable String
+    * materialization the algorithm needs. */
+  def ratioUTF8(a: org.apache.spark.unsafe.types.UTF8String,
+      b: org.apache.spark.unsafe.types.UTF8String): Double =
+    seqRatio(if (a == null) "" else a.toString, if (b == null) "" else b.toString)
+
   /** Nickname roots (normalization.py:707-731). Later entries overwrite
     * earlier on shared variants, mirroring the reference's dict-build
     * order (e.g. "john" resolves to "jonathan", "kate" to "catherine"). */
