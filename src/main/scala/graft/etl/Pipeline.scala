@@ -233,7 +233,11 @@ object Pipeline {
     // nickname-bearing or nameless rows fall through to Scala.
     graft.plans.SeqRatio.register(normalized.sparkSession)
     val bothSingle = col("a_single") && col("b_single")
-    val simSingle0 = expr("seq_ratio(a_cand1, b_cand1)")
+    // Lowercase-equal candidates force ratio 1.0 — short-circuit the
+    // dominant pair class before the R-O call (WHEN branches lazily
+    // in codegen).
+    val simSingle0 = when(has("ln"), lit(1.0))
+      .otherwise(expr("seq_ratio(a_cand1, b_cand1)"))
     val simSingle =
       if (cfg.nicknameEquivalence)
         when(has("nr"), greatest(simSingle0, lit(0.96))).otherwise(simSingle0)

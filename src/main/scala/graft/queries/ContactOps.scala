@@ -29,6 +29,7 @@ object ContactOps {
     * the session drops the reference. */
   private val normMemo =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.Dataset[Contact]]()
+  registerMemo(normMemo) // evicted when the owning session's context ends
 
   private def normalized(s: SparkSession, dir: String) =
     // Keyed on sessionUUID (stable + unique), not identityHashCode: an

@@ -350,6 +350,7 @@ object Relational {
     * the dir so two scale factors in one session don't collide. */
   private val bucketMemo =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  registerMemo(bucketMemo) // evicted when the owning session's context ends
 
   private def bucketTables(s: org.apache.spark.sql.SparkSession, dir: String)
       : (String, String) =

@@ -33,6 +33,7 @@ object StreamingOps {
 
   private val schemaMemo =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+  registerMemo(schemaMemo) // evicted when the owning session's context ends
 
   /** `readStream` over the events parquet with the batch-derived
     * schema (memoized per session+dir — q68 builds two streams);

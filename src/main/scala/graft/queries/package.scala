@@ -23,8 +23,27 @@ package object queries {
   private val sessionIds = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession, String]())
 
+  /** Session-scoped memo maps (entries keyed "<sessionKey>:<suffix>").
+    * Registered here so the listener installed by [[sessionKey]] can
+    * drop a session's entries when its SparkContext ends — otherwise a
+    * memoized checkpointed Dataset would pin its blocks (and the dead
+    * session) for the JVM lifetime. */
+  private val memoMaps =
+    new java.util.concurrent.CopyOnWriteArrayList[java.util.concurrent.ConcurrentHashMap[String, _]]()
+
+  def registerMemo(m: java.util.concurrent.ConcurrentHashMap[String, _]): Unit =
+    memoMaps.add(m)
+
   def sessionKey(s: SparkSession): String =
-    sessionIds.computeIfAbsent(s, _ => java.util.UUID.randomUUID().toString)
+    sessionIds.computeIfAbsent(s, _ => {
+      val id = java.util.UUID.randomUUID().toString
+      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+          memoMaps.forEach(m => m.keySet.removeIf(_.startsWith(id + ":")))
+      })
+      id
+    })
 
   /** Exact 2-dp decimal view of a stored-as-double money/qty column. */
   def money(c: Column): Column = c.cast(DecimalType(18, 2))
