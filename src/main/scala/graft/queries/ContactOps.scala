@@ -721,15 +721,10 @@ object ContactOps {
 
   // -- q47: tagging + referral priority ----------------------------------
 
-  val q47 = Q(
-    "q47_tags_referral",
-    "keyword/rule tagging, relationship category, referral priority",
-    (s, dir) =>
-      Tag.withTags(scoredContacts(s, dir).withColumn("notes_blob", col("notes")))
-        .select(col("row_id").as("custkey"), col("tags"),
-          col("relationship_category"), col("referral_priority"))
-        .orderBy("custkey"),
-    Some(s"""WITH $oracleScoredCte,
+  /** Shared oracle CTE computing the tag predicates over conf3
+    * (q47/q69). */
+  private def oracleTaggedCte: String =
+    s"""$oracleScoredCte,
       tagd AS (
         SELECT *,
           regexp_matches(lower(concat_ws(' ', company, title, linkedin_url, notes)),
@@ -750,7 +745,31 @@ object ContactOps {
                  OR lower(trim(city)) LIKE '%braintree%' OR lower(trim(city)) LIKE '%quincy%'
                  OR lower(trim(city)) LIKE '%weymouth%' OR lower(trim(city)) LIKE '%dedham%'
                  OR lower(trim(city)) LIKE '%milton%' OR lower(trim(city)) LIKE '%hingham%') AS tag_local
-        FROM conf3)
+        FROM conf3)"""
+
+  /** Oracle text of the referral-priority score + relationship
+    * category over tagd (tag_contacts.py:152-171). */
+  private val oracleCategorySql =
+    """CASE WHEN tag_martial OR tag_nutcracker THEN 'personal'
+             WHEN tag_work OR trim(linkedin_url) <> '' THEN 'professional'
+             WHEN tag_local THEN 'local_referral'
+             ELSE 'uncategorized' END"""
+  private val oracleReferralSql =
+    """CAST(least(100, round(confidence_score * 0.6
+          + CASE WHEN tag_martial THEN 30 ELSE 0 END
+          + CASE WHEN tag_nutcracker THEN 25 ELSE 0 END
+          + CASE WHEN tag_work THEN 20 ELSE 0 END
+          + CASE WHEN tag_local THEN 10 ELSE 0 END)) AS INT)"""
+
+  val q47 = Q(
+    "q47_tags_referral",
+    "keyword/rule tagging, relationship category, referral priority",
+    (s, dir) =>
+      Tag.withTags(scoredContacts(s, dir).withColumn("notes_blob", col("notes")))
+        .select(col("row_id").as("custkey"), col("tags"),
+          col("relationship_category"), col("referral_priority"))
+        .orderBy("custkey"),
+    Some(s"""WITH $oracleTaggedCte
       SELECT k AS custkey,
         coalesce(array_to_string(list_sort(list_filter([
           CASE WHEN tag_martial THEN 'martial_arts' END,
@@ -953,5 +972,53 @@ object ContactOps {
         GROUP BY 2)
       ORDER BY channel, value"""))
 
-  val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q64, q46, q47, q48, q49, q57, q58)
+  // -- q69/q71: insight-notebook rankings --------------------------------
+
+  /** scripts/referral_insights.ipynb: the referral_targets ranking —
+    * top referral candidates by (priority score, confidence), with
+    * relationship category. The notebook displays pandas head(25);
+    * here the tie order is pinned with the key so the top-k is
+    * deterministic. TakeOrderedAndProject: the top-25 is computed as
+    * per-partition heaps merged on the driver — no global sort at
+    * scale. */
+  val q69 = Q(
+    "q69_referral_insights",
+    "top-25 referral targets by (priority, confidence) with category",
+    (s, dir) =>
+      Tag.withTags(scoredContacts(s, dir).withColumn("notes_blob", col("notes")))
+        .select(col("row_id").as("custkey"), col("full_name"),
+          col("relationship_category"), col("referral_priority"),
+          col("confidence_score"))
+        .orderBy(col("referral_priority").desc, col("confidence_score").desc,
+          col("custkey"))
+        .limit(25),
+    Some(s"""WITH $oracleTaggedCte
+      SELECT k AS custkey, full_name,
+        $oracleCategorySql AS relationship_category,
+        $oracleReferralSql AS referral_priority,
+        confidence_score
+      FROM tagd
+      ORDER BY referral_priority DESC, confidence_score DESC, custkey
+      LIMIT 25"""))
+
+  /** scripts/confidence_insights.ipynb: high-confidence contacts
+    * (bucket ∈ {very_high, high}) ranked by confidence score. */
+  val q71 = Q(
+    "q71_confidence_insights",
+    "top-25 high-confidence contacts by score (confidence notebook)",
+    (s, dir) =>
+      scoredContacts(s, dir)
+        .where(col("confidence_bucket").isin("very_high", "high"))
+        .select(col("row_id").as("custkey"), col("full_name"), col("company"),
+          col("title"), col("confidence_score"), col("confidence_bucket"))
+        .orderBy(col("confidence_score").desc, col("custkey"))
+        .limit(25),
+    Some(s"""WITH $oracleScoredCte
+      SELECT k AS custkey, full_name, company, title,
+        confidence_score, confidence_bucket
+      FROM conf3 WHERE confidence_bucket IN ('very_high', 'high')
+      ORDER BY confidence_score DESC, custkey LIMIT 25"""))
+
+  val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q64, q46, q47, q48,
+    q49, q57, q58, q69, q71)
 }
