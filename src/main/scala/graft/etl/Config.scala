@@ -130,7 +130,11 @@ object Config {
         .getOrElse(bool(y, "dedupe", "enable_nickname_equivalence").getOrElse(true)),
       // store_true: CLI can only force-enable (combine_contacts.py:1544)
       requireCorroborator = cli.requireCorroborator ||
-        bool(y, "dedupe", "require_corroborator").getOrElse(false))
+        bool(y, "dedupe", "require_corroborator").getOrElse(false),
+      // engine extension (no reference equivalent): stop-key
+      // suppression for candidate generation at corpus scale
+      matchKeyFrequencyCap =
+        dbl(y, "dedupe", "match_key_frequency_cap").map(_.toLong).filter(_ > 0))
 
     val quality = Score.QualityWeights(
       emailFull = dbl(y, "quality", "email_full_score").map(_.toInt).getOrElse(40),

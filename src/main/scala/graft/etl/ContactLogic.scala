@@ -349,7 +349,20 @@ object ContactLogic {
       relaxedMergeThreshold: Double = 0.6,
       firstNameSimilarityThreshold: Double = 0.88,
       nicknameEquivalence: Boolean = true,
-      requireCorroborator: Boolean = false)
+      requireCorroborator: Boolean = false,
+      /** Scale knob (engine extension, default off = reference
+        * semantics): suppress match keys shared by more than this many
+        * records from CANDIDATE GENERATION. A single junk key at
+        * corpus scale — a shared `noreply@` mailbox, a call-center
+        * phone number — otherwise generates O(df²) candidate pairs
+        * and chains unrelated records into one mega-component. Only
+        * generation is pruned: pairs that still qualify through any
+        * sub-cap key are scored against their FULL key sets, so their
+        * merge decisions are identical to the uncapped rule; the only
+        * behavioral difference is that a pair whose every shared key
+        * is a stop key is never considered. Standard ER stop-key
+        * device (cf. Bayardo WWW'07 frequency-ordered pruning). */
+      matchKeyFrequencyCap: Option[Long] = None)
 
   /** The full merge decision rule (combine_contacts.py:1154-1222). */
   def shouldMerge(left: MatchRec, right: MatchRec, cfg: DedupeConfig): Boolean = {

@@ -158,12 +158,50 @@ object Pipeline {
       max(when(col("x.kt") === kt, 1).otherwise(0)).as(s"f_$kt")) :+
       max(when(col("x.lnk").isNotNull && col("x.lnk") === col("y.lnk"), 1)
         .otherwise(0)).as("f_ln")
-    val matches = keys.as("x").join(keys.as("y"),
+    def keyJoin(left: DataFrame, right: DataFrame) =
+      left.as("x").join(right.as("y"),
         col("x.block") === col("y.block") && col("x.kt") === col("y.kt") &&
           col("x.k") === col("y.k") && col("x.row_id") < col("y.row_id") &&
           col("x.cq") =!= col("y.cq"))
-      .groupBy(col("x.row_id").as("src"), col("y.row_id").as("dst"))
-      .agg(flagAggs.head, flagAggs.tail: _*)
+    val matches = cfg.matchKeyFrequencyCap match {
+      case None =>
+        keyJoin(keys, keys)
+          .groupBy(col("x.row_id").as("src"), col("y.row_id").as("dst"))
+          .agg(flagAggs.head, flagAggs.tail: _*)
+      case Some(cap) =>
+        // Stop-key suppression (see DedupeConfig.matchKeyFrequencyCap):
+        // keys above the frequency cap are dropped from candidate
+        // GENERATION only — the join volume on a junk key is O(df²),
+        // which no decision rule downstream can afford to materialize.
+        // Surviving candidate pairs are then scored against their FULL
+        // (uncapped) key arrays via array intersections, so every
+        // emitted decision is identical to the uncapped rule's.
+        val eligible = keys.groupBy(col("block"), col("kt"), col("k"))
+          .agg(count(lit(1)).as("kdf"))
+          .where(col("kdf") <= cap)
+          .select(col("block"), col("kt"), col("k"))
+        val gen = keys.join(eligible, Seq("block", "kt", "k"))
+        val cand = keyJoin(gen, gen)
+          .select(col("x.row_id").as("src"), col("y.row_id").as("dst"))
+          .distinct()
+        val evid = slim.select(col("row_id"), col("normNames"), col("lowerNames"),
+          col("nickRoots"), col("emails"), col("phones"), col("addrKeys"),
+          col("linkedin"))
+        def ev(side: String) = evid.columns.filter(_ != "row_id")
+          .foldLeft(evid)((d, c) => d.withColumnRenamed(c, s"${side}_$c"))
+        cand
+          .join(ev("a").withColumnRenamed("row_id", "src"), "src")
+          .join(ev("b").withColumnRenamed("row_id", "dst"), "dst")
+          .select(col("src"), col("dst"),
+            arrays_overlap(col("a_normNames"), col("b_normNames")).cast("int").as("f_nm"),
+            arrays_overlap(col("a_nickRoots"), col("b_nickRoots")).cast("int").as("f_nr"),
+            arrays_overlap(col("a_emails"), col("b_emails")).cast("int").as("f_em"),
+            arrays_overlap(col("a_phones"), col("b_phones")).cast("int").as("f_ph"),
+            arrays_overlap(col("a_addrKeys"), col("b_addrKeys")).cast("int").as("f_ak"),
+            (col("a_linkedin") =!= "" && col("a_linkedin") === col("b_linkedin"))
+              .cast("int").as("f_li"),
+            arrays_overlap(col("a_lowerNames"), col("b_lowerNames")).cast("int").as("f_ln"))
+    }
 
     // Scalar per-row attributes needed by the native decision; joined
     // (broadcast at this scale, hash join at cluster scale) onto the

@@ -41,6 +41,14 @@ class ConfigSpec extends AnyFunSuite {
     assert(y("dedupe")("merge_score_threshold") == "1.5")
   }
 
+  test("match_key_frequency_cap: engine-extension knob, absent means off") {
+    assert(Config.load(Config.Cli(), Some(yaml)).dedupe.matchKeyFrequencyCap.isEmpty)
+    val withCap = yaml.replace("  require_corroborator: false",
+      "  require_corroborator: false\n  match_key_frequency_cap: 1000")
+    assert(Config.load(Config.Cli(), Some(withCap)).dedupe.matchKeyFrequencyCap
+      .contains(1000L))
+  }
+
   test("precedence: CLI beats yaml beats default") {
     val r = Config.load(Config.Cli(
       gmailCsv = Some("/cli/gmail.csv"),

@@ -232,6 +232,39 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("match-key frequency cap prunes generation but keeps full evidence") {
+    import spark.implicits._
+    def c(id: Long) = Contact.blank(id)
+    // Six records share one junk mailbox (df 6 > cap 4). Two are both
+    // "Bob" (different suffixes, so no clique) — their candidate pair
+    // survives through the name key, and the capped path must still
+    // count the email overlap from the full arrays (score 1.7).
+    val stop = "noreply@corp.com"
+    val firsts = Seq("Alice", "Bob", "Carol", "Dave", "Erin", "Bob")
+    // Full names parse to (first, Smith[, Jr]); an empty full name
+    // would let the reference's email-local guess override the first
+    // names with "Noreply" (normalization.py:680-694).
+    val raw = (0L until 6L).map { i =>
+      c(i).copy(source = "gmail", source_row_id = i.toString,
+        full_name_raw = firsts(i.toInt) + " Smith" + (if (i == 1) " Jr" else ""),
+        emails = Seq(EmailEntry(stop, "work")))
+    }
+    val norm = Pipeline.normalize(raw.toDS())
+    val uncapped = Pipeline.acceptedPairs(norm).collect()
+      .map(e => (e.src, e.dst)).toSet
+    val capped = Pipeline.acceptedPairs(norm,
+        ContactLogic.DedupeConfig(matchKeyFrequencyCap = Some(4L))).collect()
+      .map(e => (e.src, e.dst)).toSet
+    // Uncapped, the shared mailbox merges even weakly-similar names
+    // (alice/carol: 0.7*0.4 + 1.0 >= 1.2).
+    assert(uncapped.contains((0L, 2L)))
+    assert(uncapped.contains((1L, 5L)))
+    // Capped: only the pair with a sub-cap shared key remains, and its
+    // decision still saw the email evidence (bare name score 0.7 alone
+    // would not pass the 1.2 threshold).
+    assert(capped == Set((1L, 5L)))
+  }
+
   test("flatten projects first valid channel per label bucket") {
     import spark.implicits._
     val m = MergedContact(
