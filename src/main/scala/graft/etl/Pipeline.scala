@@ -33,21 +33,18 @@ object Pipeline {
   final case class Pair(left: Long, right: Long)
   final case class Edge(src: Long, dst: Long)
 
+  /** Per-record normalization: a narrow typed map — it inherits the
+    * INPUT layout's parallelism. Callers whose layout under-partitions
+    * (a single small parquet split, a handful of big exports) should
+    * repartition BEFORE calling: whether the shuffle pays for itself
+    * depends on row width × count, which the caller knows and this
+    * function cannot (measured: repartitioning a 15k-row single-split
+    * corpus is a 6× win; shuffling 420k parsed contacts off 3 export
+    * files costs ~2× more than the map time it saves). */
   def normalize(contacts: Dataset[Contact],
       settings: ContactLogic.Settings = ContactLogic.Settings()): Dataset[Contact] = {
     import contacts.sparkSession.implicits._
-    // Per-record normalization is the pipeline's CPU-heavy narrow
-    // stage, and a narrow map inherits the INPUT layout's parallelism:
-    // one small parquet file or one wholeTextFiles export = ONE task
-    // doing all the work while every other core idles (measured 4-8×
-    // on the bench corpus, whose 312 KB source parquet is a single
-    // split). Repartition up to the cluster's parallelism only when
-    // the input is under-partitioned — a well-split 100 TB scan keeps
-    // its layout and stays shuffle-free.
-    val par = contacts.sparkSession.sparkContext.defaultParallelism
-    val balanced =
-      if (contacts.rdd.getNumPartitions < par) contacts.repartition(par) else contacts
-    balanced.map(c => ContactLogic.normalizeRecord(c, settings))
+    contacts.map(c => ContactLogic.normalizeRecord(c, settings))
   }
 
   /** Accepted merge pairs: block, self-join on the blocking key, apply

@@ -35,8 +35,13 @@ object ContactOps {
     // Keyed on sessionUUID (stable + unique), not identityHashCode: an
     // identity hash can be reused by a new session after the old one is
     // GC'd, which would hand it a Dataset bound to a dead session.
+    // The repartition spreads the CPU-heavy normalize map across the
+    // cluster: the corpus parquet is a single split, so the narrow map
+    // would otherwise run as ONE task (measured 6×; the tiny-row
+    // shuffle is ~free — see Pipeline.normalize's contract).
     normMemo.computeIfAbsent(s"${sessionKey(s)}:$dir",
-      _ => Pipeline.normalize(Synth.contacts(s, dir)).localCheckpoint(true))
+      _ => Pipeline.normalize(Synth.contacts(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)).localCheckpoint(true))
 
   // -- q40: name grammar ------------------------------------------------
 
