@@ -473,7 +473,12 @@ object ContactOps {
   }
 
   /** DuckDB replica of the reference-fidelity dedupe+merge (the q45
-    * dataflow) on the Synth corpus. Synth-specific exact reductions,
+    * dataflow) on the Synth corpus; `cap` additionally replicates the
+    * engine's stop-key suppression (q72): a pair is eligible only
+    * through a shared key whose per-block frequency is ≤ cap — except
+    * exact-name-clique pairs (equal lowercase first AND suffix), which
+    * the engine's clique collapse emits without consulting the
+    * inverted index. Synth-specific exact reductions,
     * each verified against the engine's own semantics:
     *   - every row has a core name, so the nameless-corroborator gate
     *     never fires and blocks are exactly the (canonical) last name;
@@ -491,7 +496,7 @@ object ContactOps {
     *     i.e. ORDER BY ts DESC NULLS LAST, priority DESC, position.
     * The closure uses 16 chained min-label rounds (component label
     * radius at sf0.01 is ≤ 7; 16 gives slack). */
-  private def q45OracleSql: String = {
+  private def q45OracleSql(cap: Option[Long] = None): String = {
     val steps = (1 to 16).map { i =>
       s"""l$i AS MATERIALIZED (
         SELECT v.k, least(v.lab, coalesce(min(n.lab), v.lab)) AS lab
@@ -500,6 +505,41 @@ object ContactOps {
         LEFT JOIN l${i - 1} n ON n.k = e.eb
         GROUP BY v.k, v.lab)"""
     }.mkString(",\n      ")
+    // Per-(block, key) frequencies + the generation-eligibility term
+    // for the stop-key cap (engine: Pipeline.acceptedPairs capped
+    // branch). nickname-root keys coincide with name keys on this
+    // vocabulary (every Synth first IS its own root), so no separate
+    // nr term is needed.
+    val capCtes = cap.map(_ => s""",
+      nmdf AS (SELECT lname, lower(fname) AS f, count(*) AS df FROM mem GROUP BY 1, 2),
+      emdf AS (SELECT lname, em_out, count(*) AS df FROM mem WHERE em_out <> '' GROUP BY 1, 2),
+      phdf AS (SELECT lname, ph_out, count(*) AS df FROM mem WHERE ph_out <> '' GROUP BY 1, 2),
+      akdf AS (SELECT lname, city, state_norm, postal, count(*) AS df FROM mem
+               WHERE has_addr GROUP BY 1, 2, 3, 4),
+      lidf AS (SELECT lname, linkedin_url, count(*) AS df FROM mem
+               WHERE linkedin_url <> '' GROUP BY 1, 2)""").getOrElse("")
+    val capJoins = cap.map(_ => s"""
+        LEFT JOIN nmdf ON nmdf.lname = a.lname AND nmdf.f = lower(a.fname)
+          AND lower(a.fname) = lower(b.fname)
+        LEFT JOIN emdf ON emdf.lname = a.lname AND emdf.em_out = a.em_out
+          AND a.em_out <> '' AND a.em_out = b.em_out
+        LEFT JOIN phdf ON phdf.lname = a.lname AND phdf.ph_out = a.ph_out
+          AND a.ph_out <> '' AND a.ph_out = b.ph_out
+        LEFT JOIN akdf ON akdf.lname = a.lname AND akdf.city = a.city
+          AND akdf.state_norm = a.state_norm AND akdf.postal = a.postal
+          AND a.has_addr AND b.has_addr AND a.city = b.city
+          AND a.state_norm = b.state_norm AND a.postal = b.postal
+        LEFT JOIN lidf ON lidf.lname = a.lname AND lidf.linkedin_url = a.linkedin_url
+          AND a.linkedin_url <> '' AND a.linkedin_url = b.linkedin_url""").getOrElse("")
+    val capCol = cap.map(c => s""",
+          ((lower(a.fname) = lower(b.fname) AND lower(a.suffix) = lower(b.suffix))
+            OR (lower(a.fname) = lower(b.fname) AND nmdf.df <= $c)
+            OR (a.em_out <> '' AND a.em_out = b.em_out AND emdf.df <= $c)
+            OR (a.ph_out <> '' AND a.ph_out = b.ph_out AND phdf.df <= $c)
+            OR (a.has_addr AND b.has_addr AND a.city = b.city
+                AND a.state_norm = b.state_norm AND a.postal = b.postal AND akdf.df <= $c)
+            OR (a.linkedin_url <> '' AND a.linkedin_url = b.linkedin_url AND lidf.df <= $c))
+            AS eligible""").getOrElse(",\n          TRUE AS eligible")
     // _choose_by_priority (combine_contacts.py:264-277): first
     // strictly-best non-empty value in cluster order.
     def byPriority(colName: String, alias: String): String =
@@ -524,7 +564,7 @@ object ContactOps {
           CASE WHEN source = 'linkedin' THEN 3 WHEN source = 'mac_vcf' THEN 2
                WHEN source = 'gmail' THEN 1 ELSE 0 END AS prio,
           TRY_CAST(nullif(source_timestamp, '') AS DATE) AS dt
-        FROM scontact),
+        FROM scontact)$capCtes,
       pairs AS (
         SELECT a.k AS src, b.k AS dst,
           CASE WHEN lower(a.fname) = lower(b.fname) THEN CAST(1.0 AS DOUBLE)
@@ -537,10 +577,10 @@ object ContactOps {
           a.suffix <> '' AND lower(a.suffix) = lower(b.suffix) AS suffix_eq,
           lower(a.fname) = lower(b.fname) AS names_align,
           lower(a.suffix) = lower(b.suffix) AS gen_eq,
-          a.source = 'linkedin' OR b.source = 'linkedin' AS has_li_src
+          a.source = 'linkedin' OR b.source = 'linkedin' AS has_li_src$capCol
         FROM mem a JOIN mem b ON a.lname = b.lname AND a.k < b.k
         LEFT JOIN simtab st ON st.sa = least(lower(a.fname), lower(b.fname))
-          AND st.sb = greatest(lower(a.fname), lower(b.fname))),
+          AND st.sb = greatest(lower(a.fname), lower(b.fname))$capJoins),
       edges AS (
         SELECT src, dst FROM (
           SELECT *,
@@ -550,7 +590,8 @@ object ContactOps {
               + CASE WHEN addr_ov THEN 0.5 ELSE 0.0 END
               + CASE WHEN li_eq THEN 0.8 ELSE 0.0 END AS score
           FROM pairs)
-        WHERE (score >= 1.2 OR (sim >= 0.88 AND score >= 0.6))
+        WHERE eligible
+          AND (score >= 1.2 OR (sim >= 0.88 AND score >= 0.6))
           AND (names_align OR email_ov OR li_eq)
           AND (NOT has_li_src OR email_ov OR (names_align AND gen_eq))),
       sym AS MATERIALIZED (
@@ -631,29 +672,47 @@ object ContactOps {
     * sets, lineage cluster membership) IS hashed here. Rows are fully
     * ordered by the entire projection, so the hash is deterministic
     * even under cluster-output ties. */
+  private def mergedProjection(s: SparkSession, dir: String,
+      cfg: ContactLogic.DedupeConfig): DataFrame = {
+    import s.implicits._
+    val merged = Pipeline.dedupeContacts(normalized(s, dir), cfg)
+    merged.map(m => (m.contact.full_name, m.contact.company, m.contact.title,
+        m.contact.linkedin_url,
+        m.contact.emails.map(_.value).mkString("|"),
+        m.contact.phones.map(p =>
+          graft.functions.Phones.withExtension(p.value, p.extension)).mkString("|"),
+        m.source_count.toLong, m.source_row_count.toLong,
+        m.contact.emails.size.toLong, m.contact.phones.size.toLong,
+        m.contact.addresses.size.toLong))
+      .toDF("full_name", "company", "title", "linkedin_url", "emails_list",
+        "phones_list", "source_count", "source_row_count",
+        "n_emails", "n_phones", "n_addresses")
+      .orderBy("full_name", "emails_list", "phones_list", "company", "title",
+        "linkedin_url", "source_count", "source_row_count",
+        "n_emails", "n_phones", "n_addresses")
+  }
+
   val q45 = Q(
     "q45_dedupe_merge",
     "block -> self-join -> R-O merge rule -> connected components -> cluster merge",
-    (s, dir) => {
-      import s.implicits._
-      val norm = normalized(s, dir)
-      val merged = Pipeline.dedupeContacts(norm)
-      merged.map(m => (m.contact.full_name, m.contact.company, m.contact.title,
-          m.contact.linkedin_url,
-          m.contact.emails.map(_.value).mkString("|"),
-          m.contact.phones.map(p =>
-            graft.functions.Phones.withExtension(p.value, p.extension)).mkString("|"),
-          m.source_count.toLong, m.source_row_count.toLong,
-          m.contact.emails.size.toLong, m.contact.phones.size.toLong,
-          m.contact.addresses.size.toLong))
-        .toDF("full_name", "company", "title", "linkedin_url", "emails_list",
-          "phones_list", "source_count", "source_row_count",
-          "n_emails", "n_phones", "n_addresses")
-        .orderBy("full_name", "emails_list", "phones_list", "company", "title",
-          "linkedin_url", "source_count", "source_row_count",
-          "n_emails", "n_phones", "n_addresses")
-    },
-    Some(q45OracleSql))
+    (s, dir) => mergedProjection(s, dir, ContactLogic.DedupeConfig()),
+    Some(q45OracleSql()))
+
+  /** The stop-key scale knob, oracle-checked: same reference-fidelity
+    * dedupe+merge but with matchKeyFrequencyCap = 50, which at sf0.01
+    * bites exactly one key class — the shared "invalid email@@example"
+    * value (75 carriers per affected surname block) that otherwise
+    * bridges unrelated names into junk-key mega-components — while
+    * every legitimate key (class emails/phones df ≈ 4, name keys
+    * df ≈ 10) stays below it. The oracle replicates the exact
+    * generation-only semantics (clique pairs exempt, full evidence for
+    * surviving pairs), so the hash certifies the knob end-to-end. */
+  val q72 = Q(
+    "q72_dedupe_stopkey_cap",
+    "dedupe+merge under the stop-key frequency cap (junk-key mega-components split)",
+    (s, dir) => mergedProjection(s, dir,
+      ContactLogic.DedupeConfig(matchKeyFrequencyCap = Some(50L))),
+    Some(q45OracleSql(cap = Some(50L))))
 
   // -- q46: quality + confidence scoring --------------------------------
 
@@ -1025,5 +1084,5 @@ object ContactOps {
       ORDER BY confidence_score DESC, custkey LIMIT 25"""))
 
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q64, q46, q47, q48,
-    q49, q57, q58, q69, q71)
+    q49, q57, q58, q69, q71, q72)
 }
