@@ -181,8 +181,24 @@ object Pipeline {
         val cand = keyJoin(gen, gen)
           .select(col("x.row_id").as("src"), col("y.row_id").as("dst"))
           .distinct()
-        val evid = slim.select(col("row_id"), col("normNames"), col("lowerNames"),
-          col("nickRoots"), col("emails"), col("phones"), col("addrKeys"),
+        // Evidence arrays must present the same view as the uncapped
+        // key join, which filters k != '': drop empty entries (a
+        // nonempty name can fold to norm ""), and for the lowercase-
+        // equality flag keep only lowercase forms whose folded norm is
+        // nonempty — exactly the entries that carry `lnk` through the
+        // nm-key join. (nickRoots are already empty-filtered at
+        // construction — ContactLogic.toMatchRec.)
+        val lowersKeyed = transform(
+          filter(arrays_zip(col("normNames"), col("lowerNames")),
+            x => x.getField("normNames") =!= ""),
+          x => x.getField("lowerNames"))
+        val evid = slim.select(col("row_id"),
+          array_remove(col("normNames"), "").as("normNames"),
+          lowersKeyed.as("lowerNames"),
+          col("nickRoots"),
+          array_remove(col("emails"), "").as("emails"),
+          array_remove(col("phones"), "").as("phones"),
+          array_remove(col("addrKeys"), "").as("addrKeys"),
           col("linkedin"))
         def ev(side: String) = evid.columns.filter(_ != "row_id")
           .foldLeft(evid)((d, c) => d.withColumnRenamed(c, s"${side}_$c"))
@@ -209,7 +225,15 @@ object Pipeline {
     val scalars = slim.select(col("row_id"), col("lastNorm"), col("suffixNorm"),
       lower(col("suffix")).as("suffixLower"),
       col("isLinkedinSrc"), (size(col("normNames")) > 0).as("named"),
-      (size(col("lowerNames")) === 1).as("single"),
+      // `single` additionally demands a nonempty folded norm: a
+      // combining-mark-only candidate folds to "", whose nickname root
+      // is also "" — Similarity.nicknameEquivalent treats two such
+      // names as equivalent, but the native nr-overlap floor cannot
+      // see them (empty keys are filtered from the inverted index), so
+      // those rare pairs must fall through to the Scala shouldMerge
+      // remainder instead of deciding natively.
+      (size(col("lowerNames")) === 1 &&
+        element_at(col("normNames"), 1) =!= "").as("single"),
       when(size(col("lowerNames")) === 1, element_at(col("lowerNames"), 1))
         .otherwise("").as("cand1"))
     def sc(side: String) = scalars.columns.filter(_ != "row_id")
@@ -266,13 +290,13 @@ object Pipeline {
     // gate, require-corroborator flag) is exact column logic for ANY
     // config. These pairs never deserialize a MatchRec; only
     // nickname-bearing or nameless rows fall through to Scala.
-    graft.plans.SeqRatio.register(normalized.sparkSession)
     val bothSingle = col("a_single") && col("b_single")
     // Lowercase-equal candidates force ratio 1.0 — short-circuit the
     // dominant pair class before the R-O call (WHEN branches lazily
-    // in codegen).
+    // in codegen). The expression is built as a Column directly (no
+    // session function-registry mutation — see GraftColumns).
     val simSingle0 = when(has("ln"), lit(1.0))
-      .otherwise(expr("seq_ratio(a_cand1, b_cand1)"))
+      .otherwise(graft.plans.SeqRatio(col("a_cand1"), col("b_cand1")))
     val simSingle =
       if (cfg.nicknameEquivalence)
         when(has("nr"), greatest(simSingle0, lit(0.96))).otherwise(simSingle0)
@@ -389,6 +413,16 @@ object Pipeline {
     finally edgesP.unpersist()
   }
 
+  /** Release the materialized RDD blocks behind a `localCheckpoint`ed
+    * plan. `Dataset.unpersist` only clears CacheManager entries, not
+    * checkpoint blocks — those normally live until the plan is GC'd. */
+  private def releaseLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Cap on the DISTINCT provisional labels the quotient tier may pull
     * to the driver. The edge-count tier guard bounds quotient *edges*,
     * but a pathological graph (long chains: 5M edges spanning 10M
@@ -430,8 +464,14 @@ object Pipeline {
     val labs = l1.select(col("lab")).distinct()
       .limit(math.min(maxLabels + 1, Int.MaxValue).toInt)
       .as[Long].collect()
-    if (labs.length > maxLabels)
+    if (labs.length > maxLabels) {
+      // Demotion abandons l1 — release its checkpoint blocks now
+      // rather than pinning vertex-scale partitions until GC, which
+      // would happen precisely on the pathological graphs where those
+      // blocks are largest.
+      releaseLocalCheckpoint(l1)
       return distributedComponents(vertexIds, edges)
+    }
     val quotient = edges
       .join(l1.select(col("id").as("src"), col("lab").as("ls")), "src")
       .join(l1.select(col("id").as("dst"), col("lab").as("ld")), "dst")

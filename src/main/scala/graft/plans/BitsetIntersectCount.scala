@@ -63,9 +63,16 @@ case class BitsetIntersectCount(left: Expression, right: Expression)
 }
 
 object BitsetIntersectCount {
-  /** Idempotently register as the SQL function `bitset_intersect_count`
-    * so callers can use it via `expr(...)` without touching private
-    * Column constructors. */
+  /** Column-level entry point — see [[graft.plans.SeqRatio.apply]]:
+    * no session registry mutation. */
+  def apply(l: org.apache.spark.sql.Column, r: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftColumns.column(BitsetIntersectCount(
+      org.apache.spark.sql.GraftColumns.expression(l),
+      org.apache.spark.sql.GraftColumns.expression(r)))
+
+  /** Register as the SQL function `bitset_intersect_count` for the
+    * SQL-string surface; Column-based plans use [[apply]]. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bitset_intersect_count",

@@ -46,9 +46,18 @@ case class SeqRatio(left: Expression, right: Expression)
 }
 
 object SeqRatio {
-  /** Idempotently register as the SQL function `seq_ratio` so callers
-    * can use it via `expr(...)` without touching private Column
-    * constructors. */
+  /** Column-level entry point: builds the expression directly (via
+    * [[org.apache.spark.sql.GraftColumns]]) so plan construction never
+    * mutates the session function registry. */
+  def apply(l: org.apache.spark.sql.Column, r: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftColumns.column(SeqRatio(
+      org.apache.spark.sql.GraftColumns.expression(l),
+      org.apache.spark.sql.GraftColumns.expression(r)))
+
+  /** Register as the SQL function `seq_ratio` for callers on the
+    * SQL-string surface. Column-based plans use [[apply]] instead and
+    * never touch the registry. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "seq_ratio",

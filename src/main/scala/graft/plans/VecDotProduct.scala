@@ -66,7 +66,16 @@ case class VecDotProduct(left: Expression, right: Expression)
 }
 
 object VecDotProduct {
-  /** Idempotently register as the SQL function `vec_dot`. */
+  /** Column-level entry point — see [[graft.plans.SeqRatio.apply]]:
+    * no session registry mutation. */
+  def apply(l: org.apache.spark.sql.Column, r: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftColumns.column(VecDotProduct(
+      org.apache.spark.sql.GraftColumns.expression(l),
+      org.apache.spark.sql.GraftColumns.expression(r)))
+
+  /** Register as the SQL function `vec_dot` for the SQL-string
+    * surface; Column-based plans use [[apply]]. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot",

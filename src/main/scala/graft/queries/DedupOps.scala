@@ -338,11 +338,11 @@ object DedupOps {
     val a = packed.repartition(nPart)
       .select(col("doc_id").as("doc_a"), col("bits").as("ba"), col("n").as("na"))
     val b = packed.select(col("doc_id").as("doc_b"), col("bits").as("bb"), col("n").as("nb"))
-    graft.plans.BitsetIntersectCount.register(toks.sparkSession)
     a.join(b, col("doc_a") < col("doc_b") &&
         greatest(col("na"), col("nb")) <= least(col("na"), col("nb")) * 2)
       .select(col("doc_a"), col("doc_b"),
-        expr("bitset_intersect_count(ba, bb)").as("inter"), col("na"), col("nb"))
+        graft.plans.BitsetIntersectCount(col("ba"), col("bb")).as("inter"),
+        col("na"), col("nb"))
       .select(col("doc_a"), col("doc_b"),
         round(col("inter").cast("double") /
           (col("na") + col("nb") - col("inter")).cast("double"), 4).as("jaccard"))
@@ -393,8 +393,8 @@ object DedupOps {
       // Native sequential-fold dot product (plans.VecDotProduct): the
       // interpreted aggregate(zip_with(...)) form allocated per pair
       // and GC-thrashed the bucketed self-join at high parallelism.
-      graft.plans.VecDotProduct.register(s)
-      val dot = (x: Column, y: Column) => call_function("vec_dot", x, y)
+      // Built as a Column directly — no registry mutation.
+      val dot = (x: Column, y: Column) => graft.plans.VecDotProduct(x, y)
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").as("v"))
         .withColumn("norm", sqrt(dot(col("v"), col("v"))))

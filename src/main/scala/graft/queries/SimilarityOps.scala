@@ -26,12 +26,9 @@ object SimilarityOps {
   /** Native sequential-fold dot product (plans.VecDotProduct): same
     * double accumulation order as the previous
     * aggregate(zip_with(...)) form — bit-identical scores — but
-    * codegen'd with no per-pair allocation. Callers register the
-    * function via [[withDot]]. */
-  private def dot(x: Column, y: Column): Column = call_function("vec_dot", x, y)
-
-  private def withDot(s: org.apache.spark.sql.SparkSession): Unit =
-    graft.plans.VecDotProduct.register(s)
+    * codegen'd with no per-pair allocation. Built as a Column
+    * directly — no session registry mutation. */
+  private def dot(x: Column, y: Column): Column = graft.plans.VecDotProduct(x, y)
 
   private val oDot =
     (a: String, b: String) =>
@@ -46,7 +43,6 @@ object SimilarityOps {
     "q55_cosine_topk",
     s"brute-force cosine top-$TopK neighbors for $NQueries query vectors",
     (s, dir) => {
-      withDot(s)
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").as("v"))
         .withColumn("norm", sqrt(dot(col("v"), col("v"))))
@@ -88,7 +84,6 @@ object SimilarityOps {
     "q56_ann_lsh_topk",
     s"sign-LSH bucketed ANN top-$ATopK for $NQueries query vectors",
     (s, dir) => {
-      withDot(s)
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").as("v"))
         .withColumn("norm", sqrt(dot(col("v"), col("v"))))
@@ -151,7 +146,6 @@ object SimilarityOps {
     "q59_ann_ivf_topk",
     s"IVF($IvfCells,nprobe=$IvfProbe) ANN top-$ATopK for $NQueries query vectors",
     (s, dir) => {
-      withDot(s)
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").as("v"))
         .withColumn("norm", sqrt(dot(col("v"), col("v"))))
