@@ -17,8 +17,13 @@ import org.apache.spark.sql.types.LongType
   * swap `AvailableNow` for a processing-time trigger, add
   * `withWatermark` so window/dedup state is evicted (the reference has
   * no streaming at all — SURVEY.md §2.8 — so watermark policy is ours
-  * to choose), and replace the memory/foreachBatch sinks with a real
-  * sink. Complete-mode output is used here only because it makes the
+  * to choose), and point the parquet sinks at a production table.
+  * Result capture is fully DISTRIBUTED: append-mode streams commit to
+  * a scratch parquet FILE sink and Complete/Update streams write each
+  * `foreachBatch` handle back out as a distributed parquet write —
+  * nothing funnels through the driver, so the capture scales with the
+  * cluster exactly like the stateful operators themselves.
+  * Complete-mode output is used here only because it makes the
   * one-shot result exactly reproducible; its state is bounded by the
   * number of distinct (window, event_type) groups, not by input rows.
   */
@@ -70,21 +75,57 @@ object StreamingOps {
     try f finally s.conf.set("spark.sql.shuffle.partitions", old)
   }
 
-  /** Run a streaming DF to completion into a memory sink; return the
-    * sink table. Query names are dropped first so reruns in one
-    * session (Bench warm loops) don't collide. */
-  private def runToTable(s: SparkSession, df: DataFrame, name: String,
-      mode: OutputMode): DataFrame = withStreamPartitions(s) {
-    s.catalog.dropTempView(name)
-    val q = df.writeStream.format("memory").queryName(name)
-      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+  /** Fresh scratch root per run (data/ + chk/ separated so a
+    * per-batch overwrite of data/ can never clobber the stream's
+    * checkpoint), so Bench warm loops and Verify reruns never append
+    * onto a previous run's commits. */
+  private def scratch(): (String, String) = {
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_")
+    root.toFile.deleteOnExit()
+    (s"$root/data", s"$root/chk")
+  }
+
+  /** Run an append-mode streaming DF to completion into a scratch
+    * parquet FILE sink and read it back as a DISTRIBUTED DataFrame.
+    * The executors write the part files; the driver only tracks the
+    * `_spark_metadata` commit log — at 100× the session/window output
+    * the capture scales with the cluster, where a memory-sink table
+    * (the previous design) would OOM the driver. The read-back uses
+    * the stream's own schema, so an empty result round-trips. */
+  private def runToParquet(s: SparkSession, df: DataFrame): DataFrame =
+    withStreamPartitions(s) {
+      val (data, chk) = scratch()
+      val q = df.writeStream.format("parquet")
+        .option("path", data)
+        .option("checkpointLocation", chk)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.schema(df.schema).parquet(data)
+    }
+
+  /** Complete/Update-mode capture: the parquet file sink is
+    * append-only, so these modes run through `foreachBatch`, writing
+    * each batch handle straight back out as a DISTRIBUTED parquet
+    * write — `overwrite` per batch for Complete (the final batch IS
+    * the full result), `append` for Update (each batch carries only
+    * the newly emitted rows). No `collect`, no driver buffer. */
+  private def runBatchesToParquet[T](s: SparkSession, ds: Dataset[T],
+      mode: OutputMode, perBatch: String): DataFrame = withStreamPartitions(s) {
+    val (data, chk) = scratch()
+    val q = ds.writeStream.outputMode(mode)
+      .option("checkpointLocation", chk)
+      .foreachBatch { (batch: Dataset[T], _: Long) =>
+        batch.toDF().write.mode(perBatch).parquet(data); ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    s.table(name)
+    s.read.schema(ds.toDF().schema).parquet(data)
   }
 
   /** Streaming tumbling-window aggregation: 1-hour event-time windows
     * per event_type, counts + exact-decimal value sums. Complete mode
-    * → the memory sink holds the full windowed result at stream end. */
+    * → the last foreachBatch overwrite IS the full windowed result. */
   val q65 = Q(
     "q65_stream_tumbling",
     "Structured Streaming 1h tumbling windows per event_type (AvailableNow)",
@@ -94,7 +135,7 @@ object StreamingOps {
         .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
         .select(unix_micros(col("window.start")).as("window_start_us"),
           col("event_type"), col("n_events"), col("sum_value"))
-      runToTable(s, agg, "stream_tumbling", OutputMode.Complete())
+      runBatchesToParquet(s, agg, OutputMode.Complete(), "overwrite")
         .orderBy(col("window_start_us"), col("event_type"))
     },
     Some(s"""SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
@@ -113,7 +154,7 @@ object StreamingOps {
       val dedup = eventsStream(s, dir)
         .select(col("user_id"), col("event_type"))
         .dropDuplicates("user_id", "event_type")
-      runToTable(s, dedup, "stream_dedup", OutputMode.Append())
+      runToParquet(s, dedup)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_users"))
         .orderBy(col("event_type"))
@@ -138,17 +179,7 @@ object StreamingOps {
         .groupByKey(_.user_id)
         .flatMapGroupsWithState(
           OutputMode.Update(), GroupStateTimeout.NoTimeout)(sessionize)
-      val buf = new scala.collection.mutable.ArrayBuffer[SessionOut]
-      withStreamPartitions(s) {
-        val q = sessions.writeStream
-          .outputMode(OutputMode.Update())
-          .foreachBatch { (batch: Dataset[SessionOut], _: Long) =>
-            buf.synchronized { buf ++= batch.collect() }; ()
-          }
-          .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
-      }
-      s.createDataFrame(buf.toSeq)
+      runBatchesToParquet(s, sessions, OutputMode.Update(), "append")
         .orderBy(col("user_id"), col("start_us"))
     },
     Some(s"""WITH x AS (
@@ -200,8 +231,8 @@ object StreamingOps {
     * rows inside watermark + interval); with `AvailableNow` over one
     * parquet file the job is a single micro-batch, so no row is
     * watermark-dropped and the result equals the batch join, which is
-    * what the oracle computes. Joined pairs append to the sink; the
-    * per-hour aggregate is a batch query over the sink table. */
+    * what the oracle computes. Joined pairs append to the parquet
+    * sink; the per-hour aggregate is a batch query over its files. */
   val q68 = Q(
     "q68_stream_join",
     "stream-stream interval join: clicks within 10min before same-user purchase",
@@ -221,7 +252,7 @@ object StreamingOps {
           col("c_ts") <= col("p_ts"))
         .select(col("p_id"), col("c_id"),
           unix_micros(col("p_ts")).as("p_us"), unix_micros(col("c_ts")).as("c_us"))
-      runToTable(s, joined, "stream_join", OutputMode.Append())
+      runToParquet(s, joined)
         .groupBy((col("p_us") - pmod(col("p_us"), lit(3600000000L))).as("hour_us"))
         .agg(count(lit(1)).as("n_pairs"),
           countDistinct(col("p_id")).as("n_purchases"),
