@@ -42,16 +42,26 @@ object Bench {
       Scratch.releaseAll() // drop per-query cached intermediates
       name -> dt
     }
+    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // Full-fidelity copy (complete query names, full float precision)
+    // goes to a file: the driver captures only the process TAIL (2000
+    // chars — BENCH_r02/r03 both lost part of the long line), so the
+    // file is the durable record.
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // Also persist to a file: the driver captures the process tail, and
-    // a long stdout line has been truncated before (BENCH_r02 lost
-    // q01-q10); the file copy is immune to tail-capture limits.
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), line + "\n")
     catch { case _: Throwable => () }
-    println(line)
+    // The stdout line the driver parses is kept compact enough to fit
+    // the tail window even with the runner's epilogue after it: qNN
+    // key prefixes (each query name starts with its unique qNN id) and
+    // millisecond precision — ~1 kB for 72 queries. Printed AFTER
+    // spark.stop() so no shutdown logging can push it out of the tail.
+    def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val shortQs = results.map { case (k, v) => s"\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
     spark.stop()
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$shortQs,"sf":"$sfDir"}""")
+    System.out.flush()
   }
 }

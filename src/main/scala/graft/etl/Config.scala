@@ -38,6 +38,13 @@ object Config {
   final case class Resolved(
       inputs: Map[String, Option[String]],
       outputsDir: String,
+      /** `outputs.single_file` (engine extension, default true =
+        * reference-parity single-CSV artifacts). `false` selects the
+        * scale sink mode: part-files written at the upstream
+        * parallelism ([[Artifacts.writeCsv]]); the stage CLIs read
+        * both layouts, so any prefix of the pipeline can run in scale
+        * mode and the rest in parity mode. */
+      outputSingleFile: Boolean,
       normalization: ContactLogic.Settings,
       dedupe: ContactLogic.DedupeConfig,
       quality: Score.QualityWeights,
@@ -158,6 +165,7 @@ object Config {
         "mac_vcf" -> cli.macVcf.orElse(str(y, "inputs", "mac_vcf"))),
       outputsDir = cli.outDir.orElse(str(y, "outputs", "dir"))
         .getOrElse(System.getProperty("user.dir")),
+      outputSingleFile = bool(y, "outputs", "single_file").getOrElse(true),
       normalization = normalization,
       dedupe = dedupe,
       quality = quality,

@@ -14,30 +14,16 @@ import org.apache.spark.sql.SparkSession
   * via [[Config]]).
   */
 object ConsolidateMain {
-  def main(args: Array[String]): Unit = {
-    val Array(linkedinCsv, gmailCsv, macVcf, outDir) = args.take(4)
-    val yamlText = args.lift(4).map(p =>
-      new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8"))
+
+  /** The stage body, separated from session lifecycle so tests can
+    * drive it against their own session (and yaml text directly). */
+  def run(spark: SparkSession, linkedinCsv: String, gmailCsv: String,
+      macVcf: String, outDir: String, yamlText: Option[String] = None): Long = {
     val resolved = Config.load(Config.Cli(
       linkedinCsv = Some(linkedinCsv).filter(_.nonEmpty),
       gmailCsv = Some(gmailCsv).filter(_.nonEmpty),
       macVcf = Some(macVcf).filter(_.nonEmpty),
       outDir = Some(outDir)), yamlText)
-
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel(resolved.logLevel match {
-      case "DEBUG" | "INFO" | "WARN" | "ERROR" => resolved.logLevel
-      case "WARNING" => "WARN"
-      case _ => "WARN"
-    })
-
-    val t0 = System.nanoTime()
     // localCheckpoint: the parsed sources feed normalize AND the raw
     // side of the merge join — materialize the (expensive) multi-format
     // parse once instead of re-running it per consumer.
@@ -47,9 +33,25 @@ object ConsolidateMain {
       resolved.inputs("mac_vcf").getOrElse("")).localCheckpoint(true)
     val normalized = Pipeline.normalize(raw, resolved.normalization)
     val (merged, lineage) = Pipeline.dedupeAndMerge(normalized, raw, resolved.dedupe)
-    Artifacts.writeConsolidated(merged, lineage, resolved.outputsDir)
+    Artifacts.writeConsolidated(merged, lineage, resolved.outputsDir,
+      singleFile = resolved.outputSingleFile)
+    merged.count()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(linkedinCsv, gmailCsv, macVcf, outDir) = args.take(4)
+    val yamlText = StageSession.yaml(args.lift(4))
+    val resolved = Config.load(Config.Cli(outDir = Some(outDir)), yamlText)
+    val spark = StageSession.session()
+    spark.sparkContext.setLogLevel(resolved.logLevel match {
+      case "DEBUG" | "INFO" | "WARN" | "ERROR" => resolved.logLevel
+      case "WARNING" => "WARN"
+      case _ => "WARN"
+    })
+    val t0 = System.nanoTime()
+    val n = run(spark, linkedinCsv, gmailCsv, macVcf, outDir, yamlText)
     val secs = (System.nanoTime() - t0) / 1e9
-    println(f"consolidated ${merged.count()} contacts -> ${resolved.outputsDir} in $secs%.2f s")
+    println(f"consolidated $n contacts -> $outDir in $secs%.2f s")
     spark.stop()
   }
 }

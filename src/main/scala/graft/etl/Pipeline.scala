@@ -13,9 +13,11 @@ import org.apache.spark.storage.StorageLevel
   *   block+pairs inverted-index equi-join on (block, keytype, key) —
   *               candidate volume tracks true key overlap, never the
   *               O(b²) block scan; AQE splits skewed key groups
-  *   decide      threshold-aware codegen fast-accept for the dominant
-  *               pair classes; only the ambiguous remainder pays Scala
-  *               deserialization for Ratcliff–Obershelp
+  *   decide      the merge rule runs as column logic in whole-stage
+  *               codegen (Ratcliff–Obershelp via a custom expression)
+  *               for every pair whose names are representable in the
+  *               key index; only nameless / empty-norm rows pay Scala
+  *               deserialization
   *   components  ≤1M edges: direct driver union-find; 1M-5M: one
   *               distributed hook round, union-find on the quotient
   *               graph; beyond: distributed min-label propagation to
@@ -56,16 +58,18 @@ object Pipeline {
     *  2. a codegen column pre-filter (a NECESSARY condition for a
     *     merge, mirroring the decision gates) runs inside the join, so
     *     non-candidates die in Tungsten without ever materializing;
-    *  3. a codegen **fast accept** decides the dominant pair classes
-    *     natively: raw-lowercase name equality forces seqRatio = 1.0
-    *     and nickname-root overlap forces the 0.96 similarity floor —
-    *     in both cases the full merge rule (relaxed-threshold path +
-    *     nameless-corroborator gate + LinkedIn strict gate +
+    *  3. a fully **native decision** for every pair whose candidate
+    *     names are faithfully represented in the key index (1-2
+    *     candidates per side, all with nonempty folded norms — the
+    *     overwhelming majority): raw-lowercase equality short-circuits
+    *     seqRatio to 1.0, the nickname floor comes from the nr-key
+    *     overlap, and the remaining cross-product max is at most four
+    *     calls of the codegen'd [[graft.plans.SeqRatio]] expression —
+    *     the full merge rule (relaxed-threshold path + nameless-
+    *     corroborator gate + alignment gate + LinkedIn strict gate +
     *     require-corroborator flag) reduces to pure column logic, so
-    *     only the genuinely ambiguous remainder (norm-equal-but-not-
-    *     lowercase-equal names, channel overlaps without name
-    *     alignment, nameless pairs) pays Scala deserialization and the
-    *     Ratcliff–Obershelp evaluation.
+    *     only genuinely nameless / empty-norm rows pay Scala
+    *     deserialization and a typed shouldMerge.
     */
   def acceptedPairs(normalized: Dataset[Contact],
       cfg: ContactLogic.DedupeConfig = ContactLogic.DedupeConfig()): Dataset[Edge] = {
@@ -219,28 +223,38 @@ object Pipeline {
     // Scalar per-row attributes needed by the native decision; joined
     // (broadcast at this scale, hash join at cluster scale) onto the
     // pair table instead of dragging full MatchRec structs through it.
-    // `single`/`cand1`: rows with exactly one first-name candidate
-    // (the overwhelmingly common case — a nickname adds a second)
+    // `native`/`cand1`/`cand2`: a row has at most TWO first-name
+    // candidates (first + parenthesized nickname — ContactLogic
+    // .firstNameCandidates), so the cross-product max of
+    // computeSignals degenerates to ≤4 seqRatio calls, all evaluable
+    // by the codegen [[graft.plans.SeqRatio]] expression. Such rows
     // qualify for the fully native per-pair decision below.
     val scalars = slim.select(col("row_id"), col("lastNorm"), col("suffixNorm"),
       lower(col("suffix")).as("suffixLower"),
       col("isLinkedinSrc"), (size(col("normNames")) > 0).as("named"),
-      // `single` additionally demands a nonempty folded norm: a
+      // `native` additionally demands nonempty folded norms: a
       // combining-mark-only candidate folds to "", whose nickname root
       // is also "" — Similarity.nicknameEquivalent treats two such
       // names as equivalent, but the native nr-overlap floor cannot
       // see them (empty keys are filtered from the inverted index), so
       // those rare pairs must fall through to the Scala shouldMerge
       // remainder instead of deciding natively.
-      (size(col("lowerNames")) === 1 &&
-        element_at(col("normNames"), 1) =!= "").as("single"),
-      when(size(col("lowerNames")) === 1, element_at(col("lowerNames"), 1))
-        .otherwise("").as("cand1"))
+      (size(col("lowerNames")) >= 1 &&
+        !array_contains(col("normNames"), "")).as("native"),
+      when(size(col("lowerNames")) >= 1, element_at(col("lowerNames"), 1))
+        .otherwise("").as("cand1"),
+      when(size(col("lowerNames")) >= 2, element_at(col("lowerNames"), 2))
+        .otherwise("").as("cand2"))
     def sc(side: String) = scalars.columns.filter(_ != "row_id")
       .foldLeft(scalars)((d, c) => d.withColumnRenamed(c, s"${side}_$c"))
-    val pairs = matches
+    // Scoped-persisted: the native branch and the Scala remainder both
+    // filter this table, and without the cache the whole candidate
+    // generation (key join + flag aggregation + scalar joins) executes
+    // once PER BRANCH. The pair table is small — proportional to true
+    // key overlap, already past the generation bottleneck.
+    val pairs = graft.Scratch.scoped(matches
       .join(sc("a").withColumnRenamed("row_id", "src"), "src")
-      .join(sc("b").withColumnRenamed("row_id", "dst"), "dst")
+      .join(sc("b").withColumnRenamed("row_id", "dst"), "dst"))
 
     def has(kt: String) = col(s"f_$kt") === 1
     val emailOv = has("em"); val phoneOv = has("ph")
@@ -280,42 +294,61 @@ object Pipeline {
       (bothCore || corrob > 0) && liGateOk &&
       (if (cfg.requireCorroborator) corrob > 0 else lit(true))
 
-    // Fully native decision for SINGLE-candidate pairs (neither row
-    // has a nickname): with one candidate per side, computeSignals'
-    // cross-product max degenerates to one seqRatio call — evaluated
-    // by the codegen'd [[graft.plans.SeqRatio]] expression — and every
-    // remaining clause of shouldMerge (nickname floor via the nr-key
-    // overlap, score adds in the reference's order, relaxed path,
-    // nameless-corroborator gate, alignment gate, LinkedIn strict
-    // gate, require-corroborator flag) is exact column logic for ANY
-    // config. These pairs never deserialize a MatchRec; only
-    // nickname-bearing or nameless rows fall through to Scala.
-    val bothSingle = col("a_single") && col("b_single")
+    // Fully native decision for pairs whose candidate sets are sound
+    // in the inverted index (every candidate has a nonempty folded
+    // norm — see `native` above): computeSignals' cross-product max
+    // over ≤2 candidates per side is at most four seqRatio calls —
+    // evaluated by the codegen'd [[graft.plans.SeqRatio]] expression —
+    // and every remaining clause of shouldMerge (nickname floor via
+    // the nr-key overlap, score adds in the reference's order, relaxed
+    // path, nameless-corroborator gate, alignment gate, LinkedIn
+    // strict gate, require-corroborator flag) is exact column logic
+    // for ANY config. These pairs never deserialize a MatchRec; only
+    // genuinely nameless / empty-norm rows fall through to Scala.
+    val bothNative = col("a_native") && col("b_native")
     // Lowercase-equal candidates force ratio 1.0 — short-circuit the
-    // dominant pair class before the R-O call (WHEN branches lazily
-    // in codegen). The expression is built as a Column directly (no
-    // session function-registry mutation — see GraftColumns).
-    val simSingle0 = when(has("ln"), lit(1.0))
-      .otherwise(graft.plans.SeqRatio(col("a_cand1"), col("b_cand1")))
-    val simSingle =
+    // dominant pair class before any R-O call, and guard the nickname
+    // slots on candidate presence (WHEN branches lazily in codegen, so
+    // absent slots cost nothing). The expression is built as a Column
+    // directly (no session function-registry mutation — GraftColumns).
+    def ratio(l: Column, r: Column) = graft.plans.SeqRatio(l, r)
+    val simNative0 = when(has("ln"), lit(1.0)).otherwise(greatest(
+      ratio(col("a_cand1"), col("b_cand1")),
+      when(col("a_cand2") === "", lit(0.0))
+        .otherwise(ratio(col("a_cand2"), col("b_cand1"))),
+      when(col("b_cand2") === "", lit(0.0))
+        .otherwise(ratio(col("a_cand1"), col("b_cand2"))),
+      when(col("a_cand2") === "" || col("b_cand2") === "", lit(0.0))
+        .otherwise(ratio(col("a_cand2"), col("b_cand2")))))
+    val simNative =
       if (cfg.nicknameEquivalence)
-        when(has("nr"), greatest(simSingle0, lit(0.96))).otherwise(simSingle0)
-      else simSingle0
+        when(has("nr"), greatest(simNative0, lit(0.96))).otherwise(simNative0)
+      else simNative0
     // Same add order as ContactLogic.computeSignals — float parity.
-    val scoreSingle = lit(0.7) * simSingle + suffixBonus +
+    val scoreNative = lit(0.7) * simNative + suffixBonus +
       when(emailOv, 1.0).otherwise(0.0) + when(phoneOv, 1.0).otherwise(0.0) +
       when(addrOv, 0.5).otherwise(0.0) + when(liEq, 0.8).otherwise(0.0)
-    val okSingle = scoreSingle >= cfg.mergeScoreThreshold ||
-      (simSingle >= cfg.firstNameSimilarityThreshold &&
-        scoreSingle >= cfg.relaxedMergeThreshold)
-    val alignGateSingle = has("nm") || nickAlign || emailOv || liEq
-    val liGateSingle = (!col("a_isLinkedinSrc") && !col("b_isLinkedinSrc")) ||
+    val okNative = scoreNative >= cfg.mergeScoreThreshold ||
+      (simNative >= cfg.firstNameSimilarityThreshold &&
+        scoreNative >= cfg.relaxedMergeThreshold)
+    val alignGateNative = has("nm") || nickAlign || emailOv || liEq
+    val liGateNative = (!col("a_isLinkedinSrc") && !col("b_isLinkedinSrc")) ||
       emailOv ||
       (col("a_lastNorm") === col("b_lastNorm") && (has("nm") || nickAlign) &&
         col("a_suffixNorm") === col("b_suffixNorm"))
-    val decideSingle = okSingle && alignGateSingle && liGateSingle &&
+    // Clause order is the performance contract (codegen And/Or short-
+    // circuit): junk-key candidate pairs — the O(df²) bulk on a skewed
+    // corpus — die at the alignment gate having computed NO seqRatio;
+    // the floor-accept ((exactAlign||nickAlign) && scoreOk, a sound
+    // lower bound — score is monotone in sim and simNative ≥ simFloor
+    // on aligned pairs) accepts the dominant matching classes with NO
+    // seqRatio; only aligned-but-floor-rejected pairs pay the exact
+    // cross-product sim. Equivalence: floorOk ⟹ okNative, so
+    // (floorOk || okNative) ≡ okNative, the exact shouldMerge score.
+    val decideNative = alignGateNative && liGateNative &&
       (bothCore || corrob > 0) &&
-      (if (cfg.requireCorroborator) corrob > 0 else lit(true))
+      (if (cfg.requireCorroborator) corrob > 0 else lit(true)) &&
+      (((exactAlign || nickAlign) && scoreOk) || okNative)
 
     // Necessary condition for any merge (the decision gates): name-
     // bearing pairs must align on normalized name, nickname root, email
@@ -325,13 +358,13 @@ object Pipeline {
         .otherwise(corrob > 0)
 
     val nativeEdges = pairs
-      .where((bothSingle && decideSingle) || (!bothSingle && nativeAccept))
+      .where((bothNative && decideNative) || (!bothNative && nativeAccept))
       .select(col("src"), col("dst")).as[Edge]
-    // Only the ambiguous multi-candidate/nameless remainder pays
-    // MatchRec deserialization and the Scala shouldMerge.
+    // Only the nameless / empty-norm remainder pays MatchRec
+    // deserialization and the Scala shouldMerge.
     val recs = slim.select(col("row_id"),
       struct(slim.columns.toIndexedSeq.map(col): _*).as("rec"))
-    val scalaEdges = pairs.where(!bothSingle && !nativeAccept && candidateFilter)
+    val scalaEdges = pairs.where(!bothNative && !nativeAccept && candidateFilter)
       .select(col("src"), col("dst"))
       .join(recs.select(col("row_id").as("src"), col("rec").as("a")), "src")
       .join(recs.select(col("row_id").as("dst"), col("rec").as("b")), "dst")

@@ -311,18 +311,26 @@ object Stages {
 
 /** `contacts-validate` equivalent: consolidated CSVs in, validation
   * report + scored contacts out.
-  * Usage: runMain graft.etl.ValidateMain <outputsDir> */
+  * Usage: runMain graft.etl.ValidateMain <outputsDir> [configYamlPath] */
 object ValidateMain {
+  def run(spark: SparkSession, dir: String, yamlText: Option[String] = None): Unit = {
+    val resolved = Config.load(Config.Cli(), yamlText)
+    val contacts = Stages.readArtifactCsv(spark, Stages.artifactPath(dir, "consolidated_contacts"))
+    val flattened = Stages.readArtifactCsv(spark, Stages.artifactPath(dir, "flattened_contacts"))
+    val (report, scored) = Stages.validate(contacts, flattened, resolved.quality)
+    Artifacts.writeCsv(report, s"$dir/validation_report",
+      singleFile = resolved.outputSingleFile)
+    Artifacts.writeCsv(scored, s"$dir/contact_quality_scored",
+      singleFile = resolved.outputSingleFile)
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val spark = StageSession.session()
     val t0 = System.nanoTime()
-    val contacts = Stages.readArtifactCsv(spark, Stages.artifactPath(dir, "consolidated_contacts"))
-    val flattened = Stages.readArtifactCsv(spark, Stages.artifactPath(dir, "flattened_contacts"))
-    val (report, scored) = Stages.validate(contacts, flattened)
-    Artifacts.writeCsv(report, s"$dir/validation_report")
-    Artifacts.writeCsv(scored, s"$dir/contact_quality_scored")
+    run(spark, dir, StageSession.yaml(args.lift(1)))
     println(f"validate stage in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    val scored = Stages.readArtifactCsv(spark, Stages.artifactPath(dir, "contact_quality_scored"))
     val s = Score.validationSummary(
       scored.select(col("contact_id"),
         col("email_total").cast("int").as("email_total"),
@@ -334,24 +342,31 @@ object ValidateMain {
 }
 
 /** `contacts-confidence` equivalent.
-  * Usage: runMain graft.etl.ConfidenceMain <outputsDir> */
+  * Usage: runMain graft.etl.ConfidenceMain <outputsDir> [configYamlPath] */
 object ConfidenceMain {
-  def main(args: Array[String]): Unit = {
-    val dir = args(0)
-    val spark = StageSession.session()
+  def run(spark: SparkSession, dir: String, yamlText: Option[String] = None): Unit = {
+    val resolved = Config.load(Config.Cli(), yamlText)
     val contacts = Stages.readArtifactCsv(spark, Stages.artifactPath(dir, "consolidated_contacts"))
     val validation = Stages.readArtifactCsv(spark, Stages.artifactPath(dir, "validation_report"))
     val flattened = Stages.readArtifactCsv(spark, Stages.artifactPath(dir, "flattened_contacts"))
-    val t0 = System.nanoTime()
     val (report, summary) = Stages.confidence(contacts, validation, flattened)
-    Artifacts.writeCsv(report, s"$dir/confidence_report")
+    Artifacts.writeCsv(report, s"$dir/confidence_report",
+      singleFile = resolved.outputSingleFile)
     // Fixed bucket order is part of the artifact contract; re-sorted
     // inside the single output partition (repartition(1) has no
-    // ordering guarantee — see Artifacts.writeCsv).
+    // ordering guarantee — see Artifacts.writeCsv). The 4-row summary
+    // stays single-file in scale mode too: it IS driver-sized.
     Artifacts.writeCsv(summary, s"$dir/confidence_summary",
       sortCols = Seq(when(col("bucket") === "very_high", 0)
         .when(col("bucket") === "high", 1)
         .when(col("bucket") === "medium", 2).otherwise(3)))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val spark = StageSession.session()
+    val t0 = System.nanoTime()
+    run(spark, dir, StageSession.yaml(args.lift(1)))
     println(f"confidence stage in ${(System.nanoTime() - t0) / 1e9}%.2f s")
     spark.stop()
   }
@@ -361,30 +376,42 @@ object ConfidenceMain {
   * Usage: runMain graft.etl.TagMain <outputsDir> <gmailCsv> <macVcf>
   * (pass "" for a missing source). */
 object TagMain {
-  def main(args: Array[String]): Unit = {
-    val Array(dir, gmailCsv, macVcf) = args.take(3)
+  def run(spark: SparkSession, dir: String, gmailCsv: String, macVcf: String,
+      yamlText: Option[String] = None): Unit = {
     // With a yaml config the tagging lists resolve like the reference's
     // --config path (config.yaml semantics); without one the reference
     // CLI's no-config defaults apply (Tag.CliDefaultSettings).
-    val settings = StageSession.yaml(args.lift(3))
+    val settings = yamlText
       .map(y => Config.load(Config.Cli(), Some(y)).tagging)
       .getOrElse(Tag.CliDefaultSettings)
-    val spark = StageSession.session()
+    val singleFile = Config.load(Config.Cli(), yamlText).outputSingleFile
     val contacts = Stages.readArtifactCsv(spark, Stages.artifactPath(dir, "consolidated_contacts"))
     val lineage = Stages.readArtifactCsv(spark, Stages.artifactPath(dir, "consolidated_lineage"))
     val confidence = Stages.readArtifactCsv(spark, Stages.artifactPath(dir, "confidence_report"))
     val notes = graft.sources.Sources.gmailNotes(spark, gmailCsv)
       .unionByName(graft.sources.Sources.vcfNotes(spark, macVcf))
-    val t0 = System.nanoTime()
     val (tagged, targets) = Stages.tag(contacts, lineage, notes, confidence, settings)
-    Artifacts.writeCsv(tagged, s"$dir/tagged_contacts")
+    Artifacts.writeCsv(tagged, s"$dir/tagged_contacts", singleFile = singleFile)
     // referral_targets is a RANKED deliverable: re-assert the ranking
     // inside the single output partition (same keys as Stages.tag's
     // orderBy) so the written order never depends on shuffle fetch
-    // order.
-    Artifacts.writeCsv(targets, s"$dir/referral_targets",
-      sortCols = Seq(col("referral_priority_score").desc,
-        col("confidence_score").desc, col("contact_id")))
+    // order. In scale mode the ranking becomes a global sort whose
+    // range-partitioned part-files concatenate to the ranked order.
+    if (singleFile)
+      Artifacts.writeCsv(targets, s"$dir/referral_targets",
+        sortCols = Seq(col("referral_priority_score").desc,
+          col("confidence_score").desc, col("contact_id")))
+    else
+      Artifacts.writeCsv(targets.orderBy(col("referral_priority_score").desc,
+          col("confidence_score").desc, col("contact_id")),
+        s"$dir/referral_targets", singleFile = false)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(dir, gmailCsv, macVcf) = args.take(3)
+    val spark = StageSession.session()
+    val t0 = System.nanoTime()
+    run(spark, dir, gmailCsv, macVcf, StageSession.yaml(args.lift(3)))
     println(f"tag stage in ${(System.nanoTime() - t0) / 1e9}%.2f s")
     spark.stop()
   }

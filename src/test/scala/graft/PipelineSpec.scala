@@ -265,6 +265,46 @@ class PipelineSpec extends AnyFunSuite {
     assert(capped == Set((1L, 5L)))
   }
 
+  test("skewed block: shared junk phone creates no merges; cap prunes generation only") {
+    import spark.implicits._
+    def c(id: Long) = Contact.blank(id)
+    // The pathological blocking input (combine_contacts.py:1149-1152
+    // is the reference's per-block O(b²) bound): ONE surname block
+    // holds every record, every record carries the same call-center
+    // phone (df 24 >> cap), and each identity appears twice sharing a
+    // personal email (df 2). Cross-identity candidate pairs arise only
+    // through the junk phone and must ALL be rejected by the
+    // name-alignment gate (a phone overlap does not align names);
+    // same-identity pairs must merge through their sub-cap keys. So
+    // the capped run must emit EXACTLY the uncapped edge set — the
+    // generation-only-suppression contract on the skew shape it
+    // exists for.
+    val raw = (0L until 24L).map { i =>
+      val ident = i / 2
+      c(i).copy(source = if (i % 2 == 0) "gmail" else "mac_vcf",
+        source_row_id = i.toString,
+        first_name = s"Pat$ident", last_name = "Smith",
+        emails = Seq(EmailEntry(s"pat$ident@x.com", "home")),
+        phones = Seq(PhoneEntry("+16175550000", "work", ""),
+          PhoneEntry(f"+1617556${1000 + ident}%04d", "mobile", "")))
+    }
+    val norm = Pipeline.normalize(raw.toDS()).collect().toSeq
+    val recs = norm.map(ContactLogic.toMatchRec)
+    assert(recs.map(_.block).distinct == Seq("smith")) // genuinely one block
+    val expected = (for {
+      a <- recs; b <- recs
+      if a.row_id < b.row_id && ContactLogic.shouldMerge(a, b, ContactLogic.DedupeConfig())
+    } yield (a.row_id, b.row_id)).toSet
+    assert(expected == (0L until 24L by 2).map(i => (i, i + 1)).toSet)
+    val uncapped = Pipeline.acceptedPairs(norm.toDS()).collect()
+      .map(e => (e.src, e.dst)).toSet
+    val capped = Pipeline.acceptedPairs(norm.toDS(),
+        ContactLogic.DedupeConfig(matchKeyFrequencyCap = Some(10L))).collect()
+      .map(e => (e.src, e.dst)).toSet
+    assert(uncapped == expected)
+    assert(capped == uncapped)
+  }
+
   test("flatten projects first valid channel per label bucket") {
     import spark.implicits._
     val m = MergedContact(

@@ -7,7 +7,17 @@ Contacts CSV and a vCard 3.0 file describing overlapping slices of one
 identity population, with nickname/case/punctuation variation and
 shared channels so the dedupe stage has real work to do.
 
-Usage: python3 tools/throughput_gen.py <outDir> <nIdentities>
+Usage: python3 tools/throughput_gen.py <outDir> <nIdentities> [skewFrac]
+
+With skewFrac (e.g. 0.2), that fraction of identities lands in ONE
+surname block ("Smith") — the pathological blocking skew the design
+fears — with digit-distinguished first names (identities stay
+separable, so merge decisions are unaffected), and every third skewed
+vCard also carries a shared call-center line (+16175550000), a junk
+match key whose df is in the thousands: uncapped candidate generation
+pays O(df^2) pairs there (all rejected by the name-alignment gate),
+while `dedupe.match_key_frequency_cap` suppresses the key from
+generation without changing any decision.
 """
 import csv, random, sys, os
 
@@ -33,9 +43,13 @@ CITIES = ["Braintree", "Quincy", "Weymouth", "Boston", "Cambridge",
           "Albany", "Hartford", "Providence"]
 
 
-def identity(i, rnd):
+def identity(i, rnd, skew=0.0):
     first = FIRSTS[i % len(FIRSTS)]
     last = f"{LAST_STEMS[i % len(LAST_STEMS)]}{i % 97:02d}"
+    skewed = skew > 0 and i % max(2, round(1 / skew)) == 0
+    if skewed:
+        first = f"{first}{i:05d}"
+        last = "Smith"
     email = f"{first.lower()}.{last.lower()}{i}@example.com"
     phone = f"+1617555{i % 10000:04d}"
     company = COMPANIES[i % len(COMPANIES)] if i % 3 else ""
