@@ -247,14 +247,21 @@ object Pipeline {
         .otherwise("").as("cand2"))
     def sc(side: String) = scalars.columns.filter(_ != "row_id")
       .foldLeft(scalars)((d, c) => d.withColumnRenamed(c, s"${side}_$c"))
-    // Scoped-persisted: the native branch and the Scala remainder both
-    // filter this table, and without the cache the whole candidate
-    // generation (key join + flag aggregation + scalar joins) executes
-    // once PER BRANCH. The pair table is small — proportional to true
-    // key overlap, already past the generation bottleneck.
-    val pairs = graft.Scratch.scoped(matches
+    // One cheap probe on the checkpointed slim table decides the plan
+    // SHAPE: a corpus whose every row is native (the overwhelming
+    // case) gets a single-consumer, single-branch plan — no pair-table
+    // cache, no typed-remainder subtree to analyze or execute. Only
+    // when nameless / empty-norm rows exist does the two-branch plan
+    // build, and then the pair table is scope-persisted because both
+    // branches filter it — without the cache the whole candidate
+    // generation (key join + flag aggregation + scalar joins) would
+    // execute once PER BRANCH.
+    val anyNonNative = slim.where(size(col("lowerNames")) === 0 ||
+      array_contains(col("normNames"), "")).limit(1).count() > 0
+    val pairs0 = matches
       .join(sc("a").withColumnRenamed("row_id", "src"), "src")
-      .join(sc("b").withColumnRenamed("row_id", "dst"), "dst"))
+      .join(sc("b").withColumnRenamed("row_id", "dst"), "dst")
+    val pairs = if (anyNonNative) graft.Scratch.scoped(pairs0) else pairs0
 
     def has(kt: String) = col(s"f_$kt") === 1
     val emailOv = has("em"); val phoneOv = has("ph")
@@ -356,6 +363,11 @@ object Pipeline {
     val candidateFilter =
       when(bothNamed, has("nm") || exactAlign || nickAlign || emailOv || liEq)
         .otherwise(corrob > 0)
+
+    if (!anyNonNative)
+      return pairs.where(decideNative)
+        .select(col("src"), col("dst")).as[Edge]
+        .union(cliqueEdges)
 
     val nativeEdges = pairs
       .where((bothNative && decideNative) || (!bothNative && nativeAccept))

@@ -59,12 +59,13 @@ def identity(i, rnd, skew=0.0):
                 company=company, title=title, url=url)
 
 
-def main(outdir, n):
+def main(outdir, n, skew=0.0):
     rnd = random.Random(42)
     os.makedirs(outdir, exist_ok=True)
     li, gm, vc = [], [], []
     for i in range(n):
-        p = identity(i, rnd)
+        p = identity(i, rnd, skew)
+        skewed = skew > 0 and i % max(2, round(1 / skew)) == 0
         r = rnd.random()
         in_li = r < 0.55
         in_gm = 0.30 < r < 0.75
@@ -95,6 +96,10 @@ def main(outdir, n):
             if rnd.random() < 0.8:
                 lines.append(f"EMAIL;TYPE=INTERNET;TYPE=WORK:{p['email']}")
             lines.append(f"TEL;TYPE=CELL:{p['phone']}")
+            if skewed and i % 15 == 0:
+                # shared call-center line: a junk match key with df in
+                # the thousands inside the skewed surname block
+                lines.append("TEL;TYPE=WORK:+16175550000")
             if p["company"]:
                 lines.append(f"ORG:{p['company']}")
             lines.append("END:VCARD")
@@ -122,4 +127,5 @@ def main(outdir, n):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], int(sys.argv[2]))
+    main(sys.argv[1], int(sys.argv[2]),
+         float(sys.argv[3]) if len(sys.argv) > 3 else 0.0)
