@@ -93,56 +93,58 @@ object DedupOps {
     * row; the band self-join emits candidates; verify is exact Jaccard
     * over the per-doc hash sets (collisions map both engines
     * identically, so counts agree). */
-  val q51 = Q(
-    "q51_minhash_lsh",
-    "MinHash(12)/LSH(4x3) candidate pairs verified at Jaccard >= 0.8",
-    (s, dir) => {
-      val tk = t(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"), toks(col("text")).as("tk"))
-        .where(size(col("tk")) >= 3)
-      val hashed = tk
-        .select(col("doc_id"), explode(shingles3FromToks(col("tk"))).as("shingle"))
-        .select(col("doc_id"), (h60(col("shingle")) % P).as("h"))
-      val minAggs = AB.zipWithIndex.map { case ((a, b), i) =>
-        min((lit(a) * col("h") + lit(b)) % P).as(s"m$i") }
-      // Scratch.scoped: compressed columnar cache shared by the three
-      // consumers, released by the harness after the query's action —
-      // neither session-pinned (the r01 leak) nor raw-row checkpointed
-      // (2-5x the memory of the columnar cache at corpus scale).
-      val sig = graft.Scratch.scoped(hashed.groupBy(col("doc_id"))
-        .agg(minAggs.head, minAggs.tail :+ sort_array(collect_set(col("h"))).as("hs"): _*))
-      val banded = sig.select(col("doc_id"), expr(
-        (0 until Bands).map { bnd =>
-          val key = (0 until RowsPerBand).map(r => s"m${bnd * RowsPerBand + r}")
-            .mkString("concat_ws(',', ", ", ", ")")
-          s"$bnd, $key"
-        }.mkString(s"stack($Bands, ", ", ", ") as (band, key)")))
-      val cand = banded.as("a")
-        .join(banded.as("b"),
-          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      cand
-        .join(sig.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
-        .join(sig.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
-        .select(col("doc_a"), col("doc_b"),
-          round(size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
-            size(array_union(col("hs_a"), col("hs_b"))).cast("double"), 4)
-            .as("jaccard"))
-        .where(col("jaccard") >= 0.8)
-        .orderBy(col("doc_a"), col("doc_b"))
-    },
-    Some {
-      val mins = AB.zipWithIndex.map { case ((a, b), i) =>
-        s"min(($a * h + $b) % $P) AS m$i" }.mkString(",\n          ")
-      val bandRows = (0 until Bands).map { bnd =>
-        val key = (0 until RowsPerBand).map(r => s"CAST(m${bnd * RowsPerBand + r} AS VARCHAR)")
-          .mkString(" || ',' || ")
-        s"SELECT doc_id, $bnd AS band, $key AS key FROM sig"
-      }.mkString("\n        UNION ALL ")
-      s"""WITH sh AS ($oShingles3),
+  /** MinHash-LSH verified near-dup pairs (doc_a, doc_b, jaccard) —
+    * shared by q51 (pair listing) and q73 (cluster rollup). */
+  private def minhashPairs(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val tk = t(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .where(size(col("tk")) >= 3)
+    val hashed = tk
+      .select(col("doc_id"), explode(shingles3FromToks(col("tk"))).as("shingle"))
+      .select(col("doc_id"), (h60(col("shingle")) % P).as("h"))
+    val minAggs = AB.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("h") + lit(b)) % P).as(s"m$i") }
+    // Scratch.scoped: compressed columnar cache shared by the three
+    // consumers, released by the harness after the query's action —
+    // neither session-pinned (the r01 leak) nor raw-row checkpointed
+    // (2-5x the memory of the columnar cache at corpus scale).
+    val sig = graft.Scratch.scoped(hashed.groupBy(col("doc_id"))
+      .agg(minAggs.head, minAggs.tail :+ sort_array(collect_set(col("h"))).as("hs"): _*))
+    val banded = sig.select(col("doc_id"), expr(
+      (0 until Bands).map { bnd =>
+        val key = (0 until RowsPerBand).map(r => s"m${bnd * RowsPerBand + r}")
+          .mkString("concat_ws(',', ", ", ", ")")
+        s"$bnd, $key"
+      }.mkString(s"stack($Bands, ", ", ", ") as (band, key)")))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sig.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
+          size(array_union(col("hs_a"), col("hs_b"))).cast("double"), 4)
+          .as("jaccard"))
+      .where(col("jaccard") >= 0.8)
+  }
+
+  /** DuckDB CTE chain computing the same verified pair set, ending in a
+    * `pairs(doc_a, doc_b, jaccard)` relation — shared by the q51/q73
+    * oracles. */
+  private def oMinhashPairsCtes: String = {
+    val mins = AB.zipWithIndex.map { case ((a, b), i) =>
+      s"min(($a * h + $b) % $P) AS m$i" }.mkString(",\n          ")
+    val bandRows = (0 until Bands).map { bnd =>
+      val key = (0 until RowsPerBand).map(r => s"CAST(m${bnd * RowsPerBand + r} AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, $bnd AS band, $key AS key FROM sig"
+    }.mkString("\n        UNION ALL ")
+    s"""WITH sh AS ($oShingles3),
       hashed AS (
         SELECT doc_id, ${oH60("shingle")} % $P AS h
         FROM (SELECT doc_id, unnest(sh) AS shingle FROM sh)),
@@ -156,14 +158,77 @@ object DedupOps {
       cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM banded a JOIN banded b
-          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
-      SELECT doc_a, doc_b, jaccard FROM (
-        SELECT doc_a, doc_b,
-          round(CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) /
-                CAST(len(list_distinct(sa.hs || sb.hs)) AS DOUBLE), 4) AS jaccard
-        FROM cand JOIN sig sa ON cand.doc_a = sa.doc_id
-                  JOIN sig sb ON cand.doc_b = sb.doc_id)
-      WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b"""
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+      pairs AS MATERIALIZED (
+        SELECT doc_a, doc_b, jaccard FROM (
+          SELECT doc_a, doc_b,
+            round(CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) /
+                  CAST(len(list_distinct(sa.hs || sb.hs)) AS DOUBLE), 4) AS jaccard
+          FROM cand JOIN sig sa ON cand.doc_a = sa.doc_id
+                    JOIN sig sb ON cand.doc_b = sb.doc_id)
+        WHERE jaccard >= 0.8)"""
+  }
+
+  val q51 = Q(
+    "q51_minhash_lsh",
+    "MinHash(12)/LSH(4x3) candidate pairs verified at Jaccard >= 0.8",
+    (s, dir) => minhashPairs(s, dir).orderBy(col("doc_a"), col("doc_b")),
+    Some(s"""$oMinhashPairsCtes
+      SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b"""))
+
+  /** Near-dup CLUSTERS: the canonical-selection step every dedupe
+    * pipeline needs after pair generation — verified pairs become an
+    * undirected graph, connected components assign cluster ids, and
+    * each cluster keeps its minimum doc_id as the canonical survivor
+    * (the reference's transitive closure + merge applied to documents
+    * instead of contacts, combine_contacts.py:1132-1146). Reuses the
+    * tiered [[graft.etl.Pipeline.connectedComponents]], so the same
+    * driver/quotient/distributed scaling story applies: at 100 TB the
+    * pair volume is LSH-bounded and the closure never materializes
+    * vertex-scale state on the driver. */
+  val q73 = Q(
+    "q73_neardup_clusters",
+    "MinHash-LSH pairs -> connected components -> canonical doc per cluster",
+    (s, dir) => {
+      import s.implicits._
+      val pairs = minhashPairs(s, dir)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .as[graft.etl.Pipeline.Edge]
+      val verts = pairs.select(col("src")).union(pairs.select(col("dst")))
+        .distinct().as[java.lang.Long]
+      val comps = graft.etl.Pipeline.connectedComponents(verts, pairs)
+      comps.groupBy(col("comp"))
+        .agg(min(col("id")).as("canonical_id"),
+          count(lit(1)).as("n_docs"),
+          concat_ws(",", transform(sort_array(collect_list(col("id"))),
+            x => x.cast("string"))).as("members"))
+        .select(col("canonical_id"), col("n_docs"), col("members"))
+        .orderBy(col("canonical_id"))
+    },
+    Some {
+      // Min-label closure over the pair graph, same chained
+      // MATERIALIZED-CTE device as the q64 oracle (DuckDB inlines
+      // plain CTEs — the chain would re-evaluate exponentially).
+      // Near-dup clusters are near-cliques, so 10 rounds is far past
+      // the worst-case diameter at oracle scale.
+      val steps = (1 to 10).map { i =>
+        s"""l$i AS MATERIALIZED (
+        SELECT v.k, least(v.lab, coalesce(min(n.lab), v.lab)) AS lab
+        FROM l${i - 1} v
+        LEFT JOIN sym e ON e.a = v.k
+        LEFT JOIN l${i - 1} n ON n.k = e.b
+        GROUP BY v.k, v.lab)"""
+      }.mkString(",\n      ")
+      s"""$oMinhashPairsCtes,
+      sym AS MATERIALIZED (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs),
+      l0 AS MATERIALIZED (SELECT DISTINCT a AS k, a AS lab FROM sym),
+      $steps
+      SELECT min(k) AS canonical_id,
+        count(*) AS n_docs,
+        string_agg(CAST(k AS VARCHAR), ',' ORDER BY k) AS members
+      FROM l10 GROUP BY lab ORDER BY canonical_id"""
     })
 
   /** 32-bit SimHash near-dup pairs.
@@ -428,5 +493,5 @@ object DedupOps {
         FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
       WHERE cosine >= 0.35 ORDER BY vec_a, vec_b"""))
 
-  val all: Seq[Q] = Seq(q50, q51, q52, q53, q54)
+  val all: Seq[Q] = Seq(q50, q51, q52, q53, q54, q73)
 }

@@ -313,5 +313,99 @@ object TextOps {
         FROM g)
       GROUP BY doc_id ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38)
+  // PII regexes — restricted to the syntax subset Java regex (Spark)
+  // and RE2 (DuckDB) treat identically: character classes, bounded
+  // repetition, no backrefs/lookaround.
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** PII redaction — the scrub step a training-data pipeline runs
+    * before anything leaves the raw zone. The corpus text is synthetic
+    * word salad, so each document deterministically composes a
+    * contact line (2/3 of docs get an email, 3/4 a phone, from the
+    * doc_id) that BOTH engines derive identically; masking then runs
+    * as pure codegen `regexp_replace` — one narrow pass per document,
+    * no UDFs, trivially 100 TB-parallel. The hash compare covers the
+    * full redacted text, so any regex-dialect divergence fails loudly. */
+  val q74 = Q(
+    "q74_pii_redact",
+    "email/phone PII masking with per-doc match counts (codegen regexp)",
+    (s, dir) => {
+      val email = when(col("doc_id") % 3 =!= 0,
+        concat(lit("user"), col("doc_id"), lit("@example.com"))).otherwise("")
+      val phone = when(col("doc_id") % 4 =!= 0,
+        concat(lit("617-555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise("")
+      val composed = concat(substring(col("text"), 1, 80),
+        lit(" contact: "), email, lit(" tel "), phone, lit(" ref 12-34"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), composed.as("text"))
+        .select(col("doc_id"),
+          regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+            PhoneRe, "<PHONE>").as("redacted"),
+          regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_emails"),
+          regexp_count(col("text"), lit(PhoneRe)).cast("long").as("n_phones"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH composed AS (
+        SELECT doc_id,
+          substring(text, 1, 80) || ' contact: ' ||
+          (CASE WHEN doc_id % 3 <> 0
+                THEN 'user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END) ||
+          ' tel ' ||
+          (CASE WHEN doc_id % 4 <> 0
+                THEN '617-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END) ||
+          ' ref 12-34' AS text
+        FROM documents)
+      SELECT doc_id,
+        regexp_replace(regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'),
+          '$PhoneRe', '<PHONE>', 'g') AS redacted,
+        CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_emails,
+        CAST(len(regexp_extract_all(text, '$PhoneRe')) AS BIGINT) AS n_phones
+      FROM composed ORDER BY doc_id"""))
+
+  /** Deterministic sequence packing — the manifest step that groups
+    * documents into fixed token-budget training rows. Docs are hashed
+    * into 32 independent buckets and packed greedily in doc_id order
+    * inside each bucket: pack_id = floor(running-tokens-before / B).
+    * The window runs PARTITIONED (never a global single-partition
+    * sort), so at 100 TB each bucket packs in parallel and the output
+    * manifest is the per-pack rollup. */
+  val q75 = Q(
+    "q75_pack_sequences",
+    "token-budget sequence packing manifest (bucketed running-sum window)",
+    (s, dir) => {
+      val B = 2048L
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("bucket")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      t(s, dir, "documents")
+        .select(col("doc_id"), (col("doc_id") % 32).as("bucket"),
+          size(tokens(col("text"))).cast("long").as("n_tokens"))
+        .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .withColumn("pack_id", floor(col("cum_before").cast("double") / B).cast("long"))
+        .groupBy(col("bucket"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy(col("bucket"), col("pack_id"))
+    },
+    Some("""WITH tok AS (
+        SELECT doc_id, doc_id % 32 AS bucket,
+          CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_tokens
+        FROM documents),
+      packed AS (
+        SELECT *,
+          CAST(floor(CAST(coalesce(sum(n_tokens) OVER (
+              PARTITION BY bucket ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+            / 2048) AS BIGINT) AS pack_id
+        FROM tok)
+      SELECT bucket, pack_id, count(*) AS n_docs,
+        CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+        min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      FROM packed GROUP BY bucket, pack_id ORDER BY bucket, pack_id"""))
+
+  val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q74, q75)
 }
