@@ -35,6 +35,11 @@ object Pipeline {
   final case class Pair(left: Long, right: Long)
   final case class Edge(src: Long, dst: Long)
 
+  /** Name-key sentinel for candidates whose folded norm is "" — NUL
+    * never occurs in a folded norm, so the sentinel can only match
+    * itself (see the key-index construction in [[acceptedPairs]]). */
+  private val EmptyNormKey = "\u0000"
+
   /** Per-record normalization: a narrow typed map — it inherits the
     * INPUT layout's parallelism. Callers whose layout under-partitions
     * (a single small parquet split, a handful of big exports) should
@@ -133,10 +138,22 @@ object Pipeline {
     // double the largest key groups and the join volume), each name key
     // row carries its lowercase form in `lnk` and the pair aggregation
     // recovers the lowercase-equality flag as max(x.lnk == y.lnk).
+    //
+    // A raw-nonempty candidate whose folded norm is "" (combining-mark-
+    // only name) still participates in the reference's alignment rule —
+    // norm("" ) == norm("") aligns, and two empty nickname roots are
+    // nickname-equivalent — so it emits a SENTINEL name key instead of
+    // vanishing from the index (empty norms equal only each other, so
+    // the sentinel pairs exactly the rows the reference's per-block
+    // scan would align). Such rows are excluded from the native
+    // decision (`native` below); the sentinel only guarantees their
+    // pairs are GENERATED, and the typed shouldMerge decides them.
     def tagged(kt: String, arr: Column) =
       transform(arr, x => struct(lit(kt).as("kt"), x.as("k"), lit(null: String).as("lnk")))
     val nameKeys = transform(arrays_zip(col("normNames"), col("lowerNames")),
-      x => struct(lit("nm").as("kt"), x.getField("normNames").as("k"),
+      x => struct(lit("nm").as("kt"),
+        when(x.getField("normNames") === "", EmptyNormKey)
+          .otherwise(x.getField("normNames")).as("k"),
         x.getField("lowerNames").as("lnk")))
     val keys = slim.select(col("row_id"), col("block"), cqCol.as("cq"),
         explode(concat(
@@ -186,19 +203,20 @@ object Pipeline {
           .select(col("x.row_id").as("src"), col("y.row_id").as("dst"))
           .distinct()
         // Evidence arrays must present the same view as the uncapped
-        // key join, which filters k != '': drop empty entries (a
-        // nonempty name can fold to norm ""), and for the lowercase-
-        // equality flag keep only lowercase forms whose folded norm is
-        // nonempty — exactly the entries that carry `lnk` through the
-        // nm-key join. (nickRoots are already empty-filtered at
-        // construction — ContactLogic.toMatchRec.)
-        val lowersKeyed = transform(
-          filter(arrays_zip(col("normNames"), col("lowerNames")),
-            x => x.getField("normNames") =!= ""),
-          x => x.getField("lowerNames"))
+        // key join: empty norms map to the same sentinel the key index
+        // emits (so two empty-norm candidates overlap, mirroring the
+        // reference's ""=="" alignment), identity-typed keys filter
+        // k != '', and the lowercase arrays stay FULL — raw-lowercase
+        // equality implies norm equality, so every lowercase-equal
+        // candidate pair shares a key row (real or sentinel) in the
+        // nm-key join and carries `lnk` through it. (nickRoots are
+        // already empty-filtered at construction —
+        // ContactLogic.toMatchRec.)
+        val normsKeyed = transform(col("normNames"),
+          x => when(x === "", EmptyNormKey).otherwise(x))
         val evid = slim.select(col("row_id"),
-          array_remove(col("normNames"), "").as("normNames"),
-          lowersKeyed.as("lowerNames"),
+          normsKeyed.as("normNames"),
+          col("lowerNames"),
           col("nickRoots"),
           array_remove(col("emails"), "").as("emails"),
           array_remove(col("phones"), "").as("phones"),

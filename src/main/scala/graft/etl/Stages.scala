@@ -381,10 +381,10 @@ object TagMain {
     // With a yaml config the tagging lists resolve like the reference's
     // --config path (config.yaml semantics); without one the reference
     // CLI's no-config defaults apply (Tag.CliDefaultSettings).
-    val settings = yamlText
-      .map(y => Config.load(Config.Cli(), Some(y)).tagging)
-      .getOrElse(Tag.CliDefaultSettings)
-    val singleFile = Config.load(Config.Cli(), yamlText).outputSingleFile
+    val resolved = Config.load(Config.Cli(), yamlText)
+    val settings =
+      if (yamlText.isDefined) resolved.tagging else Tag.CliDefaultSettings
+    val singleFile = resolved.outputSingleFile
     val contacts = Stages.readArtifactCsv(spark, Stages.artifactPath(dir, "consolidated_contacts"))
     val lineage = Stages.readArtifactCsv(spark, Stages.artifactPath(dir, "consolidated_lineage"))
     val confidence = Stages.readArtifactCsv(spark, Stages.artifactPath(dir, "confidence_report"))

@@ -175,8 +175,13 @@ class PipelineSpec extends AnyFunSuite {
 
   test("acceptedPairs closure matches brute force on random corpora") {
     import spark.implicits._
+    // "́̂" is a combining-mark-only name: raw-nonempty but
+    // NFKD-folds to "", so its nm/nr keys vanish from the inverted
+    // index — such rows must take the typed Scala remainder (the
+    // `native` eligibility gate), and their presence flips the probe
+    // that otherwise builds the single-branch plan.
     val firsts = Seq("Bob", "Robert", "BOB", "Liz", "Elizabeth", "Bill",
-      "William", "José", "Jose", "Carol", "")
+      "William", "José", "Jose", "Carol", "", "́̂")
     val lasts = Seq("Smith", "Jones", "O'Neil", "")
     val suffixes = Seq("", "", "Jr", "Sr")
     val sources = Seq("gmail", "linkedin", "mac_vcf")
@@ -263,6 +268,39 @@ class PipelineSpec extends AnyFunSuite {
     // decision still saw the email evidence (bare name score 0.7 alone
     // would not pass the 1.2 threshold).
     assert(capped == Set((1L, 5L)))
+  }
+
+  test("combining-mark-only names pair via the sentinel name key") {
+    import spark.implicits._
+    def c(id: Long) = Contact.blank(id)
+    // Raw-distinct names that both NFKD-fold to "": the reference's
+    // alignment rule pairs them (norm "" == norm "", and two empty
+    // nickname roots are equivalent → 0.96 floor → relaxed accept),
+    // but their name keys vanish from the inverted index — the
+    // sentinel key must generate the pair, and the typed shouldMerge
+    // must decide it (they are excluded from the native decision).
+    val raw = Seq(
+      c(0).copy(source = "gmail", source_row_id = "0",
+        first_name = "́", last_name = "Smith"),
+      c(1).copy(source = "gmail", source_row_id = "1",
+        first_name = "̂", last_name = "Smith"),
+      c(2).copy(source = "gmail", source_row_id = "2",
+        first_name = "Ann", last_name = "Smith")).toDS()
+    val norm = Pipeline.normalize(raw).collect().toSeq
+    val recs = norm.map(ContactLogic.toMatchRec)
+    val expected = (for {
+      a <- recs; b <- recs
+      if a.row_id < b.row_id && a.block == b.block
+      if ContactLogic.shouldMerge(a, b, ContactLogic.DedupeConfig())
+    } yield (a.row_id, b.row_id)).toSet
+    assert(expected == Set((0L, 1L))) // the gap case really is accepted
+    val got = Pipeline.acceptedPairs(norm.toDS()).collect()
+      .map(e => (e.src, e.dst)).toSet
+    val capped = Pipeline.acceptedPairs(norm.toDS(),
+        ContactLogic.DedupeConfig(matchKeyFrequencyCap = Some(10L))).collect()
+      .map(e => (e.src, e.dst)).toSet
+    assert(got == expected)
+    assert(capped == expected)
   }
 
   test("skewed block: shared junk phone creates no merges; cap prunes generation only") {
