@@ -572,6 +572,15 @@ object Pipeline {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = vertexIds.toDF("id").withColumn("comp", col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Convergence via an exact monotone checksum: every label op below
+    // is a min against the current label (hook) or a comp-of-comp
+    // lookup where comp ≤ id invariantly, so per-vertex labels never
+    // increase — the label table changed iff Σcomp strictly decreased.
+    // One decimal(38,0) aggregate over the checkpointed result replaces
+    // the former labels⋈next equality join per round.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var iterations = 0
     while (!converged && iterations < 50) {
@@ -594,11 +603,11 @@ object Pipeline {
       val next = hooked.join(parents, hooked("comp") === parents("pid"), "left")
         .select(hooked("id"), coalesce(col("pcomp"), hooked("comp")).as("comp"))
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("comp", "old_comp"), "id")
-        .where(col("comp") =!= col("old_comp")).limit(1).count()
+      val newSum = labelSum(next)
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = newSum.compareTo(prevSum) == 0
+      prevSum = newSum
       iterations += 1
     }
     symmetric.unpersist()
