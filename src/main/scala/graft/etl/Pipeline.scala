@@ -579,7 +579,8 @@ object Pipeline {
     // One decimal(38,0) aggregate over the checkpointed result replaces
     // the former labels⋈next equality join per round.
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0)
+      df.agg(coalesce(sum(col("comp").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)"))).head.getDecimal(0)
     var prevSum = labelSum(labels)
     var converged = false
     var iterations = 0
