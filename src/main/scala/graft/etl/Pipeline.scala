@@ -155,87 +155,118 @@ object Pipeline {
         when(x.getField("normNames") === "", EmptyNormKey)
           .otherwise(x.getField("normNames")).as("k"),
         x.getField("lowerNames").as("lnk")))
-    val keys = slim.select(col("row_id"), col("block"), cqCol.as("cq"),
-        explode(concat(
-          nameKeys,
-          tagged("nr", col("nickRoots")),
-          tagged("em", col("emails")),
-          tagged("ph", col("phones")),
-          tagged("ak", col("addrKeys")),
-          tagged("li", array(col("linkedin"))))).as("e"))
+    val nameStructs = concat(nameKeys, tagged("nr", col("nickRoots")))
+    val chanStructs = concat(
+      tagged("em", col("emails")),
+      tagged("ph", col("phones")),
+      tagged("ak", col("addrKeys")),
+      tagged("li", array(col("linkedin"))))
+
+    // ---- Signature-representative collapse for name keys --------------
+    // The clique collapse removes SAME-clique pairs, but a popular name
+    // still fans out across cliques (suffix variants, nickname-bearing
+    // rows, linkedin vs not), and row-level name keys would stream
+    // O(g²) matched rows through the join for a g-row name group — the
+    // one remaining quadratic on a name-skewed corpus. Name-only
+    // acceptance, however, depends ONLY on the name-decision signature
+    // (block, candidate arrays, norms, roots, lastNorm, suffix forms,
+    // linkedin-source flag): channel evidence is monotone-positive, so
+    // if any cross-group pair is accepted without a shared channel key,
+    // the pair of group REPRESENTATIVES is accepted too — and pairs
+    // WITH a shared channel key are generated by that channel key
+    // independently. One rep per signature therefore emits the nm/nr
+    // keys, rows inside a signature group are already spanned by the
+    // clique chains (a signature refines the clique key), and the
+    // closure is unchanged while name-key join volume drops from
+    // O(g²) to O(s²) in the signature count s. Gated on the same
+    // soundness flag as the cliques (the chains must exist) and on
+    // core rows (nameless rows never name-only-accept).
+    val sigCol = concat_ws("\u0002",
+      col("block"),
+      concat_ws("\u0001", col("lowerNames")),
+      concat_ws("\u0001", col("normNames")),
+      concat_ws("\u0001", col("nickRoots")),
+      col("lastNorm"), col("suffixNorm"), lower(col("suffix")),
+      col("isLinkedinSrc").cast("string"))
+    val wSig = org.apache.spark.sql.expressions.Window.partitionBy(sigCol)
+    val slimR = slim.withColumn("__rep",
+      if (cliquesOn) !coreRow || (col("row_id") === min(col("row_id")).over(wSig))
+      else lit(true))
+
+    def keyTable(structs: Column): DataFrame = slimR
+      .select(col("row_id"), col("block"), cqCol.as("cq"), explode(structs).as("e"))
       .select(col("row_id"), col("block"), col("cq"), col("e.kt").as("kt"),
-        col("e.k").as("k"), col("e.lnk").as("lnk"))
+        col("e.k").as("k"))
       .where(col("k") =!= "")
       .distinct()
-    // One 0/1 flag column per keytype instead of collect_set: primitive
-    // max() aggregates stay in codegen hash aggregation, where a set
-    // aggregate forces the object-hash path over millions of pair
-    // groups.
-    val KeyTypes = Seq("nm", "nr", "em", "ph", "ak", "li")
-    val flagAggs = KeyTypes.map(kt =>
-      max(when(col("x.kt") === kt, 1).otherwise(0)).as(s"f_$kt")) :+
-      max(when(col("x.lnk").isNotNull && col("x.lnk") === col("y.lnk"), 1)
-        .otherwise(0)).as("f_ln")
     def keyJoin(left: DataFrame, right: DataFrame) =
       left.as("x").join(right.as("y"),
         col("x.block") === col("y.block") && col("x.kt") === col("y.kt") &&
           col("x.k") === col("y.k") && col("x.row_id") < col("y.row_id") &&
           col("x.cq") =!= col("y.cq"))
+
+    // Evidence is computed from the per-row ARRAYS for every candidate
+    // pair (not from which keys happened to generate it — a rep-
+    // collapsed or cap-suppressed key must not erase evidence): empty
+    // norms map to the same sentinel the key index emits (two
+    // empty-norm candidates overlap, mirroring the reference's ""==""
+    // alignment); the lowercase arrays stay full — raw-lowercase
+    // equality implies norm equality, so every lowercase-equal
+    // candidate pair also norm-aligns; identity-typed arrays drop ""
+    // entries exactly like the key index. (nickRoots are already
+    // empty-filtered at construction — ContactLogic.toMatchRec.)
+    val normsKeyed = transform(col("normNames"),
+      x => when(x === "", EmptyNormKey).otherwise(x))
+    val evid = slim.select(col("row_id"),
+      normsKeyed.as("normNames"),
+      col("lowerNames"),
+      col("nickRoots"),
+      array_remove(col("emails"), "").as("emails"),
+      array_remove(col("phones"), "").as("phones"),
+      array_remove(col("addrKeys"), "").as("addrKeys"),
+      col("linkedin"))
+    def ev(side: String) = evid.columns.filter(_ != "row_id")
+      .foldLeft(evid)((d, c) => d.withColumnRenamed(c, s"${side}_$c"))
+    def withEvidence(cand: DataFrame): DataFrame = cand
+      .join(ev("a").withColumnRenamed("row_id", "src"), "src")
+      .join(ev("b").withColumnRenamed("row_id", "dst"), "dst")
+      .select(col("src"), col("dst"),
+        arrays_overlap(col("a_normNames"), col("b_normNames")).cast("int").as("f_nm"),
+        arrays_overlap(col("a_nickRoots"), col("b_nickRoots")).cast("int").as("f_nr"),
+        arrays_overlap(col("a_emails"), col("b_emails")).cast("int").as("f_em"),
+        arrays_overlap(col("a_phones"), col("b_phones")).cast("int").as("f_ph"),
+        arrays_overlap(col("a_addrKeys"), col("b_addrKeys")).cast("int").as("f_ak"),
+        (col("a_linkedin") =!= "" && col("a_linkedin") === col("b_linkedin"))
+          .cast("int").as("f_li"),
+        arrays_overlap(col("a_lowerNames"), col("b_lowerNames")).cast("int").as("f_ln"))
+
     val matches = cfg.matchKeyFrequencyCap match {
       case None =>
-        keyJoin(keys, keys)
-          .groupBy(col("x.row_id").as("src"), col("y.row_id").as("dst"))
-          .agg(flagAggs.head, flagAggs.tail: _*)
+        // Rep-collapsed name keys + row-level channel keys.
+        val gen = keyTable(concat(
+          filter(nameStructs, _ => col("__rep")), chanStructs))
+        withEvidence(keyJoin(gen, gen)
+          .select(col("x.row_id").as("src"), col("y.row_id").as("dst"))
+          .distinct())
       case Some(cap) =>
         // Stop-key suppression (see DedupeConfig.matchKeyFrequencyCap):
         // keys above the frequency cap are dropped from candidate
         // GENERATION only — the join volume on a junk key is O(df²),
         // which no decision rule downstream can afford to materialize.
         // Surviving candidate pairs are then scored against their FULL
-        // (uncapped) key arrays via array intersections, so every
-        // emitted decision is identical to the uncapped rule's.
+        // (uncapped) key arrays, so every emitted decision is identical
+        // to the uncapped rule's. Keys stay ROW-level here: the cap's
+        // document-frequency contract counts records, and suppression
+        // already bounds any mega-key's join volume.
+        val keys = keyTable(concat(nameStructs, chanStructs))
         val eligible = keys.groupBy(col("block"), col("kt"), col("k"))
           .agg(count(lit(1)).as("kdf"))
           .where(col("kdf") <= cap)
           .select(col("block"), col("kt"), col("k"))
         val gen = keys.join(eligible, Seq("block", "kt", "k"))
-        val cand = keyJoin(gen, gen)
+        withEvidence(keyJoin(gen, gen)
           .select(col("x.row_id").as("src"), col("y.row_id").as("dst"))
-          .distinct()
-        // Evidence arrays must present the same view as the uncapped
-        // key join: empty norms map to the same sentinel the key index
-        // emits (so two empty-norm candidates overlap, mirroring the
-        // reference's ""=="" alignment), identity-typed keys filter
-        // k != '', and the lowercase arrays stay FULL — raw-lowercase
-        // equality implies norm equality, so every lowercase-equal
-        // candidate pair shares a key row (real or sentinel) in the
-        // nm-key join and carries `lnk` through it. (nickRoots are
-        // already empty-filtered at construction —
-        // ContactLogic.toMatchRec.)
-        val normsKeyed = transform(col("normNames"),
-          x => when(x === "", EmptyNormKey).otherwise(x))
-        val evid = slim.select(col("row_id"),
-          normsKeyed.as("normNames"),
-          col("lowerNames"),
-          col("nickRoots"),
-          array_remove(col("emails"), "").as("emails"),
-          array_remove(col("phones"), "").as("phones"),
-          array_remove(col("addrKeys"), "").as("addrKeys"),
-          col("linkedin"))
-        def ev(side: String) = evid.columns.filter(_ != "row_id")
-          .foldLeft(evid)((d, c) => d.withColumnRenamed(c, s"${side}_$c"))
-        cand
-          .join(ev("a").withColumnRenamed("row_id", "src"), "src")
-          .join(ev("b").withColumnRenamed("row_id", "dst"), "dst")
-          .select(col("src"), col("dst"),
-            arrays_overlap(col("a_normNames"), col("b_normNames")).cast("int").as("f_nm"),
-            arrays_overlap(col("a_nickRoots"), col("b_nickRoots")).cast("int").as("f_nr"),
-            arrays_overlap(col("a_emails"), col("b_emails")).cast("int").as("f_em"),
-            arrays_overlap(col("a_phones"), col("b_phones")).cast("int").as("f_ph"),
-            arrays_overlap(col("a_addrKeys"), col("b_addrKeys")).cast("int").as("f_ak"),
-            (col("a_linkedin") =!= "" && col("a_linkedin") === col("b_linkedin"))
-              .cast("int").as("f_li"),
-            arrays_overlap(col("a_lowerNames"), col("b_lowerNames")).cast("int").as("f_ln"))
+          .distinct())
     }
 
     // Scalar per-row attributes needed by the native decision; joined
