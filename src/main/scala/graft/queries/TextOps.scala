@@ -407,5 +407,110 @@ object TextOps {
         min(doc_id) AS first_doc, max(doc_id) AS last_doc
       FROM packed GROUP BY bucket, pack_id ORDER BY bucket, pack_id"""))
 
-  val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q74, q75)
+  /** Repetition-based quality signals (the Gopher-rule family): the
+    * fraction of tokens covered by the single most frequent word
+    * bigram, and the duplicate-token ratio. Both are one explode + two
+    * hash aggregations per document — narrow, codegen, no state —
+    * exactly the per-document scrub pass a 100 TB corpus gets before
+    * training. */
+  val q76 = Q(
+    "q76_repetition_quality",
+    "duplicate-token ratio + top-bigram coverage fraction per document",
+    (s, dir) => {
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .where(size(col("toks")) >= 2)
+        .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("n_tokens"),
+          size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
+      val top = base
+        .select(col("doc_id"), col("n_tokens"),
+          explode(transform(sequence(lit(1), size(col("toks")) - 1),
+            i => concat_ws(" ", element_at(col("toks"), i),
+              element_at(col("toks"), i + 1)))).as("bg"))
+        .groupBy(col("doc_id"), col("n_tokens"), col("bg"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"), col("n_tokens"))
+        .agg(max(col("c")).as("top_bg"))
+      base.select(col("doc_id"), col("n_tokens"), col("n_distinct"))
+        .join(top.select(col("doc_id"),
+          round(col("top_bg") * 2.0 / col("n_tokens"), 4).as("top_bigram_frac")),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("n_tokens"),
+          round(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"), 4)
+            .as("dup_token_ratio"),
+          col("top_bigram_frac"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH tok AS (
+        SELECT doc_id, toks,
+          CAST(len(toks) AS BIGINT) AS n_tokens,
+          CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+        FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS toks FROM documents)
+        WHERE len(toks) >= 2),
+      bg AS (
+        SELECT doc_id, n_tokens, bg, count(*) AS c
+        FROM (SELECT doc_id, n_tokens,
+                unnest(list_transform(range(1, len(toks)),
+                  i -> toks[i] || ' ' || toks[i+1])) AS bg
+              FROM tok)
+        GROUP BY doc_id, n_tokens, bg),
+      top AS (SELECT doc_id, round(max(c) * 2.0 / n_tokens, 4) AS top_bigram_frac
+              FROM bg GROUP BY doc_id, n_tokens)
+      SELECT tok.doc_id, n_tokens,
+        round(1.0 - CAST(n_distinct AS DOUBLE) / n_tokens, 4) AS dup_token_ratio,
+        top_bigram_frac
+      FROM tok JOIN top ON tok.doc_id = top.doc_id
+      ORDER BY tok.doc_id"""))
+
+  /** Train/eval decontamination — the overlap audit every benchmark-
+    * honest training pipeline runs: which val/test documents (q36's
+    * deterministic split) share a word 8-gram with any train document?
+    * Shingles hash to 60-bit ints, so the audit is a distinct-hash
+    * equi-join whose volume tracks TRUE contamination, never the
+    * train×eval cross product; at 100 TB both sides shuffle only
+    * (doc_id, hash) pairs. */
+  val q77 = Q(
+    "q77_decontamination",
+    "val/test docs sharing an 8-gram shingle with any train doc",
+    (s, dir) => {
+      val sh = t(s, dir, "documents")
+        .select(col("doc_id"),
+          (h60(concat(lit("split:"), col("doc_id"))) % 100).as("b"),
+          tokens(col("text")).as("toks"))
+        .where(size(col("toks")) >= 8)
+        .select(col("doc_id"),
+          when(col("b") < 90, "train").when(col("b") < 95, "val")
+            .otherwise("test").as("split"),
+          explode(array_distinct(transform(sequence(lit(1), size(col("toks")) - 7),
+            i => h60(concat_ws(" ",
+              (0 until 8).map(o => element_at(col("toks"), i + o)): _*)))))
+            .as("h"))
+      val train = sh.where(col("split") === "train")
+        .select(col("h"), col("doc_id").as("train_doc")).distinct()
+      sh.where(col("split") =!= "train")
+        .join(train, "h")
+        .groupBy(col("doc_id"), col("split"))
+        .agg(countDistinct(col("h")).as("n_shared_shingles"),
+          countDistinct(col("train_doc")).as("n_train_docs"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH sh AS (
+        SELECT doc_id,
+          CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split,
+          unnest(list_distinct(list_transform(range(1, len(toks) - 6),
+            i -> ${oH60("toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7]")}))) AS h
+        FROM (SELECT doc_id, ${oH60("'split:' || CAST(doc_id AS VARCHAR)")} % 100 AS b,
+                string_split_regex(trim(text), ' +') AS toks
+              FROM documents)
+        WHERE len(toks) >= 8),
+      train AS (SELECT DISTINCT h, doc_id AS train_doc FROM sh WHERE split = 'train')
+      SELECT sh.doc_id, sh.split,
+        count(DISTINCT sh.h) AS n_shared_shingles,
+        count(DISTINCT train.train_doc) AS n_train_docs
+      FROM sh JOIN train ON sh.h = train.h
+      WHERE sh.split <> 'train'
+      GROUP BY sh.doc_id, sh.split ORDER BY sh.doc_id"""))
+
+  val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38,
+    q74, q75, q76, q77)
 }
