@@ -83,8 +83,20 @@ object Pipeline {
     // rows once (no columnar-cache conversion) AND truncates the
     // logical plan, so the several downstream actions stop re-analyzing
     // the full normalize lineage — at this plan size Catalyst analysis
-    // was half the stage's cold wall-clock.
-    val slim = normalized.map(ContactLogic.toMatchRec).localCheckpoint(true)
+    // was half the stage's cold wall-clock. The non-native row count
+    // (nameless / empty-folded-norm candidates — rows the native
+    // decision cannot represent) rides the SAME materialization job as
+    // an accumulator, so the plan-shape probe below costs no extra
+    // Spark job.
+    // (Transformation-side accumulators can over-count on task retry —
+    // harmless here: only EXISTENCE is tested, and every increment
+    // corresponds to a real row, so >0 has no false positives.)
+    val nonNativeAcc = normalized.sparkSession.sparkContext.longAccumulator
+    val slim = normalized.map { c =>
+      val r = ContactLogic.toMatchRec(c)
+      if (r.lowerNames.isEmpty || r.normNames.contains("")) nonNativeAcc.add(1)
+      r
+    }.localCheckpoint(true)
 
     // ---- Exact-name clique collapse -----------------------------------
     // Rows agreeing on (block, first candidate lowercase, lastNorm,
@@ -305,8 +317,7 @@ object Pipeline {
     // branches filter it — without the cache the whole candidate
     // generation (key join + flag aggregation + scalar joins) would
     // execute once PER BRANCH.
-    val anyNonNative = slim.where(size(col("lowerNames")) === 0 ||
-      array_contains(col("normNames"), "")).limit(1).count() > 0
+    val anyNonNative = nonNativeAcc.value > 0
     val pairs0 = matches
       .join(sc("a").withColumnRenamed("row_id", "src"), "src")
       .join(sc("b").withColumnRenamed("row_id", "dst"), "dst")
