@@ -81,6 +81,28 @@ class ReferenceParitySpec extends AnyFunSuite {
       collectRows(Artifacts.flattenedContacts(merged)))
   }
 
+  /** Third corpus (round 4): combining-mark-only given names ("́",
+    * "̂") — the reference's parser normalizes these into namelessness,
+    * so the two rows must NOT merge (nameless pairs need a
+    * corroborator; the phones differ). Captured from a real reference
+    * run; certifies the engine's behavior on the degenerate-name path
+    * end-to-end, not just against the Scala merge-rule model. */
+  private lazy val artifacts3: (Seq[Map[String, String]], Seq[Map[String, String]], Seq[Map[String, String]]) = {
+    val raw = Sources.loadAll(spark, "", res("gmail3.csv"), "")
+    val normalized = Pipeline.normalize(raw)
+    val (merged, lineage) = Pipeline.dedupeAndMerge(normalized, raw)
+    (collectRows(Artifacts.consolidatedContacts(merged)),
+      collectRows(Artifacts.consolidatedLineage(lineage)),
+      collectRows(Artifacts.flattenedContacts(merged)))
+  }
+
+  test("corpus 3 (combining-mark names): consolidated/lineage/flattened parity") {
+    assertParity("golden3_consolidated_contacts.csv", artifacts3._1, Seq("contact_id"))
+    assertParity("golden3_consolidated_lineage.csv", artifacts3._2,
+      Seq("contact_id", "source", "source_row_id"))
+    assertParity("golden3_flattened_contacts.csv", artifacts3._3, Seq("contact_id"))
+  }
+
   test("consolidated_contacts matches the reference byte-for-byte (incl. contact_ids)") {
     assertParity("golden_consolidated_contacts.csv", artifacts._1, Seq("contact_id"))
   }
