@@ -18,10 +18,11 @@ import org.apache.spark.storage.StorageLevel
   *               for every pair whose names are representable in the
   *               key index; only nameless / empty-norm rows pay Scala
   *               deserialization
-  *   components  ≤1M edges: direct driver union-find; 1M-5M: one
-  *               distributed hook round, union-find on the quotient
-  *               graph; beyond: distributed min-label propagation to
-  *               fixpoint
+  *   components  ≤1M edges: direct driver union-find; beyond:
+  *               distributed contraction rounds (hook to min label,
+  *               take the quotient graph) until the remainder fits
+  *               the bounded driver union-find, with pointer-jumping
+  *               as the shrink-resistant fallback
   *   merge       groupByKey(component).mapGroups — ONE shuffle; cluster
   *               sizes are bounded by duplicate multiplicity, so the
   *               per-group fold is O(dups) not O(n)
@@ -455,27 +456,22 @@ object Pipeline {
     * pathological edge volume. */
   val DriverUnionFindMaxEdges = 5000000L
 
-  /** Above this edge count, one distributed min-label contraction round
-    * runs before the driver union-find: each vertex hooks to
-    * min(self, neighbors), and only the QUOTIENT graph (distinct label
-    * pairs across original edges) is collected. Duplicate-heavy corpora
-    * produce near-clique components whose quotient is a handful of
-    * edges, so the driver never materializes the redundant bulk.
-    * Below this size a direct collect (~30 MB at the threshold) beats
-    * the contraction's two extra shuffles. */
+  /** Above this edge count the contraction loop runs instead of a
+    * direct edge collect. Below this size a direct collect (~30 MB at
+    * the threshold) beats the contraction's extra shuffles. */
   val ContractionMinEdges = 1000000L
 
   /** Connected components over the accepted-pair edges.
     *
-    * Small edge sets (the normal case — see [[DriverUnionFindMaxEdges]])
+    * Small edge sets (the normal case — see [[ContractionMinEdges]])
     * use union-find with path compression on the driver, mirroring the
     * reference's transitive closure (combine_contacts.py:1132-1146) in
     * two Spark jobs (count + collect); vertices absent from the edge
-    * list keep their own id without ever shuffling. Large edge sets fall
-    * back to iterative min-label propagation: every vertex starts as its
-    * own component; each round joins labels across edges (both
-    * directions) and keeps the minimum; stops at fixpoint in O(log n)
-    * rounds.
+    * list keep their own id without ever shuffling. Large edge sets go
+    * through [[contractionComponents]]: distributed min-hook rounds
+    * shrink the graph to its quotient until the remainder fits the
+    * bounded driver union-find (or, for shrink-resistant graphs, the
+    * pointer-jumping fallback finishes distributedly).
     */
   def connectedComponents(vertexIds: Dataset[java.lang.Long], edges: Dataset[Edge]): DataFrame = {
     val spark = vertexIds.sparkSession
@@ -483,27 +479,10 @@ object Pipeline {
     val edgesP = edges.persist(StorageLevel.MEMORY_AND_DISK)
     val edgeCount = edgesP.count()
 
-    // Driver union-find with path compression over an edge iterator.
-    def unionFind(es: Iterator[Edge]): Long => Long = {
-      val parent = scala.collection.mutable.Map.empty[Long, Long]
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-        var c = x
-        while (parent.getOrElse(c, c) != c) { val n = parent.getOrElse(c, c); parent(c) = r; c = n }
-        r
-      }
-      es.foreach { e =>
-        val (ra, rb) = (find(e.src), find(e.dst))
-        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
-      }
-      find
-    }
-
     if (edgeCount <= ContractionMinEdges) {
       val collected = edgesP.collect()
       edgesP.unpersist()
-      val find = unionFind(collected.iterator)
+      val find = unionFind(collected.iterator.map(e => (e.src, e.dst)))
       val labels = collected.iterator.flatMap(e => Iterator(e.src, e.dst))
         .toSet.iterator.map((v: Long) => v -> find(v)).toMap
       val lookup = spark.sparkContext.broadcast(labels)
@@ -511,11 +490,25 @@ object Pipeline {
         .select(col("id"), udf((id: Long) => lookup.value.getOrElse(id, id))
           .apply(col("id")).as("comp"))
     }
-    if (edgeCount <= DriverUnionFindMaxEdges)
-      return try quotientComponents(vertexIds, edgesP)
-      finally edgesP.unpersist()
-    try distributedComponents(vertexIds, edgesP)
+    try contractionComponents(vertexIds, edgesP)
     finally edgesP.unpersist()
+  }
+
+  /** Driver union-find with path compression over an edge iterator. */
+  private def unionFind(es: Iterator[(Long, Long)]): Long => Long = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent.getOrElse(c, c); parent(c) = r; c = n }
+      r
+    }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    find
   }
 
   /** Release the materialized RDD blocks behind a `localCheckpoint`ed
@@ -528,81 +521,111 @@ object Pipeline {
       case _ => ()
     }
 
-  /** Cap on the DISTINCT provisional labels the quotient tier may pull
-    * to the driver. The edge-count tier guard bounds quotient *edges*,
-    * but a pathological graph (long chains: 5M edges spanning 10M
-    * vertices) keeps one distinct label per ~vertex; past this cap the
-    * tier demotes itself to [[distributedComponents]] instead of
-    * collecting a vertex-scale array. */
-  val QuotientMaxLabels = 5000000L
+  /** When a contraction round shrinks the quotient edge count by less
+    * than this factor, the graph is shrink-resistant (a long path: the
+    * min-hook quotient of an id-ascending chain loses ONE edge per
+    * round) and the loop demotes to [[distributedComponents]], whose
+    * pointer-jumping converges in O(log diameter) regardless of
+    * shape. */
+  val ContractionStallFactor = 1.5
 
-  /** Two-phase connected components: (1) distributed hook — every
-    * vertex takes min(self, neighbors) as a provisional label; (2) the
-    * original edges are mapped through those labels and only DISTINCT
-    * label pairs (the quotient graph) reach the driver union-find. Any
-    * original edge links vertices whose provisional labels are joined
-    * in the quotient, so find(l1(v)) is a sound component id;
-    * duplicate-heavy corpora collapse near-cliques onto a handful of
-    * quotient edges instead of collecting the bulk.
+  /** Connected components by iterated graph contraction (the
+    * "alternating/contraction" family — Kiveris et al., Connected
+    * Components in MapReduce and Beyond, SoCC'14 — specialized to
+    * min-label hooks).
     *
-    * Driver exposure is bounded on BOTH axes: quotient edges by the
-    * caller's edge-count tier guard, and distinct labels by
-    * `maxLabels` (exceeded → demote to the fully distributed tier).
-    * The per-vertex label table itself never leaves the cluster: the
-    * final mapping is vertexIds ⟕ l1 ⟕ broadcast(label→root), a
-    * codegen broadcast-hash join rather than a closure-captured map
-    * UDF. */
-  private[graft] def quotientComponents(vertexIds: Dataset[java.lang.Long],
-      edges: Dataset[Edge], maxLabels: Long = QuotientMaxLabels): DataFrame = {
+    * Per round, on the current graph g (initially the input edges):
+    *   hook      every endpoint takes l(v) = min(v, min neighbor) —
+    *             ONE groupBy over the symmetrized edges; no per-vertex
+    *             label table is threaded between rounds, so no
+    *             edges⋈labels join ever runs
+    *   quotient  g's edges mapped through l, self-loops dropped,
+    *             distinct — near-clique components (the dedupe
+    *             workload) collapse to almost nothing in one round
+    *   escape    quotient ≤ [[DriverUnionFindMaxEdges]] → collect it,
+    *             finish with driver union-find (driver exposure is
+    *             bounded by that single cap: the union-find only ever
+    *             sees quotient EDGES, never a vertex-scale table)
+    *   demote    quotient shrank < [[ContractionStallFactor]]× →
+    *             pointer-jumping fallback on the contracted graph
+    *
+    * The final labeling composes the per-round maps outward from the
+    * original vertex ids (each map is vertex-scale of a strictly
+    * smaller graph), is materialized once, and every intermediate
+    * checkpoint is released before returning — nothing stays pinned
+    * for the caller's session. */
+  private[graft] def contractionComponents(vertexIds: Dataset[java.lang.Long],
+      edges: Dataset[Edge],
+      maxDriverEdges: Long = DriverUnionFindMaxEdges): DataFrame = {
     val spark = vertexIds.sparkSession
     import spark.implicits._
-    val sym = edges.select(col("src").as("id"), col("dst").as("nb"))
-      .union(edges.select(col("dst").as("id"), col("src").as("nb")))
-    // localCheckpoint: materialized once, referenced by the quotient
-    // join AND the (lazy) result plan; blocks release with the plan.
-    val l1 = sym.groupBy(col("id"))
-      .agg(min(col("nb")).as("nmin"))
-      .select(col("id"), least(col("id"), col("nmin")).as("lab"))
-      .localCheckpoint(true)
-    // One bounded job decides guard AND fetches the labels: collect at
-    // most cap+1 distinct labels; overflow → demote.
-    val labs = l1.select(col("lab")).distinct()
-      .limit(math.min(maxLabels + 1, Int.MaxValue).toInt)
-      .as[Long].collect()
-    if (labs.length > maxLabels) {
-      // Demotion abandons l1 — release its checkpoint blocks now
-      // rather than pinning vertex-scale partitions until GC, which
-      // would happen precisely on the pathological graphs where those
-      // blocks are largest.
-      releaseLocalCheckpoint(l1)
-      return distributedComponents(vertexIds, edges)
+    var g: DataFrame = edges.select(col("src"), col("dst"))
+    var gOwned: Option[DataFrame] = None // checkpointed quotient we created
+    var prevEdges = Long.MaxValue
+    var maps = List.empty[DataFrame] // innermost (latest) first: (id, lab)
+    var done = false
+    var rounds = 0
+    while (!done && rounds < 50) {
+      val sym = g.select(col("src").as("id"), col("dst").as("nb"))
+        .union(g.select(col("dst").as("id"), col("src").as("nb")))
+      val l = sym.groupBy(col("id"))
+        .agg(min(col("nb")).as("nmin"))
+        .select(col("id"), least(col("id"), col("nmin")).as("lab"))
+        .localCheckpoint(true)
+      maps ::= l
+      val q = g
+        .join(l.select(col("id").as("src"), col("lab").as("ls")), "src")
+        .join(l.select(col("id").as("dst"), col("lab").as("ld")), "dst")
+        .select(least(col("ls"), col("ld")).as("src"),
+          greatest(col("ls"), col("ld")).as("dst"))
+        .where(col("src") =!= col("dst"))
+        .distinct()
+        .localCheckpoint(true)
+      val qc = q.count()
+      gOwned.foreach(releaseLocalCheckpoint)
+      if (qc == 0) {
+        releaseLocalCheckpoint(q)
+        done = true
+      } else if (qc <= maxDriverEdges) {
+        val quotient = q.as[(Long, Long)].collect()
+        releaseLocalCheckpoint(q)
+        val find = unionFind(quotient.iterator)
+        val roots = quotient.iterator.flatMap(e => Iterator(e._1, e._2))
+          .toSet.iterator.map((lb: Long) => (lb, find(lb))).toSeq
+          .toDF("id", "lab")
+        maps ::= roots
+        done = true
+      } else if (qc.toDouble * ContractionStallFactor > prevEdges.toDouble) {
+        // Shrink-resistant remainder: finish with pointer jumping. Its
+        // result covers exactly q's vertices = l's labels, so it
+        // composes like any other map.
+        val qVerts = q.select(col("src").as("id"))
+          .union(q.select(col("dst").as("id"))).distinct()
+          .as[java.lang.Long]
+        val jumped = distributedComponents(qVerts, q.as[Edge])
+          .select(col("id"), col("comp").as("lab"))
+        maps ::= jumped
+        releaseLocalCheckpoint(q)
+        done = true
+      } else {
+        g = q
+        gOwned = Some(q)
+        prevEdges = qc
+      }
+      rounds += 1
     }
-    val quotient = edges
-      .join(l1.select(col("id").as("src"), col("lab").as("ls")), "src")
-      .join(l1.select(col("id").as("dst"), col("lab").as("ld")), "dst")
-      .select(col("ls"), col("ld"))
-      .where(col("ls") =!= col("ld"))
-      .distinct()
-      .as[(Long, Long)]
-      .collect()
-
-    val parent = scala.collection.mutable.Map.empty[Long, Long]
-    def find(x: Long): Long = {
-      var r = x
-      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-      var c = x
-      while (parent.getOrElse(c, c) != c) { val n = parent.getOrElse(c, c); parent(c) = r; c = n }
-      r
+    // Compose outward: comp starts as the vertex id; each map rewrites
+    // comp where it has an entry. Map k's ids are exactly map k-1's
+    // labels, so the chain terminates at the component root.
+    var out = vertexIds.toDF("id").withColumn("comp", col("id"))
+    for (m <- maps.reverse) {
+      val mm = m.select(col("id").as("mid"), col("lab").as("mlab"))
+      out = out.join(mm, out("comp") === mm("mid"), "left")
+        .select(out("id"), coalesce(col("mlab"), out("comp")).as("comp"))
     }
-    quotient.foreach { case (a, b) =>
-      val (ra, rb) = (find(a), find(b))
-      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
-    }
-    val roots = labs.toSeq.map(l => (l, find(l))).toDF("lab", "root")
-    vertexIds.toDF("id")
-      .join(l1, Seq("id"), "left")
-      .join(broadcast(roots), Seq("lab"), "left")
-      .select(col("id"), coalesce(col("root"), col("id")).as("comp"))
+    val result = out.localCheckpoint(true)
+    maps.foreach(releaseLocalCheckpoint)
+    result
   }
 
   private[graft] def distributedComponents(vertexIds: Dataset[java.lang.Long],
@@ -619,19 +642,35 @@ object Pipeline {
     // lookup where comp ≤ id invariantly, so per-vertex labels never
     // increase — the label table changed iff Σcomp strictly decreased.
     // One decimal(38,0) aggregate over the checkpointed result replaces
-    // the former labels⋈next equality join per round.
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(coalesce(sum(col("comp").cast("decimal(38,0)")),
-        lit(0).cast("decimal(38,0)"))).head.getDecimal(0)
+    // the former labels⋈next equality join per round. A decimal(38,0)
+    // overflow under non-ANSI mode would surface as a null sum; that
+    // must fail loudly — coalescing it to 0 would let two consecutive
+    // overflowing rounds compare 0 == 0 and declare convergence with
+    // wrong components (unreachable below ~1e19 vertices, but masked
+    // failure modes are worse than loud ones).
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val row = df.agg(sum(col("comp").cast("decimal(38,0)")).as("s"),
+        count(lit(1)).as("n")).head
+      val s = row.getDecimal(0)
+      require(row.getLong(1) == 0L || s != null,
+        "decimal(38,0) overflow in the CC convergence checksum")
+      if (s == null) java.math.BigDecimal.ZERO else s
+    }
     var prevSum = labelSum(labels)
     var converged = false
     var iterations = 0
     while (!converged && iterations < 50) {
-      val neighborMin = symmetric.join(labels, symmetric("src") === labels("id"))
+      // Hooked label table: min of self and neighbors' current labels.
+      // Materialized (localCheckpoint) BEFORE the pointer-jump
+      // self-join — the two join sides otherwise re-execute the whole
+      // join+union+groupBy subtree each (Spark does not reuse the
+      // exchange across the differently-projected sides; measured 35%
+      // of round time on a 10M-edge graph).
+      val hooked = symmetric.join(labels, symmetric("src") === labels("id"))
         .select(col("dst").as("id"), col("comp"))
-      val hooked = labels.select(col("id"), col("comp"))
-        .union(neighborMin)
+        .union(labels.select(col("id"), col("comp")))
         .groupBy("id").agg(min("comp").as("comp"))
+        .localCheckpoint(true)
       // Pointer jumping: comp ← comp(comp). Labels are always vertex
       // ids, so self-joining the label table halves label-chain depth
       // each round — a path graph converges in O(log n) rounds where
@@ -643,11 +682,23 @@ object Pipeline {
       // round's plan nests the previous round's join+union+agg, and
       // analysis/optimization cost grows without bound.
       val parents = hooked.select(col("id").as("pid"), col("comp").as("pcomp"))
-      val next = hooked.join(parents, hooked("comp") === parents("pid"), "left")
+      val jumped = hooked.join(parents, hooked("comp") === parents("pid"), "left")
         .select(hooked("id"), coalesce(col("pcomp"), hooked("comp")).as("comp"))
         .localCheckpoint(true)
+      // Second jump in the same round: label-chain depth divides by 4
+      // per round instead of 2. The extra self-join costs one shuffle
+      // of the (small, shrinking) label table but halves the round
+      // count — and each round carries two fixed materialization jobs,
+      // which dominate on high-diameter graphs.
+      val parents2 = jumped.select(col("id").as("pid"), col("comp").as("pcomp"))
+      val next = jumped.join(parents2, jumped("comp") === parents2("pid"), "left")
+        .select(jumped("id"), coalesce(col("pcomp"), jumped("comp")).as("comp"))
+        .localCheckpoint(true)
+      releaseLocalCheckpoint(jumped)
       val newSum = labelSum(next)
       labels.unpersist()
+      releaseLocalCheckpoint(labels) // no-op on the initial cached table
+      releaseLocalCheckpoint(hooked)
       labels = next
       converged = newSum.compareTo(prevSum) == 0
       prevSum = newSum

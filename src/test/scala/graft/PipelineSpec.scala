@@ -26,13 +26,13 @@ class PipelineSpec extends AnyFunSuite {
     val eds = edges.map { case (s, d) => Pipeline.Edge(s, d) }.toDS()
     val df = mode match {
       case "distributed" => Pipeline.distributedComponents(vds, eds)
-      case "quotient" => Pipeline.quotientComponents(vds, eds)
+      case "contraction" => Pipeline.contractionComponents(vds, eds)
       case _ => Pipeline.connectedComponents(vds, eds)
     }
     df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
-  private val ccModes = Seq("driver", "quotient", "distributed")
+  private val ccModes = Seq("driver", "contraction", "distributed")
 
   test("connected components: transitive chain collapses to one component") {
     for (mode <- ccModes) {
@@ -54,26 +54,27 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
-  test("quotient tier demotes to distributed CC past the label cap (long chain)") {
+  test("contraction demotes to pointer jumping on a shrink-resistant chain") {
     import spark.implicits._
-    // A path graph is the quotient tier's worst case: the hook round
-    // leaves ~one distinct provisional label per vertex, so the label
-    // collect would scale with VERTEX count even though the edge-count
-    // guard passed. With the cap exceeded the tier must demote to
-    // distributedComponents — whose pointer-jumping rounds are also
-    // exercised here: a 2048-hop chain converges only because label
-    // depth halves each round (plain neighbor-min propagation would
-    // need 2047 rounds and silently stop wrong at the iteration cap).
+    // A path graph is contraction's worst case: the min-hook quotient
+    // of an id-ascending chain loses only ONE edge per round, so the
+    // stall detector must hand the remainder to distributedComponents
+    // — whose pointer-jumping rounds are also exercised here: a
+    // 2048-hop chain converges only because label depth halves each
+    // round (plain neighbor-min propagation would need 2047 rounds
+    // and silently stop wrong at the iteration cap). maxDriverEdges=8
+    // keeps the driver union-find escape out of reach until the jump
+    // fallback has collapsed the chain.
     val n = 2048L
     val vds = (0L until n).map(java.lang.Long.valueOf).toDS()
     val eds = (0L until n - 1).map(i => Pipeline.Edge(i + 1, i)).toDS()
-    val got = Pipeline.quotientComponents(vds, eds, maxLabels = 100L)
+    val got = Pipeline.contractionComponents(vds, eds, maxDriverEdges = 8L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.size == n)
     assert(got.values.toSet == Set(0L))
   }
 
-  test("quotient components match driver union-find on a random graph") {
+  test("contraction components match driver union-find on a random graph") {
     val rnd = new scala.util.Random(42)
     val n = 400
     val edges = Seq.fill(300)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
