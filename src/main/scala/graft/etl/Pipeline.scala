@@ -228,70 +228,26 @@ object Pipeline {
     // candidate pair also norm-aligns; identity-typed arrays drop ""
     // entries exactly like the key index. (nickRoots are already
     // empty-filtered at construction — ContactLogic.toMatchRec.)
+    //
+    // ONE side-info projection carries BOTH the evidence arrays and
+    // the scalar attributes the native decision needs, and both pair
+    // sides join the SAME DataFrame (renamed per side over an
+    // identical child plan, which canonicalizes equal): Spark then
+    // builds a single reused broadcast/shuffle exchange where four
+    // separate evidence/scalar side-tables previously each paid their
+    // own broadcast job — on this slim-table-sized data the four job
+    // barriers and the doubled join tree were pure fixed overhead.
     val normsKeyed = transform(col("normNames"),
       x => when(x === "", EmptyNormKey).otherwise(x))
-    val evid = slim.select(col("row_id"),
+    val sideInfo = slim.select(col("row_id"),
       normsKeyed.as("normNames"),
       col("lowerNames"),
       col("nickRoots"),
       array_remove(col("emails"), "").as("emails"),
       array_remove(col("phones"), "").as("phones"),
       array_remove(col("addrKeys"), "").as("addrKeys"),
-      col("linkedin"))
-    def ev(side: String) = evid.columns.filter(_ != "row_id")
-      .foldLeft(evid)((d, c) => d.withColumnRenamed(c, s"${side}_$c"))
-    def withEvidence(cand: DataFrame): DataFrame = cand
-      .join(ev("a").withColumnRenamed("row_id", "src"), "src")
-      .join(ev("b").withColumnRenamed("row_id", "dst"), "dst")
-      .select(col("src"), col("dst"),
-        arrays_overlap(col("a_normNames"), col("b_normNames")).cast("int").as("f_nm"),
-        arrays_overlap(col("a_nickRoots"), col("b_nickRoots")).cast("int").as("f_nr"),
-        arrays_overlap(col("a_emails"), col("b_emails")).cast("int").as("f_em"),
-        arrays_overlap(col("a_phones"), col("b_phones")).cast("int").as("f_ph"),
-        arrays_overlap(col("a_addrKeys"), col("b_addrKeys")).cast("int").as("f_ak"),
-        (col("a_linkedin") =!= "" && col("a_linkedin") === col("b_linkedin"))
-          .cast("int").as("f_li"),
-        arrays_overlap(col("a_lowerNames"), col("b_lowerNames")).cast("int").as("f_ln"))
-
-    val matches = cfg.matchKeyFrequencyCap match {
-      case None =>
-        // Rep-collapsed name keys + row-level channel keys.
-        val gen = keyTable(concat(
-          filter(nameStructs, _ => col("__rep")), chanStructs))
-        withEvidence(keyJoin(gen, gen)
-          .select(col("x.row_id").as("src"), col("y.row_id").as("dst"))
-          .distinct())
-      case Some(cap) =>
-        // Stop-key suppression (see DedupeConfig.matchKeyFrequencyCap):
-        // keys above the frequency cap are dropped from candidate
-        // GENERATION only — the join volume on a junk key is O(df²),
-        // which no decision rule downstream can afford to materialize.
-        // Surviving candidate pairs are then scored against their FULL
-        // (uncapped) key arrays, so every emitted decision is identical
-        // to the uncapped rule's. Keys stay ROW-level here: the cap's
-        // document-frequency contract counts records, and suppression
-        // already bounds any mega-key's join volume.
-        val keys = keyTable(concat(nameStructs, chanStructs))
-        val eligible = keys.groupBy(col("block"), col("kt"), col("k"))
-          .agg(count(lit(1)).as("kdf"))
-          .where(col("kdf") <= cap)
-          .select(col("block"), col("kt"), col("k"))
-        val gen = keys.join(eligible, Seq("block", "kt", "k"))
-        withEvidence(keyJoin(gen, gen)
-          .select(col("x.row_id").as("src"), col("y.row_id").as("dst"))
-          .distinct())
-    }
-
-    // Scalar per-row attributes needed by the native decision; joined
-    // (broadcast at this scale, hash join at cluster scale) onto the
-    // pair table instead of dragging full MatchRec structs through it.
-    // `native`/`cand1`/`cand2`: a row has at most TWO first-name
-    // candidates (first + parenthesized nickname — ContactLogic
-    // .firstNameCandidates), so the cross-product max of
-    // computeSignals degenerates to ≤4 seqRatio calls, all evaluable
-    // by the codegen [[graft.plans.SeqRatio]] expression. Such rows
-    // qualify for the fully native per-pair decision below.
-    val scalars = slim.select(col("row_id"), col("lastNorm"), col("suffixNorm"),
+      col("linkedin"),
+      col("lastNorm"), col("suffixNorm"),
       lower(col("suffix")).as("suffixLower"),
       col("isLinkedinSrc"), (size(col("normNames")) > 0).as("named"),
       // `native` additionally demands nonempty folded norms: a
@@ -307,8 +263,68 @@ object Pipeline {
         .otherwise("").as("cand1"),
       when(size(col("lowerNames")) >= 2, element_at(col("lowerNames"), 2))
         .otherwise("").as("cand2"))
-    def sc(side: String) = scalars.columns.filter(_ != "row_id")
-      .foldLeft(scalars)((d, c) => d.withColumnRenamed(c, s"${side}_$c"))
+    def side(prefix: String, key: String): DataFrame =
+      sideInfo.toDF(sideInfo.columns.map(c =>
+        if (c == "row_id") key else s"${prefix}_$c").toIndexedSeq: _*)
+    def withSides(cand: DataFrame): DataFrame = cand
+      .join(side("a", "src"), "src")
+      .join(side("b", "dst"), "dst")
+      .withColumns(Map(
+        "f_nm" -> arrays_overlap(col("a_normNames"), col("b_normNames")).cast("int"),
+        "f_nr" -> arrays_overlap(col("a_nickRoots"), col("b_nickRoots")).cast("int"),
+        "f_em" -> arrays_overlap(col("a_emails"), col("b_emails")).cast("int"),
+        "f_ph" -> arrays_overlap(col("a_phones"), col("b_phones")).cast("int"),
+        "f_ak" -> arrays_overlap(col("a_addrKeys"), col("b_addrKeys")).cast("int"),
+        "f_li" -> (col("a_linkedin") =!= "" &&
+          col("a_linkedin") === col("b_linkedin")).cast("int"),
+        "f_ln" -> arrays_overlap(col("a_lowerNames"), col("b_lowerNames")).cast("int")))
+      // Drop the evidence arrays immediately: everything downstream
+      // (native decision, candidate filter, the scope-persisted pair
+      // cache) needs only the boolean flags and the scalar attributes
+      // — caching array-bearing pair rows would more than double the
+      // materialized width for no reader.
+      .drop(Seq("a", "b").flatMap(p => Seq("normNames", "lowerNames",
+        "nickRoots", "emails", "phones", "addrKeys", "linkedin")
+        .map(c => s"${p}_$c")): _*)
+
+    val matches = cfg.matchKeyFrequencyCap match {
+      case None =>
+        // Rep-collapsed name keys + row-level channel keys. The key
+        // table is materialized ONCE: the self-join's probe and build
+        // sides otherwise each re-execute the whole explode + distinct
+        // + signature-window subtree (no exchange reuse across a
+        // broadcast boundary — the duplicated subtree was a third of
+        // the stage's wall on a warm run).
+        val gen = keyTable(concat(
+          filter(nameStructs, _ => col("__rep")), chanStructs))
+          .localCheckpoint(true)
+        withSides(keyJoin(gen, gen)
+          .select(col("x.row_id").as("src"), col("y.row_id").as("dst"))
+          .distinct())
+      case Some(cap) =>
+        // Stop-key suppression (see DedupeConfig.matchKeyFrequencyCap):
+        // keys above the frequency cap are dropped from candidate
+        // GENERATION only — the join volume on a junk key is O(df²),
+        // which no decision rule downstream can afford to materialize.
+        // Surviving candidate pairs are then scored against their FULL
+        // (uncapped) key arrays, so every emitted decision is identical
+        // to the uncapped rule's. Keys stay ROW-level here: the cap's
+        // document-frequency contract counts records, and suppression
+        // already bounds any mega-key's join volume.
+        // Materialized once — consumed THREE times here (the eligible
+        // aggregate plus both self-join sides).
+        val keys = keyTable(concat(nameStructs, chanStructs))
+          .localCheckpoint(true)
+        val eligible = keys.groupBy(col("block"), col("kt"), col("k"))
+          .agg(count(lit(1)).as("kdf"))
+          .where(col("kdf") <= cap)
+          .select(col("block"), col("kt"), col("k"))
+        val gen = keys.join(eligible, Seq("block", "kt", "k"))
+        withSides(keyJoin(gen, gen)
+          .select(col("x.row_id").as("src"), col("y.row_id").as("dst"))
+          .distinct())
+    }
+
     // One cheap probe on the checkpointed slim table decides the plan
     // SHAPE: a corpus whose every row is native (the overwhelming
     // case) gets a single-consumer, single-branch plan — no pair-table
@@ -316,13 +332,10 @@ object Pipeline {
     // when nameless / empty-norm rows exist does the two-branch plan
     // build, and then the pair table is scope-persisted because both
     // branches filter it — without the cache the whole candidate
-    // generation (key join + flag aggregation + scalar joins) would
+    // generation (key join + flag aggregation + side-info joins) would
     // execute once PER BRANCH.
     val anyNonNative = nonNativeAcc.value > 0
-    val pairs0 = matches
-      .join(sc("a").withColumnRenamed("row_id", "src"), "src")
-      .join(sc("b").withColumnRenamed("row_id", "dst"), "dst")
-    val pairs = if (anyNonNative) graft.Scratch.scoped(pairs0) else pairs0
+    val pairs = if (anyNonNative) graft.Scratch.scoped(matches) else matches
 
     def has(kt: String) = col(s"f_$kt") === 1
     val emailOv = has("em"); val phoneOv = has("ph")
@@ -650,7 +663,7 @@ object Pipeline {
     // failure modes are worse than loud ones).
     def labelSum(df: DataFrame): java.math.BigDecimal = {
       val row = df.agg(sum(col("comp").cast("decimal(38,0)")).as("s"),
-        count(lit(1)).as("n")).head
+        count(lit(1)).as("n")).head()
       val s = row.getDecimal(0)
       require(row.getLong(1) == 0L || s != null,
         "decimal(38,0) overflow in the CC convergence checksum")

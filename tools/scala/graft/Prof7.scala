@@ -47,8 +47,7 @@ object Prof7 {
       Scratch.releaseAll()
     }
     path(warmDir, "warm")
-    path(dir, "timed")
-    path(dir, "timed2")
+    for (i <- 1 to 4) path(dir, s"timed$i")
     spark.stop()
   }
 }
