@@ -399,7 +399,13 @@ object DedupOps {
     // would coalesce the post-shuffle streamed side to ONE partition and
     // serialize the O(n²/2) pair evaluation; pair work scales with rows²,
     // not bytes. A user-specified repartition is exempt from coalescing.
-    val nPart = toks.sparkSession.sparkContext.defaultParallelism
+    // 8× the core count: the nested-loop scan is the longest unbroken
+    // CPU stretch in the suite, and one-task-per-core slices (~780k
+    // pair popcounts each) turn any stolen core into a straggler that
+    // stretches the whole stage — finer slices (<~100 ms each) let the
+    // scheduler work-steal around contention at negligible task
+    // overhead.
+    val nPart = toks.sparkSession.sparkContext.defaultParallelism * 8
     val a = packed.repartition(nPart)
       .select(col("doc_id").as("doc_a"), col("bits").as("ba"), col("n").as("na"))
     val b = packed.select(col("doc_id").as("doc_b"), col("bits").as("bb"), col("n").as("nb"))
