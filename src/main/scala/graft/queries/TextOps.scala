@@ -511,6 +511,87 @@ object TextOps {
       WHERE sh.split <> 'train'
       GROUP BY sh.doc_id, sh.split ORDER BY sh.doc_id"""))
 
+  /** The 16-entry demo dictionary for q78. A production run broadcasts
+    * a 100k-name census list the same way — the plan is identical, only
+    * the broadcast payload (a few MB) grows. */
+  private val NameDict = Seq("alice", "bob", "carol", "dave", "erin",
+    "frank", "grace", "heidi", "ivan", "judy", "mallory", "oscar",
+    "peggy", "trent", "victor", "wendy")
+
+  /** Dictionary-based name scrubbing — the complement of q74's regex
+    * PII pass: real pipelines also mask PERSON NAMES against a
+    * reference dictionary, which no regex can enumerate. The corpus
+    * text is synthetic word salad, so each document deterministically
+    * composes two dictionary names (one capitalized, one
+    * punctuation-attached) plus a non-dictionary decoy that BOTH
+    * engines derive identically; the scrub is then the scale shape a
+    * 100 TB corpus needs:
+    *
+    *   tokenize → posexplode → **broadcast left-join** against the
+    *   dictionary on the token's folded alphabetic core → mask matched
+    *   tokens (punctuation survives: "Judy." → "[NAME].") → rebuild
+    *   the document order-preservingly (array_sort over (pos, token)
+    *   inside one groupBy) with per-doc match counts.
+    *
+    * No per-row UDF anywhere — matching is a BroadcastHashJoin (O(1)
+    * probe per token regardless of dictionary size, where an inlined
+    * regex alternation would be O(dict)), masking is codegen
+    * regexp_replace, and the only shuffle is the per-doc rebuild whose
+    * volume is the token count. The hash compare covers the full
+    * redacted text. */
+  val q78 = Q(
+    "q78_name_scrub",
+    "dictionary name masking via broadcast token join with per-doc match counts",
+    (s, dir) => {
+      import s.implicits._
+      val nameArr = array(NameDict.map(lit): _*)
+      val nm1 = element_at(nameArr, (col("doc_id") % 16 + 1).cast("int"))
+      val nm2 = element_at(nameArr, ((col("doc_id") * 7 + 3) % 16 + 1).cast("int"))
+      val cap1 = concat(upper(nm1.substr(lit(1), lit(1))), nm1.substr(lit(2), lit(50)))
+      val composed = concat(substring(col("text"), 1, 60),
+        lit(" met "), cap1, lit(" and "), nm2, lit(". Ask zork."))
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), composed.as("text"))
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .toDF("doc_id", "pos", "tok")
+      val core = lower(regexp_replace(col("tok"), "[^a-zA-Z]", ""))
+      toks.join(broadcast(NameDict.toDF("nm")), core === col("nm"), "left")
+        .select(col("doc_id"), col("pos"),
+          when(col("nm").isNotNull,
+            regexp_replace(col("tok"), "[a-zA-Z]+", "[NAME]"))
+            .otherwise(col("tok")).as("rtok"),
+          col("nm").isNotNull.cast("long").as("hit"))
+        .groupBy(col("doc_id"))
+        .agg(
+          array_join(transform(array_sort(collect_list(struct(col("pos"), col("rtok")))),
+            x => x("rtok")), " ").as("redacted"),
+          sum(col("hit")).as("name_hits"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val d = NameDict.map(n => s"'$n'").mkString("[", ", ", "]")
+      s"""WITH named AS (
+        SELECT doc_id, text,
+          ($d)[CAST(doc_id % 16 + 1 AS INT)] AS nm1,
+          ($d)[CAST((doc_id * 7 + 3) % 16 + 1 AS INT)] AS nm2
+        FROM documents),
+      composed AS (
+        SELECT doc_id,
+          substring(text, 1, 60) || ' met ' ||
+          upper(substring(nm1, 1, 1)) || substring(nm1, 2) ||
+          ' and ' || nm2 || '. Ask zork.' AS text
+        FROM named)
+      SELECT doc_id,
+        array_to_string(list_transform(string_split(text, ' '), tk ->
+          CASE WHEN list_contains($d, lower(regexp_replace(tk, '[^a-zA-Z]', '', 'g')))
+               THEN regexp_replace(tk, '[a-zA-Z]+', '[NAME]', 'g') ELSE tk END), ' ')
+          AS redacted,
+        CAST(len(list_filter(string_split(text, ' '), tk ->
+          list_contains($d, lower(regexp_replace(tk, '[^a-zA-Z]', '', 'g'))))) AS BIGINT)
+          AS name_hits
+      FROM composed ORDER BY doc_id"""
+    })
+
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38,
-    q74, q75, q76, q77)
+    q74, q75, q76, q77, q78)
 }
