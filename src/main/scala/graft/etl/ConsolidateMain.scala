@@ -33,9 +33,17 @@ object ConsolidateMain {
       resolved.inputs("mac_vcf").getOrElse("")).localCheckpoint(true)
     val normalized = Pipeline.normalize(raw, resolved.normalization)
     val (merged, lineage) = Pipeline.dedupeAndMerge(normalized, raw, resolved.dedupe)
-    Artifacts.writeConsolidated(merged, lineage, resolved.outputsDir,
-      singleFile = resolved.outputSingleFile)
-    merged.count()
+    try {
+      Artifacts.writeConsolidated(merged, lineage, resolved.outputsDir,
+        singleFile = resolved.outputSingleFile)
+      merged.count()
+    } finally
+      // dedupeAndMerge scope-persists intermediates (the pair table on
+      // non-native corpora, the merged dataset shared by both sinks);
+      // release them here so a long-lived session driving many stage
+      // runs doesn't accumulate dead cache. Bench/Verify release after
+      // every query themselves; this covers the ETL entry point.
+      graft.Scratch.releaseAll()
   }
 
   def main(args: Array[String]): Unit = {

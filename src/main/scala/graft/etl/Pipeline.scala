@@ -122,13 +122,22 @@ object Pipeline {
       (0.7 >= cfg.mergeScoreThreshold ||
         (1.0 >= cfg.firstNameSimilarityThreshold && 0.7 >= cfg.relaxedMergeThreshold))
     val coreRow = size(col("lowerNames")) > 0 && col("lastNorm") =!= ""
-    val cliqueKey = concat_ws("\u0001", col("block"),
-      element_at(col("lowerNames"), 1), col("lastNorm"), col("suffixNorm"))
+    // A STRUCT key, not a delimiter-joined string: a name containing a
+    // would-be separator character can never collide two distinct
+    // (block, first, last, suffix) tuples into one clique.
+    val cliqueKey = struct(col("block"),
+      element_at(col("lowerNames"), 1).as("first"), col("lastNorm"), col("suffixNorm"))
     // Per-row clique id: the clique key for collapsible rows, a unique
-    // per-row sentinel otherwise (never equal across rows).
+    // per-row sentinel otherwise (never equal across rows -- the rid
+    // field is 0 for all key rows and the unique row_id for sentinels,
+    // so the two shapes can't cross-collide either).
+    val keyCq = struct(lit(0L).as("rid"), cliqueKey.as("k"))
+    val sentinelCq = struct(col("row_id").as("rid"),
+      struct(lit("").as("block"), lit("").as("first"),
+        lit("").as("lastNorm"), lit("").as("suffixNorm")).as("k"))
     val cqCol =
-      if (cliquesOn) when(coreRow, cliqueKey).otherwise(concat(lit("__"), col("row_id")))
-      else concat(lit("__"), col("row_id"))
+      if (cliquesOn) when(coreRow, keyCq).otherwise(sentinelCq)
+      else sentinelCq
     val cliqueEdges: Dataset[Edge] =
       if (cliquesOn) {
         val w = org.apache.spark.sql.expressions.Window.partitionBy(cliqueKey)
@@ -194,13 +203,16 @@ object Pipeline {
     // O(g²) to O(s²) in the signature count s. Gated on the same
     // soundness flag as the cliques (the chains must exist) and on
     // core rows (nameless rows never name-only-accept).
-    val sigCol = concat_ws("\u0002",
+    // The signature is a STRUCT of the raw fields (arrays included --
+    // Spark hash-partitions array/struct keys fine), not a delimiter-
+    // joined string: a name containing a would-be separator character
+    // can never collide two distinct decision inputs into one
+    // signature and suppress a merge.
+    val sigCol = struct(
       col("block"),
-      concat_ws("\u0001", col("lowerNames")),
-      concat_ws("\u0001", col("normNames")),
-      concat_ws("\u0001", col("nickRoots")),
+      col("lowerNames"), col("normNames"), col("nickRoots"),
       col("lastNorm"), col("suffixNorm"), lower(col("suffix")),
-      col("isLinkedinSrc").cast("string"))
+      col("isLinkedinSrc"))
     val wSig = org.apache.spark.sql.expressions.Window.partitionBy(sigCol)
     val slimR = slim.withColumn("__rep",
       if (cliquesOn) !coreRow || (col("row_id") === min(col("row_id")).over(wSig))

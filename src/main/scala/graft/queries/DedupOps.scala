@@ -210,8 +210,12 @@ object DedupOps {
       // MATERIALIZED-CTE device as the q64 oracle (DuckDB inlines
       // plain CTEs — the chain would re-evaluate exponentially).
       // Near-dup clusters are near-cliques, so 10 rounds is far past
-      // the worst-case diameter at oracle scale.
-      val steps = (1 to 10).map { i =>
+      // the worst-case diameter at oracle scale — and an 11th round
+      // ASSERTS convergence (l11 == l10 label-wise): a corpus whose
+      // pair graph had diameter > 10 makes the oracle error() loudly
+      // instead of silently producing wrong clusters that would then
+      // read as a spurious engine/oracle mismatch.
+      val steps = (1 to 11).map { i =>
         s"""l$i AS MATERIALIZED (
         SELECT v.k, least(v.lab, coalesce(min(n.lab), v.lab)) AS lab
         FROM l${i - 1} v
@@ -224,11 +228,16 @@ object DedupOps {
         SELECT doc_a AS a, doc_b AS b FROM pairs
         UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs),
       l0 AS MATERIALIZED (SELECT DISTINCT a AS k, a AS lab FROM sym),
-      $steps
-      SELECT min(k) AS canonical_id,
+      $steps,
+      conv AS (
+        SELECT count(*) AS viol
+        FROM l11 n JOIN l10 p ON n.k = p.k WHERE n.lab <> p.lab)
+      SELECT CASE WHEN (SELECT viol FROM conv) > 0
+               THEN error('q73 oracle: label propagation not converged in 10 rounds')
+               ELSE min(k) END AS canonical_id,
         count(*) AS n_docs,
         string_agg(CAST(k AS VARCHAR), ',' ORDER BY k) AS members
-      FROM l10 GROUP BY lab ORDER BY canonical_id"""
+      FROM l11 GROUP BY lab ORDER BY canonical_id"""
     })
 
   /** 32-bit SimHash near-dup pairs.

@@ -2,6 +2,7 @@ package graft
 
 import graft.etl._
 import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterEach
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Spark end-to-end tests for the dedupe/merge dataflow: connected
@@ -10,7 +11,12 @@ import org.scalatest.funsuite.AnyFunSuite
   * dedupeAndMerge, mirroring the reference's monkeypatched-build tests
   * (tests/test_combine_helpers.py:190-484).
   */
-class PipelineSpec extends AnyFunSuite {
+class PipelineSpec extends AnyFunSuite with BeforeAndAfterEach {
+
+  // acceptedPairs/dedupeAndMerge scope-persist intermediates on
+  // non-native corpora; honor the Scratch release contract so the
+  // brute-force loops don't pin dead cache for the suite's lifetime.
+  override def afterEach(): Unit = { Scratch.releaseAll(); super.afterEach() }
 
   private lazy val spark: SparkSession = SparkSession.builder()
     .master("local[2]")
@@ -171,6 +177,7 @@ class PipelineSpec extends AnyFunSuite {
         .map(e => (e.src, e.dst)).toSet
       assert(got.subsetOf(expected), s"unsound edges ${got -- expected} cfg=$cfg")
       assert(closure(got) == closure(expected), s"cfg=$cfg")
+      Scratch.releaseAll() // per-iteration: the loop re-derives the pair table
     }
   }
 
@@ -235,6 +242,7 @@ class PipelineSpec extends AnyFunSuite {
       val ids = recs.map(_.row_id)
       assert(got.subsetOf(expected), s"seed=$seed unsound ${got -- expected} cfg=$cfg")
       assert(closure(ids, got) == closure(ids, expected), s"seed=$seed cfg=$cfg")
+      Scratch.releaseAll()
     }
   }
 
