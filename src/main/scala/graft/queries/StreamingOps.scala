@@ -206,7 +206,7 @@ object StreamingOps {
   /** Session state transition: merge sorted incoming events into the
     * open session; a gap > 30 min closes it (emit) and opens a new one.
     * The final open session is written back to state. */
-  private def sessionize(user: Long, rows: Iterator[SessionEvent],
+  private[graft] def sessionize(user: Long, rows: Iterator[SessionEvent],
       state: GroupState[OpenSession]): Iterator[SessionOut] = {
     val incoming = rows.map(_.ts_us).toArray.sorted
     var open = state.getOption.orNull

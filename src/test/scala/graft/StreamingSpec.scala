@@ -8,8 +8,10 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Multi-batch Structured Streaming semantics the one-shot
   * AvailableNow queries can't exercise: event-time watermarks closing
-  * windows in append mode and dropping late data, and streaming
-  * dedup state spanning micro-batches.
+  * windows in append mode and dropping late data, streaming dedup
+  * state spanning micro-batches, and checkpoint recovery — a stream
+  * stopped mid-run must restart from its checkpoint with offsets AND
+  * operator state intact, producing exactly-once output.
   */
 class StreamingSpec extends AnyFunSuite {
 
@@ -96,6 +98,113 @@ class StreamingSpec extends AnyFunSuite {
         .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
       assert(latest == Map(1L -> 16.0, 2L -> 1.0, 3L -> 7.0))
     } finally q.stop()
+  }
+
+  /** Write one parquet data file into the streaming source dir with a
+    * controlled modification time, so `maxFilesPerTrigger=1` consumes
+    * the files in write order (the file source orders new files by
+    * mtime). */
+  private def writeSourceFile(rows: Seq[graft.queries.StreamingOps.SessionEvent],
+      inputDir: java.nio.file.Path, name: String, mtime: Long): Unit = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_src_")
+    spark.createDataset(rows).coalesce(1).write.mode("overwrite")
+      .parquet(s"$tmp/d")
+    val part = new java.io.File(s"$tmp/d").listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .head
+    val dest = inputDir.resolve(name)
+    java.nio.file.Files.move(part.toPath, dest)
+    assert(dest.toFile.setLastModified(mtime))
+  }
+
+  /** q67-style sessionization stream over a file source, one file per
+    * micro-batch, with an IDEMPOTENT per-batch parquet sink (each
+    * batch overwrites its own subdir — the canonical exactly-once
+    * foreachBatch pattern, so a batch replayed after a mid-run kill
+    * cannot duplicate rows). */
+  private def startSessionStream(inputDir: String, dataDir: String,
+      chkDir: String, trigger: Trigger) = {
+    import spark.implicits._
+    import graft.queries.StreamingOps
+    val events = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[StreamingOps.SessionEvent]].schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inputDir)
+      .as[StreamingOps.SessionEvent]
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)(
+        StreamingOps.sessionize)
+      .writeStream.outputMode(OutputMode.Update())
+      .option("checkpointLocation", chkDir)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[StreamingOps.SessionOut], id: Long) =>
+          batch.toDF().write.mode("overwrite").parquet(s"$dataDir/b$id"); ()
+      }
+      .trigger(trigger).start()
+  }
+
+  private def readSink(dataDir: String): Set[(Long, Long, Long, Long)] = {
+    import graft.queries.StreamingOps
+    import spark.implicits._
+    spark.read.option("recursiveFileLookup", "true")
+      .schema(implicitly[org.apache.spark.sql.Encoder[StreamingOps.SessionOut]].schema)
+      .parquet(dataDir)
+      .as[StreamingOps.SessionOut].collect()
+      .map(s => (s.user_id, s.n_events, s.start_us, s.end_us)).toSet
+  }
+
+  test("checkpoint recovery: mid-run stop + restart is exactly-once with state intact") {
+    val root = java.nio.file.Files.createTempDirectory("graft_recovery_")
+    val inputDir = java.nio.file.Files.createDirectory(root.resolve("in"))
+    val min = 60L * 1000000
+    def ev(u: Long, m: Long) = graft.queries.StreamingOps.SessionEvent(u, m * min)
+    // Three source files = three micro-batches. Sessions (30-min gap):
+    //   user 1: [0m, 5m] closed by 60m; [60m] closed by 180m; 180m stays open.
+    //   user 2: [0m, 10m] closed by 120m — the 0m event arrives in file 0,
+    //   the 10m event in file 1, the closing 120m event in file 2, so the
+    //   session is only correct if operator state survives the restart.
+    val base = System.currentTimeMillis() - 60000
+    writeSourceFile(Seq(ev(1, 0), ev(1, 5), ev(2, 0)), inputDir, "f0.parquet", base)
+    writeSourceFile(Seq(ev(1, 60), ev(2, 10)), inputDir, "f1.parquet", base + 2000)
+    writeSourceFile(Seq(ev(1, 180), ev(2, 120)), inputDir, "f2.parquet", base + 4000)
+    val expected = Set(
+      (1L, 2L, 0L * min, 5L * min),
+      (1L, 1L, 60L * min, 60L * min),
+      (2L, 2L, 0L * min, 10L * min))
+
+    // Run 1: kill mid-run — stop as soon as >=1 batch has committed,
+    // while later batches are still queued (or in flight).
+    val data1 = s"$root/data"; val chk = s"$root/chk"
+    val q1 = startSessionStream(inputDir.toString, data1, chk,
+      Trigger.ProcessingTime(50))
+    try {
+      val deadline = System.currentTimeMillis() + 60000
+      while ((q1.lastProgress == null || q1.lastProgress.batchId < 0) &&
+          System.currentTimeMillis() < deadline)
+        Thread.sleep(20)
+      assert(q1.lastProgress != null, "no batch committed within 60s")
+    } finally q1.stop()
+    val commits = new java.io.File(s"$chk/commits")
+      .listFiles().count(f => !f.getName.startsWith("."))
+    assert(commits >= 1, "expected at least one committed batch before the kill")
+
+    // Run 2: restart from the SAME checkpoint — offsets resume past the
+    // committed batches, flatMapGroupsWithState state is restored from
+    // the state store, and AvailableNow drains the remaining files.
+    val q2 = startSessionStream(inputDir.toString, data1, chk,
+      Trigger.AvailableNow())
+    q2.awaitTermination()
+    assert(readSink(data1) == expected)
+
+    // One-shot control run (fresh checkpoint + sink over the same
+    // input) must agree — recovery added nothing and lost nothing.
+    val data2 = s"$root/data_oneshot"
+    val q3 = startSessionStream(inputDir.toString, data2, s"$root/chk_oneshot",
+      Trigger.AvailableNow())
+    q3.awaitTermination()
+    assert(readSink(data2) == expected)
   }
 
   test("streaming dropDuplicates state spans micro-batches") {
