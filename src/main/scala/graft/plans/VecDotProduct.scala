@@ -7,8 +7,8 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-/** Sequential-order dot product over two float-array embeddings,
-  * accumulated in doubles: exactly the fold
+/** Sequential-order dot product over two float- or double-array
+  * embeddings, accumulated in doubles: exactly the fold
   * `aggregate(zip_with(a, b, (x, y) -> double(x) * double(y)), 0.0, +)`
   * the similarity queries used — element i cast to double, multiplied,
   * added left-to-right — so scores stay bit-identical to the DuckDB
@@ -24,24 +24,36 @@ case class VecDotProduct(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(FloatType, _) => true
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
       case _ => false
     })
     if (ok) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires two array<float> arguments, " +
+      s"$prettyName requires two array<float>/array<double> arguments, " +
         s"got ${left.dataType.catalogString} and ${right.dataType.catalogString}")
   }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
 
+  /** Whether a side holds floats (widened per element) or doubles
+    * (read directly) — resolved statically, so codegen stays a tight
+    * primitive loop with no per-element branching. */
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val (lf, rf) = (isFloat(left), isFloat(right))
     val n = math.min(x.numElements(), y.numElements())
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    while (i < n) {
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      acc += xv * yv
+      i += 1
+    }
     acc
   }
 
@@ -50,11 +62,13 @@ case class VecDotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val xv = if (isFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val yv = if (isFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
          |int $n = Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  $acc += $xv * $yv;
          |}
          |${ev.value} = $acc;
        """.stripMargin

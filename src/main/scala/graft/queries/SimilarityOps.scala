@@ -207,5 +207,152 @@ object SimilarityOps {
         round(cos6, 4) AS cosine
       FROM final WHERE rank <= $ATopK ORDER BY query_id, rank"""))
 
-  val all: Seq[Q] = Seq(q55, q56, q59)
+  private val LloydIters = 2
+
+  /** One Lloyd step, DataFrame-only: assign every vector to its
+    * max-cosine centroid, then recompute each cell's centroid as the
+    * element-wise mean of its members. The mean is an exact
+    * DECIMAL(27,12) sum divided by the exact count (then rounded to 9
+    * dp as a double), so it is independent of aggregation order — the
+    * property that makes a floating-point k-means oracle-checkable at
+    * all. Shuffle shape per step: one 16-way broadcast for
+    * assignment, one hash shuffle keyed (cell, pos) for the mean —
+    * both scale-linear in the corpus, nothing through the driver. */
+  private def lloydStep(s: org.apache.spark.sql.SparkSession,
+      e: org.apache.spark.sql.DataFrame,
+      cents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val aff = e.join(broadcast(cents), lit(true))
+      .select(col("vec_id"), col("v"),
+        col("cell"), round(dot(col("v"), col("cv")) / (col("norm") * col("cn")), 6).as("aff"))
+    val aw = Window.partitionBy(col("vec_id"))
+      .orderBy(col("aff").desc, col("cell").asc)
+    val assigned = aff.withColumn("crank", row_number().over(aw))
+      .where(col("crank") === 1)
+    assigned
+      .select(col("cell"), posexplode(col("v")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(round(
+        sum(col("col").cast("double").cast(org.apache.spark.sql.types.DecimalType(27, 12)))
+          .cast("double") / count(lit(1)), 9).as("c"))
+      .groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("cv"))
+      .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
+  }
+
+  /** Oracle text of one Lloyd step: `assign` from (e × prior cents),
+    * then the exact-decimal element-wise mean. */
+  private def oLloydStep(prev: String, out: String): String =
+    s"""aff_$out AS (
+       |  SELECT e.vec_id, e.v, c.cell,
+       |    round(${oDot("e.v", "c.cv")} / (e.norm * c.cn), 6) AS aff
+       |  FROM e CROSS JOIN $prev c),
+       |asg_$out AS (
+       |  SELECT vec_id, v, cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY aff DESC, cell ASC) AS crank FROM aff_$out)
+       |  WHERE crank = 1),
+       |comp_$out AS (
+       |  SELECT cell, pos,
+       |    round(CAST(sum(CAST(CAST(v[pos] AS DOUBLE) AS DECIMAL(27,12))) AS DOUBLE)
+       |      / count(*), 9) AS c
+       |  FROM (SELECT cell, v, unnest(range(1, len(v) + 1)) AS pos FROM asg_$out)
+       |  GROUP BY cell, pos),
+       |$out AS (
+       |  SELECT cell, cv, sqrt(${oDot("cv", "cv")}) AS cn FROM (
+       |    SELECT cell, list(c ORDER BY pos) AS cv FROM comp_$out GROUP BY cell))""".stripMargin
+
+  /** IVF with TRAINED centroids: k-means(16) refined by two Lloyd
+    * iterations expressed purely as DataFrame aggregations, then the
+    * q59 probe (nprobe=2, exact cosine inside probed cells, top-3).
+    * Everything is deterministic: the seed set is the 16 smallest
+    * multiplicative-hashed vec_ids (a fixed pseudo-random sample both
+    * engines compute identically), and every mean is an exact decimal
+    * sum — no RNG, no order-dependent float accumulation.
+    *
+    * Scale shape: seeding is a distributed top-k (TakeOrderedAndProject
+    * on a 2-column projection — on a real corpus you'd seed from a
+    * bounded TABLESAMPLE the same way); each Lloyd step is one
+    * broadcast assignment pass + one (cell, pos)-keyed mean shuffle;
+    * the trained quantizer then broadcasts for the probe join exactly
+    * like q59. Training cost is iters × assignment, independent of
+    * query count — the real IVF-index build shape. */
+  val q79 = Q(
+    "q79_ann_ivf_trained",
+    s"IVF($IvfCells) with $LloydIters Lloyd-trained centroids, nprobe=$IvfProbe top-$ATopK",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").as("v"))
+        .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+      val seedHash = (col("vec_id") * lit(2654435761L)) % lit(4294967296L)
+      val seeds = e.select(col("vec_id"), col("v"), col("norm"), seedHash.as("h"))
+        .orderBy(col("h"), col("vec_id")).limit(IvfCells)
+      val sw = Window.orderBy(col("h"), col("vec_id"))
+      val cents0 = seeds
+        .withColumn("cell", (row_number().over(sw) - 1).cast("long"))
+        .select(col("cell"), col("v").cast("array<double>").as("cv"), col("norm").as("cn"))
+      val trained = (1 to LloydIters).foldLeft(cents0)((c, _) => lloydStep(s, e, c))
+      val affinity = e.join(broadcast(trained), lit(true))
+        .select(col("vec_id"), col("v"), col("norm"), col("cell"),
+          round(dot(col("v"), col("cv")) / (col("norm") * col("cn")), 6).as("aff"))
+      val aw = Window.partitionBy(col("vec_id"))
+        .orderBy(col("aff").desc, col("cell").asc)
+      val ranked = affinity.withColumn("crank", row_number().over(aw))
+      val assigned = ranked.where(col("crank") === 1)
+        .select(col("vec_id"), col("v"), col("norm"), col("cell"))
+      val probes = ranked.where(col("vec_id") < NQueries && col("crank") <= IvfProbe)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("norm").as("qn"), col("cell"))
+      val scored = assigned.join(broadcast(probes),
+          assigned("cell") === probes("cell") && col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(dot(col("qv"), col("v")) / (col("qn") * col("norm")), 6).as("cos6"))
+        .distinct()
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos6").desc, col("neighbor_id").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= ATopK)
+        .select(col("query_id"), col("rank").cast("int").as("rank"),
+          col("neighbor_id"), round(col("cos6"), 4).as("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""WITH e AS (
+        SELECT vec_id, embedding AS v,
+          sqrt(${oDot("embedding", "embedding")}) AS norm
+        FROM embeddings),
+      cents0 AS (
+        SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cell,
+          list_transform(v, x -> CAST(x AS DOUBLE)) AS cv, norm AS cn
+        FROM (
+          SELECT vec_id, v, norm, (vec_id * 2654435761) % 4294967296 AS h
+          FROM e ORDER BY h, vec_id LIMIT $IvfCells)),
+      ${oLloydStep("cents0", "cents1")},
+      ${oLloydStep("cents1", "cents2")},
+      affinity AS (
+        SELECT e.vec_id, e.v, e.norm, c.cell,
+          round(${oDot("e.v", "c.cv")} / (e.norm * c.cn), 6) AS aff
+        FROM e CROSS JOIN cents2 c),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+          ORDER BY aff DESC, cell ASC) AS crank
+        FROM affinity),
+      assigned AS (
+        SELECT vec_id, v, norm, cell FROM ranked WHERE crank = 1),
+      probes AS (
+        SELECT vec_id AS query_id, v AS qv, norm AS qn, cell
+        FROM ranked WHERE vec_id < $NQueries AND crank <= $IvfProbe),
+      scored AS (
+        SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id,
+          round(${oDot("p.qv", "a.v")} / (p.qn * a.norm), 6) AS cos6
+        FROM assigned a JOIN probes p
+          ON a.cell = p.cell AND a.vec_id <> p.query_id),
+      final AS (
+        SELECT query_id, neighbor_id, cos6,
+          row_number() OVER (PARTITION BY query_id ORDER BY cos6 DESC, neighbor_id ASC) AS rank
+        FROM scored)
+      SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+        round(cos6, 4) AS cosine
+      FROM final WHERE rank <= $ATopK ORDER BY query_id, rank"""))
+
+  val all: Seq[Q] = Seq(q55, q56, q59, q79)
 }
