@@ -319,13 +319,6 @@ object DedupOps {
       (inter, a.length + b.length - inter)
     }
 
-  /** Pack a doc's dense dictionary indices into a fixed-width bitset. */
-  private def packBits(words: Int) = udf { (idxs: Seq[Int]) =>
-    val bits = new Array[Long](words)
-    idxs.foreach(i => bits(i >> 6) |= 1L << (i & 63))
-    bits
-  }
-
   /** Vocabulary bound for the bitset verify path: 16384 grams = 2 KB
     * per doc. */
   private val MaxBitsetVocab = 16384L
@@ -353,24 +346,31 @@ object DedupOps {
     * rare prefix tokens stays near-linear. A size-ratio filter
     * (max ≤ 2·min, necessary at t = 0.5) prunes inside both paths.
     *
-    * The vocabulary count that picks the path is one cheap distinct
-    * aggregate over the (already needed) token table. */
+    * The path probe is ONE action: `limit(V+1)` over the distinct gram
+    * set returns the complete dictionary exactly when the bitset path
+    * applies (|dict| ≤ V), so path choice and dictionary collection
+    * share a single job; a large-vocab corpus short-circuits at V+1
+    * rows and never materializes its dictionary anywhere. */
   val q53 = Q(
     "q53_ngram_jaccard",
     "char-4-gram Jaccard >= 0.5 pairs; adaptive bitset / prefix-filter join",
     (s, dir) => {
       val norm = lower(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""))
-      val toks = graft.Scratch.scoped(t(s, dir, "documents")
+      // Per-doc distinct gram ARRAYS in one narrow projection: gram
+      // extraction is per-row work, so an explode → groupBy round-trip
+      // to rebuild per-doc sets would be two avoidable shuffles.
+      val docGrams = graft.Scratch.scoped(t(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), norm.as("t"))
         .where(length(col("t")) >= 4)
         .select(col("doc_id"),
-          explode(array_distinct(transform(sequence(lit(1), length(col("t")) - 3),
-            i => col("t").substr(i, lit(4))))).as("tok"))) // see q51 sig note
-      val dict = toks.select(col("tok")).distinct()
-      val vocab = dict.count()
-      val pairs = if (vocab <= MaxBitsetVocab) bitsetPath(toks, dict, vocab.toInt)
-        else prefixPath(toks)
+          array_distinct(transform(sequence(lit(1), length(col("t")) - 3),
+            i => col("t").substr(i, lit(4)))).as("grams"))) // see q51 sig note
+      val dict = docGrams.select(explode(col("grams")).as("tok")).distinct()
+      val probe = dict.limit(MaxBitsetVocab.toInt + 1).collect().map(_.getString(0))
+      val pairs = if (probe.length <= MaxBitsetVocab) bitsetPath(docGrams, probe)
+        else prefixPath(docGrams.select(col("doc_id"),
+          explode(col("grams")).as("tok")))
       pairs
         .where(col("jaccard") >= 0.5)
         .orderBy(col("doc_a"), col("doc_b"))
@@ -390,20 +390,28 @@ object DedupOps {
       WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b"""))
 
   /** Bitset verify plan (small vocabulary). The dictionary index is a
-    * deterministic rank over the (tiny) distinct-gram set; the packed
-    * docs flow through ONE groupBy shuffle, then the pair join is a
-    * broadcast nested loop — each of the 32 streamed partitions scans
-    * the ~V·8/64-byte-per-doc broadcast side. */
-  private def bitsetPath(toks: DataFrame, dict: DataFrame, vocab: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    * broadcast Map — it is bounded by MaxBitsetVocab (~100 KB of
+    * 4-char grams) before this path is ever chosen, so the collect can
+    * never grow with the corpus. Packing is then a NARROW projection
+    * over the cached per-doc gram arrays (zero shuffles: no dict join,
+    * no re-group), and the pair join is a broadcast nested loop — each
+    * streamed partition scans the ~V/8-byte-per-doc broadcast side.
+    * Bit positions are an arbitrary bijection grams→[0,V): intersect
+    * and union POPCOUNTS are invariant to the permutation, so no
+    * canonical dictionary order is needed anywhere. */
+  private def bitsetPath(docGrams: DataFrame, dictArr: Array[String]): DataFrame = {
+    val vocab = dictArr.length
     val words = (vocab + 63) / 64
-    val dictIdx = dict.select(col("tok"),
-      (row_number().over(Window.orderBy(col("tok"))) - 1).as("idx"))
-    val packed = toks.join(broadcast(dictIdx), "tok")
-      .groupBy(col("doc_id"))
-      .agg(collect_list(col("idx")).as("idxs"))
-      .select(col("doc_id"), packBits(words)(col("idxs")).as("bits"),
-        size(col("idxs")).as("n"))
+    val dictMap = docGrams.sparkSession.sparkContext
+      .broadcast(dictArr.zipWithIndex.toMap)
+    val pack = udf { (grams: Seq[String]) =>
+      val m = dictMap.value
+      val bits = new Array[Long](words)
+      grams.foreach { g => val i = m(g); bits(i >> 6) |= 1L << (i & 63) }
+      bits
+    }
+    val packed = docGrams.select(col("doc_id"), pack(col("grams")).as("bits"),
+      size(col("grams")).as("n"))
     // Explicit repartition: the packed side is tiny in bytes, so AQE
     // would coalesce the post-shuffle streamed side to ONE partition and
     // serialize the O(n²/2) pair evaluation; pair work scales with rows²,
@@ -414,7 +422,7 @@ object DedupOps {
     // stretches the whole stage — finer slices (<~100 ms each) let the
     // scheduler work-steal around contention at negligible task
     // overhead.
-    val nPart = toks.sparkSession.sparkContext.defaultParallelism * 8
+    val nPart = docGrams.sparkSession.sparkContext.defaultParallelism * 8
     val a = packed.repartition(nPart)
       .select(col("doc_id").as("doc_a"), col("bits").as("ba"), col("n").as("na"))
     val b = packed.select(col("doc_id").as("doc_b"), col("bits").as("bb"), col("n").as("nb"))
