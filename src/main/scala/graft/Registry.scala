@@ -31,7 +31,10 @@ object Registry {
       queries.SimilarityOps.all ++
       queries.ContactOps.all ++
       queries.MultimodalOps.all ++
-      queries.StreamingOps.all
+      queries.StreamingOps.all ++
+      // Appended last: inserting mid-list would shift the bench's
+      // execution order for existing queries (see the ListMap note).
+      queries.CurationOps.all
 
   // ListMap: keep registry order. A HashMap would reshuffle the
   // bench's execution order whenever a query is added, which moves

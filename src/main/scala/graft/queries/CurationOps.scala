@@ -1,0 +1,271 @@
+package graft.queries
+
+import graft.Q
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators: the selection/mixing/sharding passes a
+  * training-data pipeline runs AFTER per-document scrubbing (TextOps)
+  * and dedup (DedupOps) — boilerplate detection by document frequency,
+  * deterministic stratified sampling, token-budget corpus mixing,
+  * composite quality gating (the Gopher-rule family), and hash-sharded
+  * corpus shuffling for training.
+  *
+  * Scale design (100 TB): every operator is scan → narrow per-doc
+  * expressions → ONE bounded shuffle (a doc-frequency aggregate, a
+  * per-stratum window, or a shard-key exchange). Per-stratum windows are
+  * always PARTITIONED — nothing funnels through a single global sort —
+  * and the stratified sampler pre-ranks inside salted sub-strata so a
+  * mega-stratum's reducer sees k·salts rows, not the stratum. All
+  * cross-engine determinism rides on [[h60]] (md5-derived 60-bit hash),
+  * never on engine-private hash functions.
+  */
+object CurationOps {
+
+  private def tokens(c: Column): Column = split(trim(c), " +")
+
+  /** Distinct word 3-gram shingles from an already-split token array
+    * (same shingling as q34/q51; see the DedupOps note on keeping the
+    * split in its own projection — transform lambdas are interpreted). */
+  private def shingles(tk: Column): Column =
+    array_distinct(transform(sequence(lit(1), size(tk) - 2),
+      i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1),
+        element_at(tk, i + 2))))
+
+  private val oShingleDocs =
+    """SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      |    FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+      |          FROM documents)
+      |    WHERE len(toks) >= 3""".stripMargin
+
+  /** Boilerplate detection by shingle document frequency (the CCNet /
+    * C4 device: text shared verbatim across many documents — headers,
+    * footers, license blocks — is boilerplate to strip before
+    * training). A shingle is boilerplate when ≥ 20 % of all documents
+    * contain it; the threshold is the integer predicate `df·5 ≥ N`
+    * (portable — no float rounding at the boundary), and N arrives by
+    * broadcasting the one-row corpus count, never a driver action.
+    *
+    * Scale: per-doc distinct shingle arrays are narrow; the df
+    * aggregate is one shuffle on the shingle key with map-side partial
+    * counts; the per-doc boilerplate count is a semi-join against the
+    * (tiny, df-capped) boilerplate set. Nothing is ever all-pairs. */
+  val q80 = Q(
+    "q80_boilerplate_df",
+    "per-doc boilerplate-shingle count/fraction by corpus document frequency",
+    (s, dir) => {
+      val base = graft.Scratch.scoped(t(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .where(size(col("toks")) >= 3)
+        .select(col("doc_id"), shingles(col("toks")).as("sh"))) // see q51 sig note
+      val ex = base.select(col("doc_id"), explode(col("sh")).as("s"))
+      val total = base.agg(count(lit(1)).as("nd"))
+      val boiler = ex.groupBy(col("s")).agg(count(lit(1)).as("c"))
+        .crossJoin(broadcast(total))
+        .where(col("c") * 5 >= col("nd"))
+        .select(col("s"))
+      val perDoc = ex.join(boiler, Seq("s"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_boiler"))
+      base.select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_shingles"),
+          coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+          round(coalesce(col("n_boiler"), lit(0L)).cast("double") /
+            col("n_shingles"), 4).as("boiler_frac"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH sh0 AS ($oShingleDocs),
+      ex AS (SELECT doc_id, unnest(sh) AS s FROM sh0),
+      boiler AS (
+        SELECT s FROM (SELECT s, count(*) AS c FROM ex GROUP BY s)
+        WHERE c * 5 >= (SELECT count(*) FROM sh0)),
+      bc AS (SELECT doc_id, count(*) AS n_boiler
+             FROM ex SEMI JOIN boiler USING (s) GROUP BY doc_id)
+      SELECT sh0.doc_id, CAST(len(sh) AS BIGINT) AS n_shingles,
+        CAST(coalesce(n_boiler, 0) AS BIGINT) AS n_boiler,
+        round(CAST(coalesce(n_boiler, 0) AS DOUBLE) / len(sh), 4) AS boiler_frac
+      FROM sh0 LEFT JOIN bc USING (doc_id) ORDER BY sh0.doc_id"""))
+
+  /** Deterministic stratified sample: k docs per (lang, source)
+    * stratum, chosen by the portable [[h60]] hash order so the sample
+    * is reproducible across engines and runs (no RNG state anywhere).
+    *
+    * Scale: the naive per-stratum rank window sends a whole stratum to
+    * one reducer — a mega-stratum (one dominant language) serializes.
+    * So rank twice: first inside 16 SALTED sub-strata (bounds any
+    * reducer's survivors to 16·k rows per stratum), then the final
+    * top-k over survivors. The salted pre-rank keeps every stratum's
+    * global top-k (each sub-stratum forwards its own top-k, which is a
+    * superset of its contribution), so the result is identical to the
+    * single-window plan the oracle runs. */
+  val q81 = Q(
+    "q81_stratified_sample",
+    "deterministic hash-ordered top-k sample per (lang, source) stratum",
+    (s, dir) => {
+      val k = 5
+      val keyed = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          h60(col("doc_id")).as("hk"),
+          pmod(col("doc_id"), lit(16)).as("salt"))
+      val pre = Window.partitionBy(col("lang"), col("source"), col("salt"))
+        .orderBy(col("hk"), col("doc_id"))
+      val fin = Window.partitionBy(col("lang"), col("source"))
+        .orderBy(col("hk"), col("doc_id"))
+      keyed.withColumn("prk", row_number().over(pre))
+        .where(col("prk") <= k)
+        .withColumn("rk", row_number().over(fin))
+        .where(col("rk") <= k)
+        .select(col("lang"), col("source"), col("rk"), col("doc_id"))
+        .orderBy(col("lang"), col("source"), col("rk"))
+    },
+    Some(s"""SELECT lang, source, rk, doc_id FROM (
+        SELECT lang, source, doc_id,
+          CAST(row_number() OVER (PARTITION BY lang, source
+            ORDER BY ${oH60("CAST(doc_id AS VARCHAR)")}, doc_id) AS INTEGER) AS rk
+        FROM documents)
+      WHERE rk <= 5 ORDER BY lang, source, rk"""))
+
+  /** Token-budget corpus mixing: each source contributes documents in
+    * deterministic hash order until its token budget is spent — the
+    * "data mixture" step that turns per-source corpora into a training
+    * mix with controlled proportions. A doc is kept while the running
+    * token count BEFORE it is under budget (so the budget-crossing doc
+    * is included — budgets are soft floors, standard for mixing).
+    *
+    * Scale: one PARTITIONED running-sum window per source (identical
+    * frame shape to q75's packer), then a per-source rollup. */
+  val q82 = Q(
+    "q82_token_budget_mix",
+    "per-source doc selection to a token budget via hash-ordered running sum",
+    (s, dir) => {
+      val budget = 20000L
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("hk"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t(s, dir, "documents")
+        .select(col("source"), col("doc_id"), h60(col("doc_id")).as("hk"),
+          size(tokens(col("text"))).cast("long").as("n_tokens"))
+        .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .where(col("cum_before") < budget)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("mix_tokens"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH tok AS (
+        SELECT source, doc_id,
+          ${oH60("CAST(doc_id AS VARCHAR)")} AS hk,
+          CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_tokens
+        FROM documents),
+      cum AS (
+        SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY source
+            ORDER BY hk, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        FROM tok)
+      SELECT source, count(*) AS n_docs,
+        CAST(sum(n_tokens) AS BIGINT) AS mix_tokens,
+        min(doc_id) AS first_doc
+      FROM cum WHERE cum_before < 20000
+      GROUP BY source ORDER BY source"""))
+
+  // Gopher-family gate thresholds (Rae et al. 2021, table A1 shape):
+  // token-count bounds, mean-word-length band, minimum stopword hits,
+  // minimum alphabetic-token fraction.
+  private val StopEn = Seq("the", "and", "of", "to", "a", "in", "is", "it")
+
+  /** Composite quality gate: the per-document accept/reject decision a
+    * pipeline applies before training, with each rule's flag emitted
+    * alongside the verdict so rejected volume is attributable per rule
+    * (the audit a real curation run always needs). Pure narrow column
+    * expressions — whole-stage codegen, no UDFs, no shuffle at all
+    * until the final ORDER BY. */
+  val q83 = Q(
+    "q83_quality_gate",
+    "Gopher-style composite quality gate with per-rule flags",
+    (s, dir) => {
+      val toksC = tokens(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), toksC.as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          round(aggregate(col("toks"), lit(0L), (acc, x) => acc + length(x))
+            .cast("double") / size(col("toks")), 4).as("mean_tok_len"),
+          size(filter(col("toks"),
+            x => x.isin(StopEn.map(w => w: Any): _*))).cast("long").as("stop_hits"),
+          size(filter(col("toks"), x => x.rlike("[A-Za-z]")))
+            .cast("long").as("alpha_toks"))
+        .select(col("doc_id"), col("n_tokens"), col("mean_tok_len"),
+          (col("n_tokens") >= 50 && col("n_tokens") <= 100000)
+            .cast("int").as("f_len"),
+          (col("mean_tok_len") >= 3.0 && col("mean_tok_len") <= 10.0)
+            .cast("int").as("f_mean"),
+          (col("stop_hits") >= 2).cast("int").as("f_stop"),
+          (col("alpha_toks") * 10 >= col("n_tokens") * 8).cast("int").as("f_alpha"))
+        .withColumn("keep",
+          (col("f_len") === 1 && col("f_mean") === 1 &&
+            col("f_stop") === 1 && col("f_alpha") === 1).cast("int"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH tok AS (
+        SELECT doc_id, string_split_regex(trim(text), ' +') AS toks FROM documents),
+      m AS (
+        SELECT doc_id,
+          CAST(len(toks) AS BIGINT) AS n_tokens,
+          round(CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+            AS DOUBLE) / len(toks), 4) AS mean_tok_len,
+          CAST(len(list_filter(toks, x -> x IN ('the','and','of','to','a','in','is','it')))
+            AS BIGINT) AS stop_hits,
+          CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+            AS BIGINT) AS alpha_toks
+        FROM tok),
+      f AS (
+        SELECT doc_id, n_tokens, mean_tok_len,
+          CAST(n_tokens BETWEEN 50 AND 100000 AS INTEGER) AS f_len,
+          CAST(mean_tok_len BETWEEN 3.0 AND 10.0 AS INTEGER) AS f_mean,
+          CAST(stop_hits >= 2 AS INTEGER) AS f_stop,
+          CAST(alpha_toks * 10 >= n_tokens * 8 AS INTEGER) AS f_alpha
+        FROM m)
+      SELECT *, CAST(f_len = 1 AND f_mean = 1 AND f_stop = 1 AND f_alpha = 1
+        AS INTEGER) AS keep
+      FROM f ORDER BY doc_id"""))
+
+  /** Hash-sharded corpus shuffle: assign every document to one of 16
+    * training shards by the first md5 nibble of its id — the global
+    * "shuffle the corpus before epoch 0" pass, expressed as ONE
+    * exchange on the shard key (uniform by construction: md5 nibbles
+    * are balanced, so no shard skews regardless of doc_id layout).
+    * The per-shard manifest carries a portable checksum so a resumed
+    * job can verify shard integrity without re-reading payloads. */
+  val q84 = Q(
+    "q84_train_shards",
+    "md5-sharded corpus shuffle manifest with per-shard checksums",
+    (s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          substring(md5(col("doc_id").cast("string")), 1, 1).as("shard"),
+          size(tokens(col("text"))).cast("long").as("n_tokens"),
+          (h60(col("doc_id")) % 1000000007L).as("hmod"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"),
+          sum(col("hmod")).as("checksum"))
+        .orderBy(col("shard"))
+    },
+    Some(s"""SELECT shard, count(*) AS n_docs,
+        CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+        min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+        CAST(sum(hmod) AS BIGINT) AS checksum
+      FROM (
+        SELECT doc_id, substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+          CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_tokens,
+          ${oH60("CAST(doc_id AS VARCHAR)")} % 1000000007 AS hmod
+        FROM documents)
+      GROUP BY shard ORDER BY shard"""))
+
+  val all: Seq[Q] = Seq(q80, q81, q82, q83, q84)
+}
