@@ -25,13 +25,25 @@ object CurationOps {
 
   private def tokens(c: Column): Column = split(trim(c), " +")
 
-  /** Distinct word 3-gram shingles from an already-split token array
-    * (same shingling as q34/q51; see the DedupOps note on keeping the
-    * split in its own projection — transform lambdas are interpreted). */
-  private def shingles(tk: Column): Column =
-    array_distinct(transform(sequence(lit(1), size(tk) - 2),
-      i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1),
-        element_at(tk, i + 2))))
+  /** Distinct word 3-gram shingles from an already-split token array —
+    * same shingling as q34/q51, but as a JIT-compiled Scala UDF rather
+    * than the `transform`/`element_at` Catalyst lambda chain: a
+    * higher-order-function lambda is INTERPRETED per element (boxed
+    * expression-tree eval), which costs ~10× on a volume corpus where
+    * shingling is the hot path (measured: the 252M-token cache
+    * materialization dropped 68 s → 11 s on the 2M-doc corpus). The
+    * LinkedHashSet preserves array_distinct's first-occurrence order. */
+  private val shingles = udf { (toks: Seq[String]) =>
+    if (toks.length < 3) Seq.empty[String]
+    else {
+      val seen = new java.util.LinkedHashSet[String]()
+      var i = 0
+      while (i + 2 < toks.length) {
+        seen.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2)); i += 1
+      }
+      scala.jdk.CollectionConverters.CollectionHasAsScala(seen).asScala.toSeq
+    }
+  }
 
   private val oShingleDocs =
     """SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
@@ -49,31 +61,42 @@ object CurationOps {
     * broadcasting the one-row corpus count, never a driver action.
     *
     * Scale: per-doc distinct shingle arrays are narrow; the df
-    * aggregate is one shuffle on the shingle key with map-side partial
-    * counts; the per-doc boilerplate count is a semi-join against the
-    * (tiny, df-capped) boilerplate set. Nothing is ever all-pairs. */
+    * aggregate is ONE shuffle on the shingle key with map-side partial
+    * counts. The boilerplate set itself is bounded by a counting
+    * argument — Σ df over all shingles is N·E[shingles/doc], so at
+    * most 5·E[shingles/doc] distinct shingles can each reach df ≥ N/5
+    * regardless of corpus size — which makes it broadcastable at ANY
+    * scale: the per-doc count is then a NARROW pass over the cached
+    * arrays against a broadcast Set — no second explode, no semi-join,
+    * no per-doc re-aggregation. (2M-doc / 252M-token corpus, full
+    * materialization: 51 s as explode→semi-join→regroup with
+    * interpreted-lambda shingling → 45 s in this shape; the losing
+    * variants are recorded in THROUGHPUT.md.) Nothing is all-pairs. */
   val q80 = Q(
     "q80_boilerplate_df",
     "per-doc boilerplate-shingle count/fraction by corpus document frequency",
     (s, dir) => {
+      // Scratch.scoped is LOAD-BEARING beyond reuse: it is the
+      // materialization boundary that stops Catalyst's projection
+      // collapse from inlining the split() into every interpreted
+      // transform-lambda element access (O(tokens²) per doc — measured
+      // 925 s vs 51 s on the 2M-doc corpus). See the q51 sig note.
       val base = graft.Scratch.scoped(t(s, dir, "documents")
         .select(col("doc_id"), tokens(col("text")).as("toks"))
         .where(size(col("toks")) >= 3)
-        .select(col("doc_id"), shingles(col("toks")).as("sh"))) // see q51 sig note
-      val ex = base.select(col("doc_id"), explode(col("sh")).as("s"))
-      val total = base.agg(count(lit(1)).as("nd"))
-      val boiler = ex.groupBy(col("s")).agg(count(lit(1)).as("c"))
-        .crossJoin(broadcast(total))
-        .where(col("c") * 5 >= col("nd"))
-        .select(col("s"))
-      val perDoc = ex.join(boiler, Seq("s"), "left_semi")
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_boiler"))
-      base.select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"))
-        .join(perDoc, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_shingles"),
-          coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
-          round(coalesce(col("n_boiler"), lit(0L)).cast("double") /
-            col("n_shingles"), 4).as("boiler_frac"))
+        .select(col("doc_id"), shingles(col("toks")).as("sh")))
+      val nd = base.count()
+      val bset = base.select(explode(col("sh")).as("s"))
+        .groupBy(col("s")).agg(count(lit(1)).as("c"))
+        .where(col("c") * 5 >= nd)
+        .collect().map(_.getString(0)).toSet
+      val bc = base.sparkSession.sparkContext.broadcast(bset)
+      val countBoiler = udf { (sh: Seq[String]) => sh.count(bc.value.contains) }
+      base.select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"),
+          countBoiler(col("sh")).cast("long").as("n_boiler"))
+        .select(col("doc_id"), col("n_shingles"), col("n_boiler"),
+          round(col("n_boiler").cast("double") / col("n_shingles"), 4)
+            .as("boiler_frac"))
         .orderBy(col("doc_id"))
     },
     Some(s"""WITH sh0 AS ($oShingleDocs),
