@@ -277,46 +277,43 @@ object SimilarityOps {
     * the trained quantizer then broadcasts for the probe join exactly
     * like q59. Training cost is iters × assignment, independent of
     * query count — the real IVF-index build shape. */
-  val q79 = Q(
-    "q79_ann_ivf_trained",
-    s"IVF($IvfCells) with $LloydIters Lloyd-trained centroids, nprobe=$IvfProbe top-$ATopK",
-    (s, dir) => {
-      val e = t(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding").as("v"))
-        .withColumn("norm", sqrt(dot(col("v"), col("v"))))
-      val seedHash = (col("vec_id") * lit(2654435761L)) % lit(4294967296L)
-      val seeds = e.select(col("vec_id"), col("v"), col("norm"), seedHash.as("h"))
-        .orderBy(col("h"), col("vec_id")).limit(IvfCells)
-      val sw = Window.orderBy(col("h"), col("vec_id"))
-      val cents0 = seeds
-        .withColumn("cell", (row_number().over(sw) - 1).cast("long"))
-        .select(col("cell"), col("v").cast("array<double>").as("cv"), col("norm").as("cn"))
-      val trained = (1 to LloydIters).foldLeft(cents0)((c, _) => lloydStep(s, e, c))
-      val affinity = e.join(broadcast(trained), lit(true))
-        .select(col("vec_id"), col("v"), col("norm"), col("cell"),
-          round(dot(col("v"), col("cv")) / (col("norm") * col("cn")), 6).as("aff"))
-      val aw = Window.partitionBy(col("vec_id"))
-        .orderBy(col("aff").desc, col("cell").asc)
-      val ranked = affinity.withColumn("crank", row_number().over(aw))
-      val assigned = ranked.where(col("crank") === 1)
-        .select(col("vec_id"), col("v"), col("norm"), col("cell"))
-      val probes = ranked.where(col("vec_id") < NQueries && col("crank") <= IvfProbe)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"),
-          col("norm").as("qn"), col("cell"))
-      val scored = assigned.join(broadcast(probes),
-          assigned("cell") === probes("cell") && col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          round(dot(col("qv"), col("v")) / (col("qn") * col("norm")), 6).as("cos6"))
-        .distinct()
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cos6").desc, col("neighbor_id").asc)
-      scored.withColumn("rank", row_number().over(w))
-        .where(col("rank") <= ATopK)
-        .select(col("query_id"), col("rank").cast("int").as("rank"),
-          col("neighbor_id"), round(col("cos6"), 4).as("cosine"))
-        .orderBy(col("query_id"), col("rank"))
-    },
-    Some(s"""WITH e AS (
+  /** Embeddings with precomputed norms — the shared scan. */
+  private def embWithNorm(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+
+  /** Deterministic seed + [[LloydIters]] Lloyd refinements (see q79
+    * doc). Shared by q79's probe and q85's diversity sampler. */
+  private def trainCents(
+      e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val seedHash = (col("vec_id") * lit(2654435761L)) % lit(4294967296L)
+    val seeds = e.select(col("vec_id"), col("v"), col("norm"), seedHash.as("h"))
+      .orderBy(col("h"), col("vec_id")).limit(IvfCells)
+    val sw = Window.orderBy(col("h"), col("vec_id"))
+    val cents0 = seeds
+      .withColumn("cell", (row_number().over(sw) - 1).cast("long"))
+      .select(col("cell"), col("v").cast("array<double>").as("cv"), col("norm").as("cn"))
+    (1 to LloydIters).foldLeft(cents0)((c, _) => lloydStep(e.sparkSession, e, c))
+  }
+
+  /** Every vector's affinity to every trained centroid, with its
+    * per-vector centroid rank (crank = 1 is the assignment). */
+  private def rankedAffinity(e: org.apache.spark.sql.DataFrame,
+      trained: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val affinity = e.join(broadcast(trained), lit(true))
+      .select(col("vec_id"), col("v"), col("norm"), col("cell"),
+        round(dot(col("v"), col("cv")) / (col("norm") * col("cn")), 6).as("aff"))
+    val aw = Window.partitionBy(col("vec_id"))
+      .orderBy(col("aff").desc, col("cell").asc)
+    affinity.withColumn("crank", row_number().over(aw))
+  }
+
+  /** Oracle prefix shared by q79/q85: embeddings + seeded centroids +
+    * two Lloyd steps + ranked affinity against the trained quantizer. */
+  private val oTrainedRanked =
+    s"""e AS (
         SELECT vec_id, embedding AS v,
           sqrt(${oDot("embedding", "embedding")}) AS norm
         FROM embeddings),
@@ -335,7 +332,33 @@ object SimilarityOps {
       ranked AS (
         SELECT *, row_number() OVER (PARTITION BY vec_id
           ORDER BY aff DESC, cell ASC) AS crank
-        FROM affinity),
+        FROM affinity)""".stripMargin
+
+  val q79 = Q(
+    "q79_ann_ivf_trained",
+    s"IVF($IvfCells) with $LloydIters Lloyd-trained centroids, nprobe=$IvfProbe top-$ATopK",
+    (s, dir) => {
+      val e = embWithNorm(s, dir)
+      val ranked = rankedAffinity(e, trainCents(e))
+      val assigned = ranked.where(col("crank") === 1)
+        .select(col("vec_id"), col("v"), col("norm"), col("cell"))
+      val probes = ranked.where(col("vec_id") < NQueries && col("crank") <= IvfProbe)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("norm").as("qn"), col("cell"))
+      val scored = assigned.join(broadcast(probes),
+          assigned("cell") === probes("cell") && col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(dot(col("qv"), col("v")) / (col("qn") * col("norm")), 6).as("cos6"))
+        .distinct()
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos6").desc, col("neighbor_id").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= ATopK)
+        .select(col("query_id"), col("rank").cast("int").as("rank"),
+          col("neighbor_id"), round(col("cos6"), 4).as("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""WITH $oTrainedRanked,
       assigned AS (
         SELECT vec_id, v, norm, cell FROM ranked WHERE crank = 1),
       probes AS (
@@ -354,5 +377,50 @@ object SimilarityOps {
         round(cos6, 4) AS cosine
       FROM final WHERE rank <= $ATopK ORDER BY query_id, rank"""))
 
-  val all: Seq[Q] = Seq(q55, q56, q59, q79)
+  /** Centroid-balanced diversity sample: the m most-central vectors of
+    * every trained IVF cell — the embedding-space counterpart of q81's
+    * stratified sampler, where the strata are LEARNED (k-means cells)
+    * instead of metadata columns. This is the standard
+    * cluster-then-sample device for building a diverse fine-tuning or
+    * eval subset from a large corpus: cells cover the embedding space,
+    * and sampling per cell keeps rare modes that a global top-k or
+    * uniform sample would drown out.
+    *
+    * Scale shape: training + assignment are exactly q79's (broadcast
+    * quantizer, no vector shuffle); the per-cell top-m is a window the
+    * optimizer bounds with WindowGroupLimit, and a mega-cell would take
+    * q81's salted two-stage rank. n_cell rides along as the balance
+    * evidence (sample size per cell vs cell population). */
+  val q85 = Q(
+    "q85_ivf_diversity_sample",
+    s"top-3-central vectors per trained IVF cell (diversity sample)",
+    (s, dir) => {
+      val e = embWithNorm(s, dir)
+      val assigned = rankedAffinity(e, trainCents(e))
+        .where(col("crank") === 1)
+        .select(col("vec_id"), col("cell"), col("aff"))
+      val cw = Window.partitionBy(col("cell"))
+        .orderBy(col("aff").desc, col("vec_id").asc)
+      assigned
+        .withColumn("n_cell", count(lit(1)).over(Window.partitionBy(col("cell"))))
+        .withColumn("rk", row_number().over(cw))
+        .where(col("rk") <= 3)
+        .select(col("cell"), col("rk").cast("int").as("rk"), col("vec_id"),
+          round(col("aff"), 4).as("centrality"), col("n_cell"))
+        .orderBy(col("cell"), col("rk"))
+    },
+    Some(s"""WITH $oTrainedRanked,
+      assigned AS (
+        SELECT vec_id, cell, aff FROM ranked WHERE crank = 1),
+      samp AS (
+        SELECT cell, vec_id, aff,
+          CAST(row_number() OVER (PARTITION BY cell
+            ORDER BY aff DESC, vec_id ASC) AS INTEGER) AS rk,
+          count(*) OVER (PARTITION BY cell) AS n_cell
+        FROM assigned)
+      SELECT cell, rk, vec_id, round(aff, 4) AS centrality,
+        CAST(n_cell AS BIGINT) AS n_cell
+      FROM samp WHERE rk <= 3 ORDER BY cell, rk"""))
+
+  val all: Seq[Q] = Seq(q55, q56, q59, q79, q85)
 }
