@@ -355,25 +355,7 @@ object DedupOps {
     "q53_ngram_jaccard",
     "char-4-gram Jaccard >= 0.5 pairs; adaptive bitset / prefix-filter join",
     (s, dir) => {
-      val norm = lower(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""))
-      // Per-doc distinct gram ARRAYS in one narrow projection: gram
-      // extraction is per-row work, so an explode → groupBy round-trip
-      // to rebuild per-doc sets would be two avoidable shuffles.
-      val docGrams = graft.Scratch.scoped(t(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"), norm.as("t"))
-        .where(length(col("t")) >= 4)
-        .select(col("doc_id"),
-          array_distinct(transform(sequence(lit(1), length(col("t")) - 3),
-            i => col("t").substr(i, lit(4)))).as("grams"))) // see q51 sig note
-      val dict = docGrams.select(explode(col("grams")).as("tok")).distinct()
-      val probe = dict.limit(MaxBitsetVocab.toInt + 1).collect().map(_.getString(0))
-      val pairs = if (probe.length <= MaxBitsetVocab) bitsetPath(docGrams, probe)
-        else prefixPath(docGrams.select(col("doc_id"),
-          explode(col("grams")).as("tok")))
-      pairs
-        .where(col("jaccard") >= 0.5)
-        .orderBy(col("doc_a"), col("doc_b"))
+      ngramJaccardPairs(s, dir, MaxBitsetVocab)
     },
     Some("""WITH g0 AS (
         SELECT doc_id, list_sort(list_distinct(list_transform(range(1, length(t) - 2),
@@ -388,6 +370,34 @@ object DedupOps {
         FROM g a JOIN g b
           ON a.doc_id < b.doc_id AND greatest(a.n, b.n) <= least(a.n, b.n) * 2)
       WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b"""))
+
+  /** q53's body with the path-selection bound as a parameter:
+    * `maxVocab = 0` forces [[prefixPath]] (the 100 TB plan) onto any
+    * corpus, which is how DedupPathsSpec proves both physical plans
+    * compute the same pairs — the scale path would otherwise never run
+    * on a test-sized vocabulary. */
+  private[graft] def ngramJaccardPairs(s: org.apache.spark.sql.SparkSession,
+      dir: String, maxVocab: Long): DataFrame = {
+    val norm = lower(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""))
+    // Per-doc distinct gram ARRAYS in one narrow projection: gram
+    // extraction is per-row work, so an explode → groupBy round-trip
+    // to rebuild per-doc sets would be two avoidable shuffles.
+    val docGrams = graft.Scratch.scoped(t(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), norm.as("t"))
+      .where(length(col("t")) >= 4)
+      .select(col("doc_id"),
+        array_distinct(transform(sequence(lit(1), length(col("t")) - 3),
+          i => col("t").substr(i, lit(4)))).as("grams"))) // see q51 sig note
+    val dict = docGrams.select(explode(col("grams")).as("tok")).distinct()
+    val probe = dict.limit(maxVocab.toInt + 1).collect().map(_.getString(0))
+    val pairs = if (probe.length <= maxVocab) bitsetPath(docGrams, probe)
+      else prefixPath(docGrams.select(col("doc_id"),
+        explode(col("grams")).as("tok")))
+    pairs
+      .where(col("jaccard") >= 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
 
   /** Bitset verify plan (small vocabulary). The dictionary index is a
     * broadcast Map — it is bounded by MaxBitsetVocab (~100 KB of
