@@ -199,6 +199,32 @@ object CurationOps {
   // minimum alphabetic-token fraction.
   private val StopEn = Seq("the", "and", "of", "to", "a", "in", "is", "it")
 
+  /** Append the gate's per-rule flags + verdict to any DataFrame with
+    * a `text` column (leaves every other column in place). Shared
+    * between the batch gate (q83) and the streaming curation monitor
+    * (q86) so the two can never disagree on a rule. */
+  private[graft] def withGateFlags(df: DataFrame): DataFrame = df
+    .withColumn("toks", tokens(col("text")))
+    .withColumn("n_tokens", size(col("toks")).cast("long"))
+    .withColumn("mean_tok_len",
+      round(aggregate(col("toks"), lit(0L), (acc, x) => acc + length(x))
+        .cast("double") / size(col("toks")), 4))
+    .withColumn("stop_hits", size(filter(col("toks"),
+      x => x.isin(StopEn.map(w => w: Any): _*))).cast("long"))
+    .withColumn("alpha_toks",
+      size(filter(col("toks"), x => x.rlike("[A-Za-z]"))).cast("long"))
+    .withColumn("f_len",
+      (col("n_tokens") >= 50 && col("n_tokens") <= 100000).cast("int"))
+    .withColumn("f_mean",
+      (col("mean_tok_len") >= 3.0 && col("mean_tok_len") <= 10.0).cast("int"))
+    .withColumn("f_stop", (col("stop_hits") >= 2).cast("int"))
+    .withColumn("f_alpha",
+      (col("alpha_toks") * 10 >= col("n_tokens") * 8).cast("int"))
+    .withColumn("keep",
+      (col("f_len") === 1 && col("f_mean") === 1 &&
+        col("f_stop") === 1 && col("f_alpha") === 1).cast("int"))
+    .drop("toks", "stop_hits", "alpha_toks")
+
   /** Composite quality gate: the per-document accept/reject decision a
     * pipeline applies before training, with each rule's flag emitted
     * alongside the verdict so rejected volume is attributable per rule
@@ -209,27 +235,9 @@ object CurationOps {
     "q83_quality_gate",
     "Gopher-style composite quality gate with per-rule flags",
     (s, dir) => {
-      val toksC = tokens(col("text"))
-      t(s, dir, "documents")
-        .select(col("doc_id"), toksC.as("toks"))
-        .select(col("doc_id"),
-          size(col("toks")).cast("long").as("n_tokens"),
-          round(aggregate(col("toks"), lit(0L), (acc, x) => acc + length(x))
-            .cast("double") / size(col("toks")), 4).as("mean_tok_len"),
-          size(filter(col("toks"),
-            x => x.isin(StopEn.map(w => w: Any): _*))).cast("long").as("stop_hits"),
-          size(filter(col("toks"), x => x.rlike("[A-Za-z]")))
-            .cast("long").as("alpha_toks"))
+      withGateFlags(t(s, dir, "documents").select(col("doc_id"), col("text")))
         .select(col("doc_id"), col("n_tokens"), col("mean_tok_len"),
-          (col("n_tokens") >= 50 && col("n_tokens") <= 100000)
-            .cast("int").as("f_len"),
-          (col("mean_tok_len") >= 3.0 && col("mean_tok_len") <= 10.0)
-            .cast("int").as("f_mean"),
-          (col("stop_hits") >= 2).cast("int").as("f_stop"),
-          (col("alpha_toks") * 10 >= col("n_tokens") * 8).cast("int").as("f_alpha"))
-        .withColumn("keep",
-          (col("f_len") === 1 && col("f_mean") === 1 &&
-            col("f_stop") === 1 && col("f_alpha") === 1).cast("int"))
+          col("f_len"), col("f_mean"), col("f_stop"), col("f_alpha"), col("keep"))
         .orderBy(col("doc_id"))
     },
     Some(s"""WITH tok AS (

@@ -273,5 +273,72 @@ object StreamingOps {
         AND c_us >= p_us - 600000000 AND c_us <= p_us
       GROUP BY 1 ORDER BY hour_us"""))
 
-  def all: Seq[Q] = Seq(q65, q66, q67, q68)
+  /** `readStream` over the documents parquet (schema memoized like
+    * [[eventsStream]]; same glob device for the single-file path). */
+  private def documentsStream(s: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/documents.parquet"
+    val schema = schemaMemo.computeIfAbsent(
+      s"${sessionKey(s)}:$path", _ => s.read.parquet(path).schema)
+    s.readStream.schema(schema).option("basePath", dir)
+      .parquet(s"$dir/documents.{parquet}")
+  }
+
+  /** Streaming curation monitor: the q83 quality gate applied at
+    * INGEST, aggregated per source into live rejection counters — the
+    * dashboard a production pipeline watches while a crawl streams in
+    * (a source whose reject rate spikes gets quarantined). Gate rules
+    * are [[CurationOps.withGateFlags]], the SAME columns the batch
+    * gate runs, so stream and batch can never disagree on a rule.
+    * Complete mode: state is bounded by the number of distinct
+    * sources (the monitor's cardinality), never by document volume;
+    * capture is the distributed foreachBatch overwrite, like q65. */
+  val q86 = Q(
+    "q86_stream_gate",
+    "streaming per-source quality-gate rejection counters (Complete mode)",
+    (s, dir) => {
+      val gated = CurationOps.withGateFlags(
+        documentsStream(s, dir).select(col("source"), col("text")))
+      val agg = gated.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(lit(1) - col("f_len")).as("rej_len"),
+          sum(lit(1) - col("f_mean")).as("rej_mean"),
+          sum(lit(1) - col("f_stop")).as("rej_stop"),
+          sum(lit(1) - col("f_alpha")).as("rej_alpha"),
+          sum(lit(1) - col("keep")).as("n_reject"))
+      runBatchesToParquet(s, agg, OutputMode.Complete(), "overwrite")
+        .orderBy(col("source"))
+    },
+    Some("""WITH tok AS (
+        SELECT source, string_split_regex(trim(text), ' +') AS toks FROM documents),
+      m AS (
+        SELECT source,
+          CAST(len(toks) AS BIGINT) AS n_tokens,
+          round(CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+            AS DOUBLE) / len(toks), 4) AS mean_tok_len,
+          CAST(len(list_filter(toks, x -> x IN ('the','and','of','to','a','in','is','it')))
+            AS BIGINT) AS stop_hits,
+          CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+            AS BIGINT) AS alpha_toks
+        FROM tok),
+      f AS (
+        SELECT source,
+          CAST(n_tokens BETWEEN 50 AND 100000 AS INTEGER) AS f_len,
+          CAST(mean_tok_len BETWEEN 3.0 AND 10.0 AS INTEGER) AS f_mean,
+          CAST(stop_hits >= 2 AS INTEGER) AS f_stop,
+          CAST(alpha_toks * 10 >= n_tokens * 8 AS INTEGER) AS f_alpha
+        FROM m),
+      g AS (
+        SELECT source, f_len, f_mean, f_stop, f_alpha,
+          CAST(f_len = 1 AND f_mean = 1 AND f_stop = 1 AND f_alpha = 1
+            AS INTEGER) AS keep
+        FROM f)
+      SELECT source, count(*) AS n_docs,
+        CAST(sum(1 - f_len) AS BIGINT) AS rej_len,
+        CAST(sum(1 - f_mean) AS BIGINT) AS rej_mean,
+        CAST(sum(1 - f_stop) AS BIGINT) AS rej_stop,
+        CAST(sum(1 - f_alpha) AS BIGINT) AS rej_alpha,
+        CAST(sum(1 - keep) AS BIGINT) AS n_reject
+      FROM g GROUP BY source ORDER BY source"""))
+
+  def all: Seq[Q] = Seq(q65, q66, q67, q68, q86)
 }
