@@ -100,9 +100,13 @@ object DedupOps {
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), toks(col("text")).as("tk"))
       .where(size(col("tk")) >= 3)
+    // Shingle hashes via the JIT n-gram h60 kernel (shingleH60Udf):
+    // bit-identical to h60(shingle) per position, oracle untouched —
+    // the interpreted transform-lambda + md5-per-shingle form was the
+    // dominant cost of this signature stage (same lesson as q77/q80).
     val hashed = tk
-      .select(col("doc_id"), explode(shingles3FromToks(col("tk"))).as("shingle"))
-      .select(col("doc_id"), (h60(col("shingle")) % P).as("h"))
+      .select(col("doc_id"), explode(shingleH60Udf(3)(col("tk"))).as("h0"))
+      .select(col("doc_id"), (col("h0") % P).as("h"))
     val minAggs = AB.zipWithIndex.map { case ((a, b), i) =>
       min((lit(a) * col("h") + lit(b)) % P).as(s"m$i") }
     // Scratch.scoped: compressed columnar cache shared by the three

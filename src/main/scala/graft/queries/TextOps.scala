@@ -496,32 +496,10 @@ object TextOps {
       FROM tok JOIN top ON tok.doc_id = top.doc_id
       ORDER BY tok.doc_id"""))
 
-  /** JIT-compiled distinct 8-gram [[h60]] hashes per token array —
-    * bit-identical to `h60(concat_ws(" ", …8 tokens…))` (md5 hex →
-    * first 15 hex digits → unsigned 60-bit long), so the q77 oracle is
-    * untouched; the Catalyst-lambda form interpreted 8 `element_at`s +
-    * an md5 per shingle and was q77's dominant job (1.32 s → 0.62 s at
-    * sf0.1). */
-  private val shingleHashes8 = udf { (toks: Seq[String]) =>
-    val arr = toks.toArray // LinearSeq guard (see jaccardCounts note)
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val seen = scala.collection.mutable.LinkedHashSet.empty[Long]
-    var i = 0
-    while (i + 7 < arr.length) {
-      val sb = new java.lang.StringBuilder(arr(i))
-      var k = 1
-      while (k < 8) { sb.append(' ').append(arr(i + k)); k += 1 }
-      md.reset()
-      val d = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      var h = 0L
-      var b = 0
-      while (b < 7) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
-      h = (h << 4) | ((d(7) & 0xf0L) >> 4)
-      seen.add(h)
-      i += 1
-    }
-    seen.toSeq
-  }
+  /** Shared n-gram h60 kernel (see [[graft.queries.shingleH60Udf]]):
+    * swapping out the interpreted Catalyst form cut q77's dominant job
+    * 1.32 s → 0.62 s at sf0.1 with the oracle untouched. */
+  private val shingleHashes8 = shingleH60Udf(8)
 
   /** Train/eval decontamination — the overlap audit every benchmark-
     * honest training pipeline runs: which val/test documents (q36's

@@ -78,6 +78,37 @@ package object queries {
   def oH60(e: String): String =
     s"CAST(('0x' || substring(md5($e), 1, 15)) AS BIGINT)"
 
+  /** JIT-compiled distinct word n-gram [[h60]] hashes over a token
+    * array — bit-identical to
+    * `h60(concat_ws(" ", tok_i, …, tok_{i+n-1}))` per position (md5 →
+    * first 15 hex digits → unsigned 60-bit long), distinct in
+    * first-occurrence order like `array_distinct`. Oracles built on
+    * [[oH60]] are untouched by the swap. Exists because the
+    * equivalent Catalyst form (`transform` lambda + `element_at` +
+    * md5 per shingle) is interpreted per element — measured 2× the
+    * whole-query cost on the shingle-heavy operators (q51/q73/q77). */
+  def shingleH60Udf(n: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (toks: Seq[String]) =>
+      val arr = toks.toArray // LinearSeq guard: indexed access below
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val seen = scala.collection.mutable.LinkedHashSet.empty[Long]
+      var i = 0
+      while (i + n - 1 < arr.length) {
+        val sb = new java.lang.StringBuilder(arr(i))
+        var k = 1
+        while (k < n) { sb.append(' ').append(arr(i + k)); k += 1 }
+        md.reset()
+        val d = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var h = 0L
+        var b = 0
+        while (b < 7) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+        h = (h << 4) | ((d(7) & 0xf0L) >> 4)
+        seen.add(h)
+        i += 1
+      }
+      seen.toSeq
+    }
+
   /** Driver-local scratch dir for queries that must synthesize file
     * fixtures (q49) or bucketed tables (q28). Keyed by the FULL
     * sanitized input dir (no hashCode collisions between sfDirs) plus
