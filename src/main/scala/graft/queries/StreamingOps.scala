@@ -45,6 +45,7 @@ object StreamingOps {
     * nanos ts rebuilt to micros exactly like `Tables.load`. */
   private def eventsStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val path = s"$dir/events.parquet"
     val schema = schemaMemo.computeIfAbsent(
       s"${sessionKey(s)}:$path", _ => s.read.parquet(path).schema)
