@@ -15,6 +15,20 @@ object Bench {
       // (measured ~5 s on the first contact query). Static conf, so
       // it must be set before the session exists.
       .config("spark.sql.codegen.cache.maxEntries", "4096")
+      // Let AQE coalesce post-shuffle partitions to the advisory SIZE
+      // (64 MB) instead of stopping at defaultParallelism: with the
+      // default parallelismFirst=true every small shuffle fans out to
+      // 32 near-empty tasks, and per-task fixed cost dominates the
+      // multi-stage pipelines (q45's edges job alone dropped ~2× —
+      // ProfJobs). Size-based coalescing is also the scale-correct
+      // policy: at 100 TB the same setting yields full parallelism
+      // because stages actually carry data.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // Allow AQE (incl. the size-based coalescing above) inside
+      // persisted plans too: the CC edge cache and the Scratch.scoped
+      // intermediates otherwise compile with static shuffle
+      // partitioning and keep the 32-empty-task stages.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup pass (standard benchmark methodology, cf. JMH):

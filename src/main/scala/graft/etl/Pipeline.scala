@@ -80,24 +80,22 @@ object Pipeline {
   def acceptedPairs(normalized: Dataset[Contact],
       cfg: ContactLogic.DedupeConfig = ContactLogic.DedupeConfig()): Dataset[Edge] = {
     import normalized.sparkSession.implicits._
-    // localCheckpoint rather than persist: it materializes the slim
-    // rows once (no columnar-cache conversion) AND truncates the
-    // logical plan, so the several downstream actions stop re-analyzing
-    // the full normalize lineage — at this plan size Catalyst analysis
-    // was half the stage's cold wall-clock. The non-native row count
-    // (nameless / empty-folded-norm candidates — rows the native
-    // decision cannot represent) rides the SAME materialization job as
-    // an accumulator, so the plan-shape probe below costs no extra
-    // Spark job.
+    // The non-native row count (nameless / empty-folded-norm
+    // candidates — rows the native decision cannot represent) rides the
+    // single materialization job below as an accumulator, so the
+    // plan-shape probe costs no extra Spark job.
     // (Transformation-side accumulators can over-count on task retry —
     // harmless here: only EXISTENCE is tested, and every increment
     // corresponds to a real row, so >0 has no false positives.)
     val nonNativeAcc = normalized.sparkSession.sparkContext.longAccumulator
-    val slim = normalized.map { c =>
+    val slim0 = normalized.map { c =>
       val r = ContactLogic.toMatchRec(c)
       if (r.lowerNames.isEmpty || r.normNames.contains("")) nonNativeAcc.add(1)
       r
-    }.localCheckpoint(true)
+    }
+    // MatchRec's own columns — the window columns appended below must
+    // not leak into the typed remainder's deserialization.
+    val matchCols = slim0.columns.toIndexedSeq
 
     // ---- Exact-name clique collapse -----------------------------------
     // Rows agreeing on (block, first candidate lowercase, lastNorm,
@@ -107,11 +105,12 @@ object Pipeline {
     // two core names; the alignment gate sees norm-equal names; and the
     // LinkedIn strict gate sees lastEq ∧ align ∧ genEq. Connected
     // components only need a spanning structure, so each clique
-    // contributes a CHAIN to its min row_id (O(m) edges, every one a
-    // genuinely accepted pair) and its internal pairs are excluded from
-    // the pairwise machinery below — the standard exact-duplicate
-    // collapse of ER systems, turning near-complete-clique corpora from
-    // O(m²) pair evaluations into O(m).
+    // contributes a two-level CHAIN — row → signature min → clique min
+    // (O(m) edges, every one a genuinely accepted pair) — and its
+    // internal pairs are excluded from the pairwise machinery below —
+    // the standard exact-duplicate collapse of ER systems, turning
+    // near-complete-clique corpora from O(m²) pair evaluations into
+    // O(m).
     //
     // Threshold-aware: sound only when the config accepts a bare
     // sim=1.0 score of 0.7 (scoreOk is monotone in the score, so the
@@ -124,9 +123,53 @@ object Pipeline {
     val coreRow = size(col("lowerNames")) > 0 && col("lastNorm") =!= ""
     // A STRUCT key, not a delimiter-joined string: a name containing a
     // would-be separator character can never collide two distinct
-    // (block, first, last, suffix) tuples into one clique.
+    // (block, first, last, suffix) tuples into one clique. The first
+    // candidate is guarded (the clique window below evaluates this on
+    // EVERY row, not just core rows): a nameless row keys on "" —
+    // which can never equal a core row's first candidate, since
+    // toMatchRec filters candidates to nonempty strings.
     val cliqueKey = struct(col("block"),
-      element_at(col("lowerNames"), 1).as("first"), col("lastNorm"), col("suffixNorm"))
+      when(size(col("lowerNames")) > 0, element_at(col("lowerNames"), 1))
+        .otherwise("").as("first"),
+      col("lastNorm"), col("suffixNorm"))
+    // Signature of the name-only merge decision (see the
+    // representative collapse below). A STRUCT of the raw fields
+    // (arrays included — Spark hash-partitions array/struct keys
+    // fine), not a delimiter-joined string: a name containing a
+    // would-be separator character can never collide two distinct
+    // decision inputs into one signature and suppress a merge.
+    val sigCol = struct(
+      col("block"),
+      col("lowerNames"), col("normNames"), col("nickRoots"),
+      col("lastNorm"), col("suffixNorm"), lower(col("suffix")),
+      col("isLinkedinSrc"))
+
+    // ---- ONE materialization for the whole pair stage -----------------
+    // toMatchRec plus BOTH collapse windows (signature min for the
+    // name-key representative, clique min for the chain roots)
+    // materialize in a single eager localCheckpoint: it truncates the
+    // logical plan (downstream actions stop re-analyzing the normalize
+    // lineage — at this plan size Catalyst analysis was half the
+    // stage's cold wall-clock), the accumulator probe rides the same
+    // job, and AQE's post-shuffle coalescing sizes the cached
+    // partition count to the DATA (a small corpus collapses to a
+    // handful of partitions, so every downstream stage schedules
+    // proportionally few tasks; a large corpus keeps full
+    // parallelism). The former shape — separate slim checkpoint, a
+    // full-width clique window inside the edges job, and the signature
+    // window inside the key-table job — paid two extra barriers and a
+    // second full-width shuffle for identical results.
+    val wSig = org.apache.spark.sql.expressions.Window.partitionBy(sigCol)
+    val wCq = org.apache.spark.sql.expressions.Window.partitionBy(cliqueKey)
+    val slimR = (if (cliquesOn)
+        slim0.toDF()
+          .withColumn("__sigmin", min(col("row_id")).over(wSig))
+          .withColumn("__cqroot",
+            when(coreRow, min(col("row_id")).over(wCq)).otherwise(col("row_id")))
+      else slim0.toDF()
+        .withColumn("__sigmin", col("row_id"))
+        .withColumn("__cqroot", col("row_id"))).localCheckpoint(true)
+
     // Per-row clique id: the clique key for collapsible rows, a unique
     // per-row sentinel otherwise (never equal across rows -- the rid
     // field is 0 for all key rows and the unique row_id for sentinels,
@@ -138,14 +181,22 @@ object Pipeline {
     val cqCol =
       if (cliquesOn) when(coreRow, keyCq).otherwise(sentinelCq)
       else sentinelCq
+    // Two-level spanning chains, all NARROW reads of the cached slimR:
+    // every core row chains to its signature min, every signature min
+    // to its clique min. Same transitive closure as the former direct
+    // row → clique-min chains (a signature refines the clique key, so
+    // the composition reaches the same root), without re-shuffling the
+    // corpus inside the edges job. A core row's signature group is
+    // all-core (equal lowerNames/lastNorm), so both endpoints of every
+    // chain edge are clique members.
     val cliqueEdges: Dataset[Edge] =
-      if (cliquesOn) {
-        val w = org.apache.spark.sql.expressions.Window.partitionBy(cliqueKey)
-        slim.where(coreRow)
-          .select(col("row_id"), min(col("row_id")).over(w).as("root"))
-          .where(col("row_id") =!= col("root"))
-          .select(col("root").as("src"), col("row_id").as("dst")).as[Edge]
-      } else normalized.sparkSession.emptyDataset[Edge]
+      if (cliquesOn)
+        slimR.where(coreRow && col("row_id") =!= col("__sigmin"))
+          .select(col("__sigmin").as("src"), col("row_id").as("dst")).as[Edge]
+          .union(slimR.where(coreRow && col("row_id") === col("__sigmin") &&
+              col("__sigmin") =!= col("__cqroot"))
+            .select(col("__cqroot").as("src"), col("__sigmin").as("dst")).as[Edge])
+      else normalized.sparkSession.emptyDataset[Edge]
 
     // Inverted index of match keys: one (row, keytype, key) row per
     // name/nickname-root/email/phone/address-key/linkedin value. A
@@ -191,34 +242,22 @@ object Pipeline {
     // O(g²) matched rows through the join for a g-row name group — the
     // one remaining quadratic on a name-skewed corpus. Name-only
     // acceptance, however, depends ONLY on the name-decision signature
-    // (block, candidate arrays, norms, roots, lastNorm, suffix forms,
-    // linkedin-source flag): channel evidence is monotone-positive, so
+    // (sigCol above): channel evidence is monotone-positive, so
     // if any cross-group pair is accepted without a shared channel key,
     // the pair of group REPRESENTATIVES is accepted too — and pairs
     // WITH a shared channel key are generated by that channel key
     // independently. One rep per signature therefore emits the nm/nr
     // keys, rows inside a signature group are already spanned by the
-    // clique chains (a signature refines the clique key), and the
-    // closure is unchanged while name-key join volume drops from
-    // O(g²) to O(s²) in the signature count s. Gated on the same
-    // soundness flag as the cliques (the chains must exist) and on
-    // core rows (nameless rows never name-only-accept).
-    // The signature is a STRUCT of the raw fields (arrays included --
-    // Spark hash-partitions array/struct keys fine), not a delimiter-
-    // joined string: a name containing a would-be separator character
-    // can never collide two distinct decision inputs into one
-    // signature and suppress a merge.
-    val sigCol = struct(
-      col("block"),
-      col("lowerNames"), col("normNames"), col("nickRoots"),
-      col("lastNorm"), col("suffixNorm"), lower(col("suffix")),
-      col("isLinkedinSrc"))
-    val wSig = org.apache.spark.sql.expressions.Window.partitionBy(sigCol)
-    val slimR = slim.withColumn("__rep",
-      if (cliquesOn) !coreRow || (col("row_id") === min(col("row_id")).over(wSig))
+    // chains (row → signature min), and the closure is unchanged while
+    // name-key join volume drops from O(g²) to O(s²) in the signature
+    // count s. Gated on the same soundness flag as the cliques (the
+    // chains must exist) and on core rows (nameless rows never
+    // name-only-accept).
+    val slimT = slimR.withColumn("__rep",
+      if (cliquesOn) !coreRow || (col("row_id") === col("__sigmin"))
       else lit(true))
 
-    def keyTable(structs: Column): DataFrame = slimR
+    def keyTable(structs: Column): DataFrame = slimT
       .select(col("row_id"), col("block"), cqCol.as("cq"), explode(structs).as("e"))
       .select(col("row_id"), col("block"), col("cq"), col("e.kt").as("kt"),
         col("e.k").as("k"))
@@ -251,7 +290,7 @@ object Pipeline {
     // barriers and the doubled join tree were pure fixed overhead.
     val normsKeyed = transform(col("normNames"),
       x => when(x === "", EmptyNormKey).otherwise(x))
-    val sideInfo = slim.select(col("row_id"),
+    val sideInfo = slimR.select(col("row_id"),
       normsKeyed.as("normNames"),
       col("lowerNames"),
       col("nickRoots"),
@@ -303,10 +342,10 @@ object Pipeline {
       case None =>
         // Rep-collapsed name keys + row-level channel keys. The key
         // table is materialized ONCE: the self-join's probe and build
-        // sides otherwise each re-execute the whole explode + distinct
-        // + signature-window subtree (no exchange reuse across a
-        // broadcast boundary — the duplicated subtree was a third of
-        // the stage's wall on a warm run).
+        // sides otherwise each re-execute the explode + distinct
+        // subtree (no exchange reuse across a broadcast boundary —
+        // the duplicated subtree was a third of the stage's wall on a
+        // warm run).
         val gen = keyTable(concat(
           filter(nameStructs, _ => col("__rep")), chanStructs))
           .localCheckpoint(true)
@@ -460,8 +499,8 @@ object Pipeline {
       .select(col("src"), col("dst")).as[Edge]
     // Only the nameless / empty-norm remainder pays MatchRec
     // deserialization and the Scala shouldMerge.
-    val recs = slim.select(col("row_id"),
-      struct(slim.columns.toIndexedSeq.map(col): _*).as("rec"))
+    val recs = slimR.select(col("row_id"),
+      struct(matchCols.map(col): _*).as("rec"))
     val scalaEdges = pairs.where(!bothNative && !nativeAccept && candidateFilter)
       .select(col("src"), col("dst"))
       .join(recs.select(col("row_id").as("src"), col("rec").as("a")), "src")
