@@ -15,20 +15,13 @@ object Bench {
       // (measured ~5 s on the first contact query). Static conf, so
       // it must be set before the session exists.
       .config("spark.sql.codegen.cache.maxEntries", "4096")
-      // Let AQE coalesce post-shuffle partitions to the advisory SIZE
-      // (64 MB) instead of stopping at defaultParallelism: with the
-      // default parallelismFirst=true every small shuffle fans out to
-      // 32 near-empty tasks, and per-task fixed cost dominates the
-      // multi-stage pipelines (q45's edges job alone dropped ~2× —
-      // ProfJobs). Size-based coalescing is also the scale-correct
-      // policy: at 100 TB the same setting yields full parallelism
-      // because stages actually carry data.
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-      // Allow AQE (incl. the size-based coalescing above) inside
-      // persisted plans too: the CC edge cache and the Scratch.scoped
-      // intermediates otherwise compile with static shuffle
-      // partitioning and keep the 32-empty-task stages.
-      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      // AQE coalescing stays at the default parallelismFirst=true:
+      // post-shuffle stages here are byte-light but CPU-dense (pair
+      // scoring, LSH verify, CC iterations), so size-based coalescing
+      // to the 64 MB advisory collapses them to 1-2 tasks and
+      // serializes a 32-core box (round-6 regression: 104.7 s ->
+      // 126.5 s). parallelismFirst still merges the tiny-partition
+      // case down to defaultParallelism while keeping core occupancy.
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup pass (standard benchmark methodology, cf. JMH):

@@ -18,10 +18,6 @@ object Verify {
       // See Bench: 69 queries overflow the default 100-entry codegen
       // class cache, forcing repeated Janino recompiles.
       .config("spark.sql.codegen.cache.maxEntries", "4096")
-      // See Bench: size-based AQE coalescing, not parallelism-first,
-      // inside cached plans too.
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

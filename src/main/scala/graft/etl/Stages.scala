@@ -428,11 +428,6 @@ private[etl] object StageSession {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // See Bench: size-based AQE coalescing, not parallelism-first —
-      // small corpora stop fanning every shuffle into near-empty
-      // tasks; large corpora keep full parallelism by data volume.
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

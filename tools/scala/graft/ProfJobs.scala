@@ -14,8 +14,6 @@ object ProfJobs {
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -56,6 +54,7 @@ object ProfJobs {
       }
       val taskSum = byName.valuesIterator.map(_._1).sum / 1000.0
       println(f"== $name run$i ${dt}%7.2f s  rows=$n  jobs=${jobCount.get}  taskTimeSum=$taskSum%.1f s")
+      jobLines.forEach(println(_))
       byName.toSeq.sortBy(-_._2._1).take(14).foreach { case (nm, (t, nt, c)) =>
         println(f"  stage ${t / 1000.0}%8.2f s  tasks=$nt%4d  stages=$c%2d  $nm")
       }
