@@ -34,7 +34,10 @@ object Registry {
       queries.StreamingOps.all ++
       // Appended last: inserting mid-list would shift the bench's
       // execution order for existing queries (see the ListMap note).
-      queries.CurationOps.all
+      queries.CurationOps.all :+
+      // q87 lives in ContactOps but registers at the tail for the
+      // same order-stability reason.
+      queries.ContactOps.q87
 
   // ListMap: keep registry order. A HashMap would reshuffle the
   // bench's execution order whenever a query is added, which moves

@@ -496,7 +496,26 @@ object ContactOps {
     *     i.e. ORDER BY ts DESC NULLS LAST, priority DESC, position.
     * The closure uses 16 chained min-label rounds (component label
     * radius at sf0.01 is ≤ 7; 16 gives slack). */
-  private def q45OracleSql(cap: Option[Long] = None): String = {
+  /** _choose_by_priority (combine_contacts.py:264-277): first
+    * strictly-best non-empty value in cluster order — the sequential
+    * fold replaces only on a STRICTLY better (timestamp, priority)
+    * rank, so it reduces to an argmax with first-appearance (pos)
+    * tiebreak. */
+  private def byPrioritySql(colName: String, alias: String): String =
+    s"""sel_$alias AS (
+        SELECT comp, $colName AS $alias FROM (
+          SELECT comp, $colName, row_number() OVER (PARTITION BY comp
+            ORDER BY dt DESC NULLS LAST, prio DESC, pos) AS rn
+          FROM mm WHERE $colName <> '') WHERE rn = 1)"""
+
+  /** The shared dedupe+merge CTE chain (synth corpus → normalized
+    * members → accepted pairs → 16-round min-label closure → cluster
+    * members `mm` → chooseByPriority selections + first-name vote +
+    * per-cluster aggregates `agg`). q45/q72 append the merged-output
+    * projection; q87 layers the validate→confidence→tag stages on
+    * top. Returned WITHOUT the leading WITH so callers can extend the
+    * CTE list. */
+  private def dedupeOracleCtes(cap: Option[Long] = None): String = {
     val steps = (1 to 16).map { i =>
       s"""l$i AS MATERIALIZED (
         SELECT v.k, least(v.lab, coalesce(min(n.lab), v.lab)) AS lab
@@ -540,18 +559,12 @@ object ContactOps {
                 AND a.state_norm = b.state_norm AND a.postal = b.postal AND akdf.df <= $c)
             OR (a.linkedin_url <> '' AND a.linkedin_url = b.linkedin_url AND lidf.df <= $c))
             AS eligible""").getOrElse(",\n          TRUE AS eligible")
-    // _choose_by_priority (combine_contacts.py:264-277): first
-    // strictly-best non-empty value in cluster order.
-    def byPriority(colName: String, alias: String): String =
-      s"""sel_$alias AS (
-        SELECT comp, $colName AS $alias FROM (
-          SELECT comp, $colName, row_number() OVER (PARTITION BY comp
-            ORDER BY dt DESC NULLS LAST, prio DESC, pos) AS rn
-          FROM mm WHERE $colName <> '') WHERE rn = 1)"""
-    s"""WITH ${Synth.sqlNormCte},
+    s"""${Synth.sqlNormCte},
       $simTabSql,
       mem AS (
         SELECT k, source, linkedin_url, company, title, prefix, suffix,
+          department, notes, email_label, phone_label,
+          (phone_e164 LIKE '+%' AND length(phone_digits) >= 11) AS phone_ok,
           first AS fname, last AS lname,
           CASE WHEN email_norm <> '' THEN email_norm
                WHEN trim(email_raw) <> '' THEN trim(email_raw)
@@ -603,11 +616,11 @@ object ContactOps {
         SELECT m.*, l16.lab AS comp,
           row_number() OVER (PARTITION BY l16.lab ORDER BY m.k) AS pos
         FROM mem m JOIN l16 ON l16.k = m.k),
-      ${byPriority("prefix", "prefix")},
-      ${byPriority("suffix", "suffix")},
-      ${byPriority("company", "company")},
-      ${byPriority("title", "title")},
-      ${byPriority("linkedin_url", "linkedin_url")},
+      ${byPrioritySql("prefix", "prefix")},
+      ${byPrioritySql("suffix", "suffix")},
+      ${byPrioritySql("company", "company")},
+      ${byPrioritySql("title", "title")},
+      ${byPrioritySql("linkedin_url", "linkedin_url")},
       firstvote AS (
         SELECT comp, fname,
           sum(CASE WHEN source = 'linkedin' THEN 2.0 ELSE 1.0 END
@@ -636,7 +649,11 @@ object ContactOps {
             || chr(1) || state_norm || chr(1) || postal || chr(1) || addr_label END)
             AS n_addresses,
           max(lname) AS lname
-        FROM mm GROUP BY comp)
+        FROM mm GROUP BY comp)"""
+  }
+
+  private def q45OracleSql(cap: Option[Long] = None): String =
+    s"""WITH ${dedupeOracleCtes(cap)}
       SELECT
         trim(concat_ws(' ', nullif(sp.prefix, ''), bf.fname, agg.lname,
           nullif(ss.suffix, ''))) AS full_name,
@@ -658,7 +675,6 @@ object ContactOps {
       LEFT JOIN pl USING (comp)
       ORDER BY full_name, emails_list, phones_list, company, title, linkedin_url,
         source_count, source_row_count, n_emails, n_phones, n_addresses"""
-  }
 
   /** The flagship reference-fidelity dedupe+merge, hash-checked.
     *
@@ -713,6 +729,228 @@ object ContactOps {
     (s, dir) => mergedProjection(s, dir,
       ContactLogic.DedupeConfig(matchKeyFrequencyCap = Some(50L))),
     Some(q45OracleSql(cap = Some(50L))))
+
+  // -- q87: the composed end-to-end pipeline ----------------------------
+
+  /** Oracle for the composed pipeline: the shared dedupe+merge CTEs
+    * extended with the validate→confidence→tag arithmetic applied to
+    * the MERGED clusters (the reference composes the four stage CLIs
+    * through CSV files — Makefile:55; the math per stage is the same
+    * as q46/q47's per-row oracles, re-based onto per-cluster channel
+    * collections).
+    *
+    * Merged channel labels (the `_should_replace_label` fold,
+    * combine_contacts.py:207-226) reduce to an argmax by (timestamp
+    * DESC NULLS LAST, priority DESC, first-appearance) on this corpus:
+    * the fold replaces only on a strictly better rank, and the two
+    * non-rank replacement rules cannot fire here — rule 2 (same
+    * priority, non-empty over empty label) needs two same-source
+    * members of one cluster to carry the same value with different
+    * labels, but Synth derives both email label and source from
+    * k mod 3 (and phone labels from k mod 4, constant across a
+    * class's members k ≡ r mod 400), and rule 3 ("other"-displacement)
+    * needs a pre-render "other" label, which normalization never
+    * produces. Kept-invalid channels are always labeled 'invalid'
+    * (normalization.py:573-617). */
+  private def q87OracleSql: String =
+    s"""WITH ${dedupeOracleCtes()},
+      emall AS (
+        SELECT comp, em, CASE WHEN lab = '' THEN 'other' ELSE lab END AS lab FROM (
+          SELECT comp, em_out AS em, email_label AS lab,
+            row_number() OVER (PARTITION BY comp, em_out
+              ORDER BY dt DESC NULLS LAST, prio DESC, pos) AS rn
+          FROM mm WHERE email_norm <> '') WHERE rn = 1
+        UNION ALL
+        SELECT DISTINCT comp, em_out, 'invalid' FROM mm
+        WHERE em_out <> '' AND email_norm = ''),
+      phall AS (
+        SELECT comp, ph, CASE WHEN lab = '' THEN 'other' ELSE lab END AS lab FROM (
+          SELECT comp, ph_out AS ph, phone_label AS lab,
+            row_number() OVER (PARTITION BY comp, ph_out
+              ORDER BY dt DESC NULLS LAST, prio DESC, pos) AS rn
+          FROM mm WHERE ph_out <> '' AND phone_ok) WHERE rn = 1
+        UNION ALL
+        SELECT DISTINCT comp, ph_out, 'invalid' FROM mm
+        WHERE ph_out <> '' AND NOT phone_ok),
+      emstr AS (
+        SELECT comp, string_agg(em || '::' || lab, '|' ORDER BY em) AS emails,
+          count(*) AS email_total,
+          sum(CASE WHEN lab <> 'invalid' THEN 1 ELSE 0 END) AS email_valid
+        FROM emall GROUP BY comp),
+      phstr AS (
+        SELECT comp, string_agg(ph || '::' || lab, '|' ORDER BY ph) AS phones,
+          count(*) AS phone_total,
+          sum(CASE WHEN lab <> 'invalid' THEN 1 ELSE 0 END) AS phone_valid
+        FROM phall GROUP BY comp),
+      wch AS (
+        SELECT agg.comp,
+          coalesce(ew.w, 0) + coalesce(pw.w, 0) + coalesce(aw.w, 0) AS work_channels
+        FROM agg
+        LEFT JOIN (SELECT comp, 1 AS w FROM emall WHERE lab = 'work' GROUP BY comp) ew USING (comp)
+        LEFT JOIN (SELECT comp, 1 AS w FROM phall WHERE lab = 'work' GROUP BY comp) pw USING (comp)
+        LEFT JOIN (SELECT comp, 1 AS w FROM mm
+                   WHERE has_addr AND addr_label = 'work' GROUP BY comp) aw USING (comp)),
+      ${byPrioritySql("department", "department")},
+      nb AS (
+        SELECT comp, string_agg(notes, ' | '
+            ORDER BY CASE WHEN source = 'gmail' THEN 1 ELSE 2 END, k, notes) AS notes_blob
+        FROM mm WHERE notes <> '' AND source <> 'linkedin' GROUP BY comp),
+      base AS (
+        SELECT agg.comp,
+          trim(concat_ws(' ', nullif(sp.prefix, ''), bf.fname, agg.lname,
+            nullif(ss.suffix, ''))) AS full_name,
+          bf.fname AS first_name, agg.lname AS last_name,
+          coalesce(sc.company, '') AS company,
+          coalesce(st2.title, '') AS title,
+          coalesce(sd.department, '') AS department,
+          coalesce(sl.linkedin_url, '') AS linkedin_url,
+          coalesce(emstr.emails, '') AS emails,
+          coalesce(phstr.phones, '') AS phones,
+          coalesce(emstr.email_total, 0) AS email_total,
+          coalesce(emstr.email_valid, 0) AS email_valid,
+          coalesce(phstr.phone_total, 0) AS phone_total,
+          coalesce(phstr.phone_valid, 0) AS phone_valid,
+          agg.n_addresses AS addr_total,
+          agg.source_count, agg.source_row_count,
+          wch.work_channels,
+          coalesce(nb.notes_blob, '') AS notes_blob
+        FROM agg
+        JOIN bestfirst bf USING (comp)
+        JOIN wch USING (comp)
+        LEFT JOIN sel_prefix sp USING (comp)
+        LEFT JOIN sel_suffix ss USING (comp)
+        LEFT JOIN sel_company sc USING (comp)
+        LEFT JOIN sel_title st2 USING (comp)
+        LEFT JOIN sel_department sd USING (comp)
+        LEFT JOIN sel_linkedin_url sl USING (comp)
+        LEFT JOIN emstr USING (comp)
+        LEFT JOIN phstr USING (comp)
+        LEFT JOIN nb USING (comp)),
+      cscore AS (
+        SELECT comp,
+          CAST(greatest(0, least(100,
+            round(least(
+              CASE WHEN email_total > 0 AND email_total = email_valid THEN 40
+                   WHEN email_valid > 0 THEN 20 ELSE 0 END
+              + CASE WHEN phone_total > 0 AND phone_total = phone_valid THEN 30
+                     WHEN phone_valid > 0 THEN 15 ELSE 0 END
+              + CASE WHEN addr_total > 0 THEN 30 ELSE 0 END, 100) * 0.4)
+            + least(((CASE WHEN email_total > 0 THEN 1 ELSE 0 END)
+              + (CASE WHEN phone_total > 0 THEN 1 ELSE 0 END)
+              + (CASE WHEN addr_total > 0 THEN 1 ELSE 0 END)
+              + (CASE WHEN linkedin_url <> '' THEN 1 ELSE 0 END)) * 5, 20)
+            + CASE WHEN source_count >= 3 THEN 10 WHEN source_count = 2 THEN 6 ELSE 2 END
+            + CASE WHEN linkedin_url <> '' THEN 6 ELSE 0 END
+            + CASE WHEN company <> '' OR title <> '' THEN 6 ELSE 0 END
+            + CASE WHEN department <> '' THEN 3 ELSE 0 END
+            + CASE WHEN work_channels > 0 THEN least(work_channels * 2, 6) ELSE 0 END
+            + CASE WHEN email_total > 0 AND email_total = email_valid THEN 5 ELSE 0 END
+            + CASE WHEN phone_total > 0 AND phone_total = phone_valid THEN 3 ELSE 0 END
+            + CASE WHEN addr_total > 0 THEN 2 ELSE 0 END
+            + CASE WHEN first_name <> '' AND last_name <> '' THEN 3 ELSE 0 END
+            + CASE WHEN full_name <> '' THEN 2 ELSE 0 END
+            - CASE WHEN email_total > 0 AND email_valid = 0 THEN 5 ELSE 0 END
+            - CASE WHEN phone_total > 0 AND phone_valid = 0 THEN 4 ELSE 0 END)) AS INT)
+            AS confidence_score
+        FROM base),
+      lochit AS (
+        SELECT comp, 1 AS h FROM mm
+        WHERE has_addr AND lower(trim(state_norm)) = 'ma'
+          AND (lower(trim(city)) IN ('braintree','quincy','weymouth','dedham','milton','hingham')
+               OR lower(trim(city)) LIKE '%braintree%' OR lower(trim(city)) LIKE '%quincy%'
+               OR lower(trim(city)) LIKE '%weymouth%' OR lower(trim(city)) LIKE '%dedham%'
+               OR lower(trim(city)) LIKE '%milton%' OR lower(trim(city)) LIKE '%hingham%')
+        GROUP BY comp),
+      domhit AS (
+        SELECT comp, 1 AS h FROM emall
+        WHERE em LIKE '%@%' AND (
+          split_part(em, '@', 2) LIKE '%gridgain.com%'
+          OR split_part(em, '@', 2) LIKE '%redhat.com%'
+          OR split_part(em, '@', 2) LIKE '%tetrate.io%'
+          OR split_part(em, '@', 2) LIKE '%oracle.com%'
+          OR split_part(em, '@', 2) LIKE '%teamlogicit.com%')
+        GROUP BY comp),
+      tg AS (
+        SELECT b.comp,
+          regexp_matches(lower(concat_ws(' ', b.company, b.title, b.linkedin_url, b.notes_blob)),
+            'tai\\s*chi|wu\\s*an|wu\\s*dao|kung\\s*fu|shaolin|martial\\s*arts') AS tm,
+          regexp_matches(lower(concat_ws(' ', b.company, b.title, b.linkedin_url, b.notes_blob)),
+            'nutcracker|\\bcherub(s)?\\b|jose\\s*mateo|ballet') AS tn,
+          ((lower(trim(b.company)) <> '' AND (lower(b.company) LIKE '%gridgain%'
+             OR lower(b.company) LIKE '%red hat%' OR lower(b.company) LIKE '%tetrate%'
+             OR lower(b.company) LIKE '%redhat%' OR lower(b.company) LIKE '%oracle%'
+             OR lower(b.company) LIKE '%teamlogic%'))
+           OR dh.h IS NOT NULL) AS tw,
+          lh.h IS NOT NULL AS tl
+        FROM base b
+        LEFT JOIN domhit dh USING (comp)
+        LEFT JOIN lochit lh USING (comp))
+      SELECT
+        b.full_name, b.company, b.title, b.linkedin_url, b.emails, b.phones,
+        b.source_count, b.source_row_count,
+        c.confidence_score,
+        coalesce(array_to_string(list_sort(list_filter([
+          CASE WHEN tg.tm THEN 'martial_arts' END,
+          CASE WHEN tg.tn THEN 'nutcracker_performance' END,
+          CASE WHEN tg.tw THEN 'work_colleague' END,
+          CASE WHEN tg.tl THEN 'local_south_shore' END],
+          x -> x IS NOT NULL)), '|'), '') AS tags,
+        CASE WHEN tg.tm OR tg.tn THEN 'personal'
+             WHEN tg.tw OR trim(b.linkedin_url) <> '' THEN 'professional'
+             WHEN tg.tl THEN 'local_referral'
+             ELSE 'uncategorized' END AS relationship_category,
+        b.notes_blob,
+        CAST(least(100, round(c.confidence_score * 0.6
+          + CASE WHEN tg.tm THEN 30 ELSE 0 END
+          + CASE WHEN tg.tn THEN 25 ELSE 0 END
+          + CASE WHEN tg.tw THEN 20 ELSE 0 END
+          + CASE WHEN tg.tl THEN 10 ELSE 0 END)) AS INT) AS referral_priority
+      FROM base b
+      JOIN cscore c USING (comp)
+      JOIN tg USING (comp)
+      ORDER BY full_name, emails, phones, company, title, linkedin_url,
+        source_count, source_row_count, confidence_score, tags,
+        relationship_category, notes_blob, referral_priority"""
+
+  /** SURVEY §3's composition requirement: consolidate → validate →
+    * confidence → tag as ONE lazy Spark plan. The reference composes
+    * the four stage CLIs through CSV artifacts on disk
+    * (`make pipeline`, Makefile:55); here the SAME stage functions
+    * (Artifacts.consolidatedContacts / Stages.validate /
+    * Stages.confidence / Stages.tag) are chained in memory — no
+    * intermediate file sink, Catalyst sees the whole dataflow. Tag
+    * settings are the config.yaml-equivalent [[Tag.TagSettings]]
+    * (mirrors q47); notes re-read from the gmail/mac_vcf raw rows
+    * only, like the reference's tag stage (tag_contacts.py:85-107). */
+  val q87 = Q(
+    "q87_pipeline_composed",
+    "consolidate→validate→confidence→tag composed as one lazy plan (no intermediate sink)",
+    (s, dir) => {
+      val (merged, lineage) = Pipeline.dedupeAndMerge(
+        normalized(s, dir), Synth.contacts(s, dir))
+      val contacts = Artifacts.consolidatedContacts(merged)
+      val flattened = Artifacts.flattenedContacts(merged)
+      val (report, _) = Stages.validate(contacts, flattened)
+      val (confReport, _) = Stages.confidence(contacts, report, flattened)
+      val notes = Synth.contacts(s, dir).toDF()
+        .where(col("source") =!= "linkedin" && col("notes") =!= "")
+        .select(col("source"), col("source_row_id"), col("notes").as("note"))
+      val (tagged, _) = Stages.tag(contacts, lineage.toDF(), notes, confReport,
+        Tag.TagSettings())
+      tagged.select(
+        col("full_name"), col("company"), col("title"), col("linkedin_url"),
+        col("emails"), col("phones"),
+        col("source_count").cast("long").as("source_count"),
+        col("source_row_count").cast("long").as("source_row_count"),
+        col("confidence_score").cast("int").as("confidence_score"),
+        col("tags"), col("relationship_category"), col("notes_blob"),
+        col("referral_priority_score").cast("int").as("referral_priority"))
+        .orderBy("full_name", "emails", "phones", "company", "title",
+          "linkedin_url", "source_count", "source_row_count",
+          "confidence_score", "tags", "relationship_category", "notes_blob",
+          "referral_priority")
+    },
+    Some(q87OracleSql))
 
   // -- q46: quality + confidence scoring --------------------------------
 
