@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Q
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -72,33 +72,62 @@ object CurationOps {
     * materialization: 51 s as explode→semi-join→regroup with
     * interpreted-lambda shingling → 45 s in this shape; the losing
     * variants are recorded in THROUGHPUT.md.) Nothing is all-pairs. */
+  /** q80's dataflow with the broadcast-set size GUARDED: the counting
+    * argument above bounds the boilerplate set by construction, but a
+    * pathological corpus (near-identical docs → every shingle at
+    * df ≥ N/5) breaks the premise, and an unguarded collect of an
+    * unexpectedly-large set is a driver OOM at 100 TB. The probe is
+    * `limit(cap+1)`: within the cap → collect + broadcast (narrow
+    * per-doc pass, no second shuffle); over the cap → the same result
+    * via explode → broadcast-threshold semi-join → per-doc regroup,
+    * never materializing the set on the driver. `maxBroadcastShingles
+    * = 0` forces the join path for tests (Q80PathsSpec). */
+  private[graft] def boilerplateDf(s: SparkSession, dir: String,
+      maxBroadcastShingles: Long = 4000000L): DataFrame = {
+    // Scratch.scoped is LOAD-BEARING beyond reuse: it is the
+    // materialization boundary that stops Catalyst's projection
+    // collapse from inlining the split() into every interpreted
+    // transform-lambda element access (O(tokens²) per doc — measured
+    // 925 s vs 51 s on the 2M-doc corpus). See the q51 sig note.
+    val base = graft.Scratch.scoped(t(s, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .where(size(col("toks")) >= 3)
+      .select(col("doc_id"), shingles(col("toks")).as("sh")))
+    val nd = base.count()
+    val boiler = base.select(explode(col("sh")).as("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("c"))
+      .where(col("c") * 5 >= nd)
+      .select(col("s"))
+    val probe = boiler.limit(maxBroadcastShingles.toInt + 1)
+      .collect().map(_.getString(0))
+    val counted: DataFrame = if (probe.length <= maxBroadcastShingles) {
+      val bc = base.sparkSession.sparkContext.broadcast(probe.toSet)
+      val countBoiler = udf { (sh: Seq[String]) => sh.count(bc.value.contains) }
+      base.select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"),
+        countBoiler(col("sh")).cast("long").as("n_boiler"))
+    } else {
+      // Set too large to broadcast: count per doc through a semi-join
+      // shaped exactly like the oracle's plan (explode ⋈ boiler →
+      // per-doc count, left-joined back for zero-boiler docs).
+      val perDoc = base.select(col("doc_id"), explode(col("sh")).as("s"))
+        .join(boiler, "s")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_boiler"))
+      base.select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_shingles"),
+          coalesce(col("n_boiler"), lit(0L)).cast("long").as("n_boiler"))
+    }
+    counted
+      .select(col("doc_id"), col("n_shingles"), col("n_boiler"),
+        round(col("n_boiler").cast("double") / col("n_shingles"), 4)
+          .as("boiler_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   val q80 = Q(
     "q80_boilerplate_df",
     "per-doc boilerplate-shingle count/fraction by corpus document frequency",
-    (s, dir) => {
-      // Scratch.scoped is LOAD-BEARING beyond reuse: it is the
-      // materialization boundary that stops Catalyst's projection
-      // collapse from inlining the split() into every interpreted
-      // transform-lambda element access (O(tokens²) per doc — measured
-      // 925 s vs 51 s on the 2M-doc corpus). See the q51 sig note.
-      val base = graft.Scratch.scoped(t(s, dir, "documents")
-        .select(col("doc_id"), tokens(col("text")).as("toks"))
-        .where(size(col("toks")) >= 3)
-        .select(col("doc_id"), shingles(col("toks")).as("sh")))
-      val nd = base.count()
-      val bset = base.select(explode(col("sh")).as("s"))
-        .groupBy(col("s")).agg(count(lit(1)).as("c"))
-        .where(col("c") * 5 >= nd)
-        .collect().map(_.getString(0)).toSet
-      val bc = base.sparkSession.sparkContext.broadcast(bset)
-      val countBoiler = udf { (sh: Seq[String]) => sh.count(bc.value.contains) }
-      base.select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"),
-          countBoiler(col("sh")).cast("long").as("n_boiler"))
-        .select(col("doc_id"), col("n_shingles"), col("n_boiler"),
-          round(col("n_boiler").cast("double") / col("n_shingles"), 4)
-            .as("boiler_frac"))
-        .orderBy(col("doc_id"))
-    },
+    (s, dir) => boilerplateDf(s, dir),
     Some(s"""WITH sh0 AS ($oShingleDocs),
       ex AS (SELECT doc_id, unnest(sh) AS s FROM sh0),
       boiler AS (
