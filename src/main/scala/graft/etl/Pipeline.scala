@@ -723,10 +723,24 @@ object Pipeline {
     var prevSum = labelSum(labels)
     var converged = false
     var iterations = 0
+    // Two-phase rounds (the Stergiou-style hash-to-min family, with
+    // the phases DECOUPLED): each outer round runs one hook — min of
+    // self and neighbors' current labels, the only op that consults
+    // the EDGE table — then pointer-jumps the label table to its OWN
+    // fixpoint before hooking again. The earlier shape interleaved
+    // one hook with exactly two jumps per round, so a high-diameter
+    // graph paid the expensive symmetric⋈labels hook join O(log d)
+    // times even though every hook after the first changed nothing
+    // until the jumps caught up; on 64×15.6k-hop chains that was 7
+    // hook joins where 2 suffice (hook once to build the parent
+    // forest, square to the roots, hook again to merge trees — chains
+    // have one tree per component, so the second hook is already the
+    // fixpoint proof). Hook fixpoint ⇒ comp(v) equal across every
+    // edge ⇒ labels are per-component constants, which is the
+    // termination contract.
     while (!converged && iterations < 50) {
-      // Hooked label table: min of self and neighbors' current labels.
-      // Materialized (localCheckpoint) BEFORE the pointer-jump
-      // self-join — the two join sides otherwise re-execute the whole
+      // Hook: materialized (localCheckpoint) BEFORE the self-joins —
+      // the two join sides otherwise re-execute the whole
       // join+union+groupBy subtree each (Spark does not reuse the
       // exchange across the differently-projected sides; measured 35%
       // of round time on a 10M-edge graph).
@@ -735,37 +749,53 @@ object Pipeline {
         .union(labels.select(col("id"), col("comp")))
         .groupBy("id").agg(min("comp").as("comp"))
         .localCheckpoint(true)
-      // Pointer jumping: comp ← comp(comp). Labels are always vertex
-      // ids, so self-joining the label table halves label-chain depth
-      // each round — a path graph converges in O(log n) rounds where
-      // plain neighbor-min propagation needs O(diameter), which would
-      // silently exceed the iteration cap on a multi-thousand-hop
-      // chain. (Hashing-to-min + jumping is the standard two-phase
-      // round of Stergiou et al.-style distributed CC.)
-      // localCheckpoint truncates the logical plan: without it every
-      // round's plan nests the previous round's join+union+agg, and
-      // analysis/optimization cost grows without bound.
-      val parents = hooked.select(col("id").as("pid"), col("comp").as("pcomp"))
-      val jumped = hooked.join(parents, hooked("comp") === parents("pid"), "left")
-        .select(hooked("id"), coalesce(col("pcomp"), hooked("comp")).as("comp"))
-        .localCheckpoint(true)
-      // Second jump in the same round: label-chain depth divides by 4
-      // per round instead of 2. The extra self-join costs one shuffle
-      // of the (small, shrinking) label table but halves the round
-      // count — and each round carries two fixed materialization jobs,
-      // which dominate on high-diameter graphs.
-      val parents2 = jumped.select(col("id").as("pid"), col("comp").as("pcomp"))
-      val next = jumped.join(parents2, jumped("comp") === parents2("pid"), "left")
-        .select(jumped("id"), coalesce(col("pcomp"), jumped("comp")).as("comp"))
-        .localCheckpoint(true)
-      releaseLocalCheckpoint(jumped)
-      val newSum = labelSum(next)
-      labels.unpersist()
-      releaseLocalCheckpoint(labels) // no-op on the initial cached table
-      releaseLocalCheckpoint(hooked)
-      labels = next
-      converged = newSum.compareTo(prevSum) == 0
-      prevSum = newSum
+      val hookSum = labelSum(hooked)
+      if (hookSum.compareTo(prevSum) == 0) {
+        // Hook changed nothing: labels are component-constant. (Every
+        // op is a min against the current label, so the table changed
+        // iff the monotone Σcomp strictly decreased.)
+        releaseLocalCheckpoint(hooked)
+        converged = true
+      } else {
+        labels.unpersist()
+        releaseLocalCheckpoint(labels) // no-op on the initial cached table
+        // Pointer-jump the label table to ITS fixpoint: comp ←
+        // comp(comp), twice per step (label-chain depth divides by 4
+        // per materialization; the extra self-join of the small label
+        // table is cheaper than an extra round's fixed jobs). A path
+        // graph needs O(log diameter) steps here, where plain
+        // neighbor-min propagation would need O(diameter) hooks and
+        // silently exceed the iteration cap on a multi-thousand-hop
+        // chain. localCheckpoint per step truncates the logical plan:
+        // without it every step's plan nests the previous step's
+        // joins and analysis cost grows without bound.
+        var cur = hooked
+        var curSum = hookSum
+        var stable = false
+        var steps = 0
+        while (!stable && steps < 40) {
+          val parents = cur.select(col("id").as("pid"), col("comp").as("pcomp"))
+          val jumped = cur.join(parents, cur("comp") === parents("pid"), "left")
+            .select(cur("id"), coalesce(col("pcomp"), cur("comp")).as("comp"))
+            .localCheckpoint(true)
+          val parents2 = jumped.select(col("id").as("pid"), col("comp").as("pcomp"))
+          val next = jumped.join(parents2, jumped("comp") === parents2("pid"), "left")
+            .select(jumped("id"), coalesce(col("pcomp"), jumped("comp")).as("comp"))
+            .localCheckpoint(true)
+          releaseLocalCheckpoint(jumped)
+          val nextSum = labelSum(next)
+          stable = nextSum.compareTo(curSum) == 0
+          if (stable) releaseLocalCheckpoint(next)
+          else {
+            if (cur ne hooked) releaseLocalCheckpoint(cur)
+            cur = next; curSum = nextSum
+          }
+          steps += 1
+        }
+        if (cur ne hooked) releaseLocalCheckpoint(hooked)
+        labels = cur
+        prevSum = curSum
+      }
       iterations += 1
     }
     symmetric.unpersist()
