@@ -221,13 +221,10 @@ object SimilarityOps {
   private def lloydStep(s: org.apache.spark.sql.SparkSession,
       e: org.apache.spark.sql.DataFrame,
       cents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val aff = e.join(broadcast(cents), lit(true))
-      .select(col("vec_id"), col("v"),
-        col("cell"), round(dot(col("v"), col("cv")) / (col("norm") * col("cn")), 6).as("aff"))
-    val aw = Window.partitionBy(col("vec_id"))
-      .orderBy(col("aff").desc, col("cell").asc)
-    val assigned = aff.withColumn("crank", row_number().over(aw))
-      .where(col("crank") === 1)
+    // Assignment via the map-side-combining argmax with the vector
+    // riding through as first() (see [[assignedWithVec]]) — no
+    // row_number window over the 16× fan-out, no join-back.
+    val assigned = assignedWithVec(e, cents)
     assigned
       .select(col("cell"), posexplode(col("v")))
       .groupBy(col("cell"), col("pos"))
@@ -298,16 +295,56 @@ object SimilarityOps {
     (1 to LloydIters).foldLeft(cents0)((c, _) => lloydStep(e.sparkSession, e, c))
   }
 
-  /** Every vector's affinity to every trained centroid, with its
-    * per-vector centroid rank (crank = 1 is the assignment). */
-  private def rankedAffinity(e: org.apache.spark.sql.DataFrame,
-      trained: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val affinity = e.join(broadcast(trained), lit(true))
+  /** Per-(vector, centroid) cosine affinity — slim columns only: the
+    * vectors themselves must NOT ride through the 16× fan-out (they
+    * re-join by vec_id where needed; carrying them cost 10× shuffle
+    * bytes at 2M vectors — IvfBench / THROUGHPUT.md). */
+  private def affinityTo(rows: org.apache.spark.sql.DataFrame,
+      trained: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    rows.join(broadcast(trained), lit(true))
+      .select(col("vec_id"), col("cell"),
+        round(dot(col("v"), col("cv")) / (col("norm") * col("cn")), 6).as("aff"))
+
+  /** Every vector's assigned cell (max affinity, ties to the lowest
+    * cell) with its affinity — a partial-aggregating groupBy argmax
+    * (struct max over (aff, -cell)), NOT a row_number window: the
+    * map-side combine collapses the 16× affinity fan-out before the
+    * shuffle, where a window would sort-shuffle all n·16 rows. The
+    * tiebreak is identical to `row_number ORDER BY aff DESC, cell
+    * ASC` = 1, which is what the oracle ranks. */
+  private def assignedCells(e: org.apache.spark.sql.DataFrame,
+      trained: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    affinityTo(e, trained)
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("aff"), (-col("cell")).as("negcell"))).as("m"))
+      .select(col("vec_id"), (-col("m.negcell")).as("cell"), col("m.aff").as("aff"))
+
+  /** [[assignedCells]] with the vector (+ norm) riding THROUGH the
+    * argmax as `first()` aggregates (identical across a vec_id's 16
+    * fan-out rows) — consumers that need the assigned vector get it
+    * without a join-back against the corpus, and the fan-out still
+    * collapses map-side before the shuffle. */
+  private def assignedWithVec(e: org.apache.spark.sql.DataFrame,
+      trained: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    e.join(broadcast(trained), lit(true))
       .select(col("vec_id"), col("v"), col("norm"), col("cell"),
         round(dot(col("v"), col("cv")) / (col("norm") * col("cn")), 6).as("aff"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("aff"), (-col("cell")).as("negcell"))).as("m"),
+        first(col("v")).as("v"), first(col("norm")).as("norm"))
+      .select(col("vec_id"), col("v"), col("norm"),
+        (-col("m.negcell")).as("cell"), col("m.aff").as("aff"))
+
+  /** The full centroid ranking (crank 1..nprobe) for the query-prefix
+    * vectors only — the window is fine HERE because the prefix is
+    * driver-bounded (NQueries rows × 16 cells). */
+  private def probeRanked(e: org.apache.spark.sql.DataFrame,
+      trained: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val aw = Window.partitionBy(col("vec_id"))
       .orderBy(col("aff").desc, col("cell").asc)
-    affinity.withColumn("crank", row_number().over(aw))
+    affinityTo(e.where(col("vec_id") < NQueries), trained)
+      .withColumn("crank", row_number().over(aw))
+      .where(col("crank") <= IvfProbe)
   }
 
   /** Oracle prefix shared by q79/q85: embeddings + seeded centroids +
@@ -339,12 +376,24 @@ object SimilarityOps {
     s"IVF($IvfCells) with $LloydIters Lloyd-trained centroids, nprobe=$IvfProbe top-$ATopK",
     (s, dir) => {
       val e = embWithNorm(s, dir)
-      val ranked = rankedAffinity(e, trainCents(e))
-      val assigned = ranked.where(col("crank") === 1)
+      // Materialize the 16-row quantizer once: it feeds BOTH the
+      // assignment and probe branches, and without a persist Spark
+      // re-executes the whole Lloyd training subtree per branch —
+      // invisible on the 2k-vector corpus, 2× the job at 2M vectors
+      // (IvfBench / THROUGHPUT.md).
+      val trained = graft.Scratch.scoped(trainCents(e))
+      // Eager: the assignment and probe branches each BROADCAST this
+      // plan, and concurrent broadcast jobs race past a lazy persist
+      // (both sides recompute the whole Lloyd training before either
+      // fills the cache — measured as a full second training pass at
+      // 2M vectors). One 16-row count() fills the cache first.
+      trained.count()
+      val assigned = assignedWithVec(e, trained)
         .select(col("vec_id"), col("v"), col("norm"), col("cell"))
-      val probes = ranked.where(col("vec_id") < NQueries && col("crank") <= IvfProbe)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"),
-          col("norm").as("qn"), col("cell"))
+      val probes = probeRanked(e, trained)
+        .select(col("vec_id").as("query_id"), col("cell"))
+        .join(e.select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("norm").as("qn")), "query_id")
       val scored = assigned.join(broadcast(probes),
           assigned("cell") === probes("cell") && col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -396,9 +445,7 @@ object SimilarityOps {
     s"top-3-central vectors per trained IVF cell (diversity sample)",
     (s, dir) => {
       val e = embWithNorm(s, dir)
-      val assigned = rankedAffinity(e, trainCents(e))
-        .where(col("crank") === 1)
-        .select(col("vec_id"), col("cell"), col("aff"))
+      val assigned = assignedCells(e, trainCents(e))
       val cw = Window.partitionBy(col("cell"))
         .orderBy(col("aff").desc, col("vec_id").asc)
       assigned

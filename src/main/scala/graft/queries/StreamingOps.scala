@@ -68,12 +68,18 @@ object StreamingOps {
     * sizes the streaming shuffle independently of the batch one. */
   private val StreamPartitions = "8"
 
-  /** Run `f` with the streaming shuffle width, restoring the session
-    * conf afterwards (picked up when the streaming query STARTS). */
-  private def withStreamPartitions[A](s: SparkSession)(f: => A): A = {
-    val old = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", StreamPartitions)
-    try f finally s.conf.set("spark.sql.shuffle.partitions", old)
+  /** Run `f` with the streaming shuffle width plus any per-query
+    * streaming confs, restoring the session conf afterwards (all are
+    * picked up when the streaming query STARTS). */
+  private def withStreamPartitions[A](s: SparkSession,
+      confs: Map[String, String] = Map.empty)(f: => A): A = {
+    val all = Map("spark.sql.shuffle.partitions" -> StreamPartitions) ++ confs
+    val olds = all.keys.map(k => k -> s.conf.getOption(k)).toMap
+    all.foreach { case (k, v) => s.conf.set(k, v) }
+    try f finally olds.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
   }
 
   /** Fresh scratch root per run (data/ + chk/ separated so a
@@ -93,8 +99,9 @@ object StreamingOps {
     * the capture scales with the cluster, where a memory-sink table
     * (the previous design) would OOM the driver. The read-back uses
     * the stream's own schema, so an empty result round-trips. */
-  private def runToParquet(s: SparkSession, df: DataFrame): DataFrame =
-    withStreamPartitions(s) {
+  private def runToParquet(s: SparkSession, df: DataFrame,
+      confs: Map[String, String] = Map.empty): DataFrame =
+    withStreamPartitions(s, confs) {
       val (data, chk) = scratch()
       val q = df.writeStream.format("parquet")
         .option("path", data)
@@ -253,7 +260,19 @@ object StreamingOps {
           col("c_ts") <= col("p_ts"))
         .select(col("p_id"), col("c_id"),
           unix_micros(col("p_ts")).as("p_us"), unix_micros(col("c_ts")).as("c_us"))
-      runToParquet(s, joined)
+      // Per-query streaming confs: the AvailableNow run of an INNER
+      // stream-stream join emits every result in the data batch — the
+      // trailing no-data micro-batch exists only to advance the
+      // watermark and evict state, which a run-to-completion job never
+      // reuses, yet it commits one delta per store (4 stores/partition
+      // for a stream-stream join). Skipping it and halving the join's
+      // state width (4 partitions at this state volume) halves the
+      // state-store commit count, the fixed cost that dominates a
+      // single-batch job. q67's timeout semantics keep their no-data
+      // batches — the conf is scoped to this query's start.
+      runToParquet(s, joined, Map(
+        "spark.sql.streaming.noDataMicroBatches.enabled" -> "false",
+        "spark.sql.shuffle.partitions" -> "4"))
         .groupBy((col("p_us") - pmod(col("p_us"), lit(3600000000L))).as("hour_us"))
         .agg(count(lit(1)).as("n_pairs"),
           countDistinct(col("p_id")).as("n_purchases"),
