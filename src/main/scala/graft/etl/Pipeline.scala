@@ -848,6 +848,39 @@ object Pipeline {
       : Dataset[MergedContact] = {
     val spark = normalized.sparkSession
     import spark.implicits._
+    dedupedClusters(normalized, cfg).mapGroups { (_, it) =>
+      val members = it.map(_._1).toSeq.sortBy(_.row_id).map(c => (c, c))
+      ContactLogic.mergeCluster(members)._1
+    }
+  }
+
+  /** [[dedupeContacts]] keeping the lineage rows, with the members
+    * standing in for their own raw originals (lineage's source_*_raw
+    * columns then render normalized values — fine for consumers that
+    * read lineage as the (contact_id, source, source_row_id) join
+    * spine, e.g. the tag stage's notes join; the artifact pipeline
+    * that publishes raw renderings uses [[dedupeAndMerge]]). Shares
+    * [[dedupeContacts]]'s single-sided plan — no raw-side join. */
+  def dedupeContactsWithLineage(normalized: Dataset[Contact],
+      cfg: ContactLogic.DedupeConfig = ContactLogic.DedupeConfig())
+      : (Dataset[MergedContact], Dataset[Lineage]) = {
+    val spark = normalized.sparkSession
+    import spark.implicits._
+    val tupled = dedupedClusters(normalized, cfg).mapGroups { (_, it) =>
+      val members = it.map(_._1).toSeq.sortBy(_.row_id).map(c => (c, c))
+      ContactLogic.mergeCluster(members)
+    }
+    val t = graft.Scratch.scoped(tupled)
+    (t.map(_._1), t.flatMap(_._2))
+  }
+
+  /** Shared dedupe front half: normalize-side checkpoint, accepted
+    * pairs, connected components, members grouped by component. */
+  private def dedupedClusters(normalized: Dataset[Contact],
+      cfg: ContactLogic.DedupeConfig)
+      : org.apache.spark.sql.KeyValueGroupedDataset[Long, (Contact, Long)] = {
+    val spark = normalized.sparkSession
+    import spark.implicits._
     val normPersisted = normalized.queryExecution.logical match {
       case _: org.apache.spark.sql.execution.LogicalRDD => normalized
       case _ => normalized.localCheckpoint(true)
@@ -857,11 +890,8 @@ object Pipeline {
       normPersisted.select(col("row_id").as[java.lang.Long]), edges)
       .as[(Long, Long)]
     normPersisted.joinWith(comps, normPersisted("row_id") === comps("id"))
-      .groupByKey(_._2._2)
-      .mapGroups { (_, it) =>
-        val members = it.map(_._1).toSeq.sortBy(_.row_id).map(c => (c, c))
-        ContactLogic.mergeCluster(members)._1
-      }
+      .map(t => (t._1, t._2._2))
+      .groupByKey(_._2)
   }
 
   /** Flattened projection (combine_contacts.py:1457-1514): first
