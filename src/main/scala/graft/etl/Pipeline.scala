@@ -769,32 +769,47 @@ object Pipeline {
         // chain. localCheckpoint per step truncates the logical plan:
         // without it every step's plan nests the previous step's
         // joins and analysis cost grows without bound.
+        // Inner-step convergence rides the checkpoint materialization
+        // itself: a change-flag accumulator incremented by the jump
+        // projection replaces a per-step Σcomp aggregate job (7 extra
+        // jobs on a 15.6k-hop chain). Accumulator over-count on task
+        // retry is harmless in this direction: a retried task can only
+        // re-count REAL changes, so changes == 0 ⇒ genuinely stable
+        // (the nonNativeAcc existence argument).
+        val changedAcc = spark.sparkContext.longAccumulator
+        val flagChange = udf { (oldComp: Long, newComp: Long) =>
+          if (newComp != oldComp) changedAcc.add(1)
+          newComp
+        }
         var cur = hooked
-        var curSum = hookSum
         var stable = false
         var steps = 0
         while (!stable && steps < 40) {
+          changedAcc.reset()
           val parents = cur.select(col("id").as("pid"), col("comp").as("pcomp"))
           val jumped = cur.join(parents, cur("comp") === parents("pid"), "left")
-            .select(cur("id"), coalesce(col("pcomp"), cur("comp")).as("comp"))
+            .select(cur("id"),
+              flagChange(cur("comp"), coalesce(col("pcomp"), cur("comp"))).as("comp"))
             .localCheckpoint(true)
           val parents2 = jumped.select(col("id").as("pid"), col("comp").as("pcomp"))
           val next = jumped.join(parents2, jumped("comp") === parents2("pid"), "left")
-            .select(jumped("id"), coalesce(col("pcomp"), jumped("comp")).as("comp"))
+            .select(jumped("id"),
+              flagChange(jumped("comp"), coalesce(col("pcomp"), jumped("comp"))).as("comp"))
             .localCheckpoint(true)
           releaseLocalCheckpoint(jumped)
-          val nextSum = labelSum(next)
-          stable = nextSum.compareTo(curSum) == 0
+          stable = changedAcc.value == 0L
           if (stable) releaseLocalCheckpoint(next)
           else {
             if (cur ne hooked) releaseLocalCheckpoint(cur)
-            cur = next; curSum = nextSum
+            cur = next
           }
           steps += 1
         }
         if (cur ne hooked) releaseLocalCheckpoint(hooked)
         labels = cur
-        prevSum = curSum
+        // One Σcomp per OUTER round (not per step) re-anchors the
+        // hook-fixpoint check for the next round.
+        prevSum = labelSum(cur)
       }
       iterations += 1
     }
