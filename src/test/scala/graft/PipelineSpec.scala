@@ -114,6 +114,17 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterEach {
     // duplicate-id guard (combine_contacts.py:1519-1525)
     assert(out.map(_.contact_id).distinct.length == out.length)
     assert(lineage.collect().length == 4)
+
+    // The lineage-light variant (members standing in for their raw
+    // originals — the stage-query memo's path) must produce the SAME
+    // merged output and the same lineage id spine (contact_id, source,
+    // source_row_id); only the source_*_raw renderings may differ.
+    val (merged2, lineage2) = Pipeline.dedupeContactsWithLineage(norm)
+    assert(merged2.collect().sortBy(_.contact_id).toSeq ==
+      out.sortBy(_.contact_id).toSeq)
+    def spine(l: org.apache.spark.sql.Dataset[Lineage]) =
+      l.collect().map(r => (r.contact_id, r.source, r.source_row_id)).toSet
+    assert(spine(lineage2) == spine(lineage))
   }
 
   test("acceptedPairs matches brute-force shouldMerge under non-default thresholds") {
