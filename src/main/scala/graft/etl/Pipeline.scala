@@ -786,6 +786,9 @@ object Pipeline {
         var steps = 0
         while (!stable && steps < 40) {
           changedAcc.reset()
+          // (A shuffle_hash hint on the parents side measured neutral-
+          // to-worse same-window vs the planner's sort-merge here —
+          // the sorted sides amortize across the per-step joins.)
           val parents = cur.select(col("id").as("pid"), col("comp").as("pcomp"))
           val jumped = cur.join(parents, cur("comp") === parents("pid"), "left")
             .select(cur("id"),
