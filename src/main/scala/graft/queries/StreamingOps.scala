@@ -85,9 +85,20 @@ object StreamingOps {
   /** Fresh scratch root per run (data/ + chk/ separated so a
     * per-batch overwrite of data/ can never clobber the stream's
     * checkpoint), so Bench warm loops and Verify reruns never append
-    * onto a previous run's commits. */
+    * onto a previous run's commits. Prefers tmpfs (/dev/shm) when
+    * present: a run-to-completion AvailableNow capture's checkpoint
+    * has no recovery value past the run (the job either finishes or
+    * reruns whole), so its many small WAL/state fsyncs are pure
+    * fixed cost on a disk-backed tmpdir. A live deployment points
+    * sink + checkpoint at durable shared storage instead (see the
+    * object doc); the recovery tests manage their own durable
+    * checkpoint dirs. */
   private def scratch(): (String, String) = {
-    val root = java.nio.file.Files.createTempDirectory("graft_stream_")
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val root =
+      if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
+        java.nio.file.Files.createTempDirectory(shm, "graft_stream_")
+      else java.nio.file.Files.createTempDirectory("graft_stream_")
     root.toFile.deleteOnExit()
     (s"$root/data", s"$root/chk")
   }
