@@ -122,6 +122,11 @@ package object queries {
       s"$tag synthesizes driver-local fixtures; requires a local[] master")
     val safeDir = dir.replaceAll("[^a-zA-Z0-9]+", "_")
     val safeApp = spark.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]+", "_")
-    s"/tmp/graft_${tag}_${safeDir}_$safeApp"
+    // tmpfs when present: the fixtures are ephemeral per-application
+    // artifacts, so disk fsyncs are pure fixed cost (same reasoning
+    // as the streaming capture scratch).
+    val base =
+      if (new java.io.File("/dev/shm").canWrite) "/dev/shm" else "/tmp"
+    s"$base/graft_${tag}_${safeDir}_$safeApp"
   }
 }
