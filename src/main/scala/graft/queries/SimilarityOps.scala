@@ -299,7 +299,7 @@ object SimilarityOps {
     * vectors themselves must NOT ride through the 16× fan-out (they
     * re-join by vec_id where needed; carrying them cost 10× shuffle
     * bytes at 2M vectors — IvfBench / THROUGHPUT.md). */
-  private def affinityTo(rows: org.apache.spark.sql.DataFrame,
+  private[graft] def affinityTo(rows: org.apache.spark.sql.DataFrame,
       trained: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     rows.join(broadcast(trained), lit(true))
       .select(col("vec_id"), col("cell"),
@@ -312,7 +312,7 @@ object SimilarityOps {
     * shuffle, where a window would sort-shuffle all n·16 rows. The
     * tiebreak is identical to `row_number ORDER BY aff DESC, cell
     * ASC` = 1, which is what the oracle ranks. */
-  private def assignedCells(e: org.apache.spark.sql.DataFrame,
+  private[graft] def assignedCells(e: org.apache.spark.sql.DataFrame,
       trained: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     affinityTo(e, trained)
       .groupBy(col("vec_id"))
@@ -324,7 +324,7 @@ object SimilarityOps {
     * fan-out rows) — consumers that need the assigned vector get it
     * without a join-back against the corpus, and the fan-out still
     * collapses map-side before the shuffle. */
-  private def assignedWithVec(e: org.apache.spark.sql.DataFrame,
+  private[graft] def assignedWithVec(e: org.apache.spark.sql.DataFrame,
       trained: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     e.join(broadcast(trained), lit(true))
       .select(col("vec_id"), col("v"), col("norm"), col("cell"),
