@@ -773,7 +773,16 @@ object ContactOps {
     * class's members k ≡ r mod 400), and rule 3 ("other"-displacement)
     * needs a pre-render "other" label, which normalization never
     * produces. Kept-invalid channels are always labeled 'invalid'
-    * (normalization.py:573-617). */
+    * (normalization.py:573-617).
+    *
+    * Domain bound: the argmax additionally needs strict rank order
+    * between different-source carriers of one value, i.e. no
+    * timestamp ties across sources. Synth timestamps cycle mod
+    * lcm(12,28) = 84 and same-class members are 400 apart, so a
+    * cross-source tie needs members ≥ 21·400 = 8400 ids apart in one
+    * class — impossible at the oracle's sf0.01 (1.5k rows) and
+    * sf0.001; at sf0.1+ the oracle text would need the sequential
+    * fold (the driver's correctness gate runs at sf0.01). */
   private def q87OracleSql: String =
     s"""WITH ${dedupeOracleCtes()},
       emall AS (
