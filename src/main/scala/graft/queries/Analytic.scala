@@ -380,7 +380,10 @@ object Analytic {
       t(s, dir, "orders")
         .where(col("o_custkey") < 20)
         .select(col("o_custkey"), col("o_orderkey"),
-          datediff(col("o_orderdate"), lit("1990-01-01").cast("date")).as("day"),
+          // long: DuckDB's datediff is BIGINT; keep dtypes aligned,
+          // not just stringified values
+          datediff(col("o_orderdate"), lit("1990-01-01").cast("date"))
+            .cast("long").as("day"),
           money(col("o_totalprice")).as("price"))
         .withColumn("moving_30d",
           round(sum(col("price")).over(w).cast("double"), 2))
