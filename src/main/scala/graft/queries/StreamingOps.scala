@@ -95,12 +95,36 @@ object StreamingOps {
     * checkpoint dirs. */
   private def scratch(): (String, String) = {
     val shm = java.nio.file.Paths.get("/dev/shm")
+    val useShm =
+      java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm)
+    sweepStale(if (useShm) shm
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")))
     val root =
-      if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
-        java.nio.file.Files.createTempDirectory(shm, "graft_stream_")
+      if (useShm) java.nio.file.Files.createTempDirectory(shm, "graft_stream_")
       else java.nio.file.Files.createTempDirectory("graft_stream_")
     root.toFile.deleteOnExit()
     (s"$root/data", s"$root/chk")
+  }
+
+  /** Best-effort removal of stale graft scratch roots from PREVIOUS
+    * JVMs: File.deleteOnExit cannot remove non-empty directories, so
+    * each session would otherwise leak a few MB of tmpfs per streaming
+    * query, unbounded across sessions. Age-gated (≥ 2 h by mtime) so a
+    * concurrently-running session's scratch is never touched; any
+    * I/O error is swallowed — this is hygiene, not correctness. */
+  private def sweepStale(base: java.nio.file.Path): Unit =
+    try {
+      val cutoff = System.currentTimeMillis() - 2L * 3600 * 1000
+      val kids = base.toFile.listFiles()
+      if (kids != null) kids.iterator
+        .filter(f => f.getName.startsWith("graft_") && f.lastModified() < cutoff)
+        .foreach(deleteRecursively)
+    } catch { case _: Throwable => () }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRecursively)
+    f.delete(); ()
   }
 
   /** Run an append-mode streaming DF to completion into a scratch
