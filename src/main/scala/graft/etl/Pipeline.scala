@@ -777,10 +777,14 @@ object Pipeline {
         // re-count REAL changes, so changes == 0 ⇒ genuinely stable
         // (the nonNativeAcc existence argument).
         val changedAcc = spark.sparkContext.longAccumulator
+        // asNondeterministic pins once-per-row-per-job evaluation: a
+        // deterministic UDF may legally be duplicated, collapsed, or
+        // re-staged by Catalyst, which would silently decouple the
+        // accumulator's count from the rows actually materialized.
         val flagChange = udf { (oldComp: Long, newComp: Long) =>
           if (newComp != oldComp) changedAcc.add(1)
           newComp
-        }
+        }.asNondeterministic()
         var cur = hooked
         var stable = false
         var steps = 0

@@ -98,7 +98,10 @@ object CurationOps {
       .groupBy(col("s")).agg(count(lit(1)).as("c"))
       .where(col("c") * 5 >= nd)
       .select(col("s"))
-    val probe = boiler.limit(maxBroadcastShingles.toInt + 1)
+    // Clamp before toInt: the cap is a Long API surface, and a caller
+    // passing >= Int.MaxValue would otherwise overflow to a negative
+    // limit and throw at runtime.
+    val probe = boiler.limit(math.min(maxBroadcastShingles, Int.MaxValue - 1L).toInt + 1)
       .collect().map(_.getString(0))
     val counted: DataFrame = if (probe.length <= maxBroadcastShingles) {
       val bc = base.sparkSession.sparkContext.broadcast(probe.toSet)

@@ -106,18 +106,25 @@ object StreamingOps {
     (s"$root/data", s"$root/chk")
   }
 
-  /** Best-effort removal of stale graft scratch roots from PREVIOUS
+  /** Best-effort removal of stale STREAM scratch roots from PREVIOUS
     * JVMs: File.deleteOnExit cannot remove non-empty directories, so
     * each session would otherwise leak a few MB of tmpfs per streaming
-    * query, unbounded across sessions. Age-gated (≥ 2 h by mtime) so a
-    * concurrently-running session's scratch is never touched; any
-    * I/O error is swallowed — this is hygiene, not correctness. */
+    * query, unbounded across sessions. Scoped to the `graft_stream_`
+    * prefix only — localScratch fixture dirs (queries/package.scala)
+    * are created once per application and then lazily RE-READ for the
+    * session's whole lifetime without their mtime advancing, so an
+    * age gate alone would delete a live >2h session's fixtures out
+    * from under it (those dirs carry their owner's pid and are swept
+    * by localScratch itself on liveness, not age). Still age-gated
+    * (≥ 2 h by mtime) so a concurrently-running session's stream
+    * scratch is never touched; any I/O error is swallowed — this is
+    * hygiene, not correctness. */
   private def sweepStale(base: java.nio.file.Path): Unit =
     try {
       val cutoff = System.currentTimeMillis() - 2L * 3600 * 1000
       val kids = base.toFile.listFiles()
       if (kids != null) kids.iterator
-        .filter(f => f.getName.startsWith("graft_") && f.lastModified() < cutoff)
+        .filter(f => f.getName.startsWith("graft_stream_") && f.lastModified() < cutoff)
         .foreach(deleteRecursively)
     } catch { case _: Throwable => () }
 

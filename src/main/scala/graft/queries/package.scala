@@ -34,6 +34,17 @@ package object queries {
   def registerMemo(m: java.util.concurrent.ConcurrentHashMap[String, _]): Unit =
     memoMaps.add(m)
 
+  /** Drop every session-scoped memo entry for `s`. Bench uses this
+    * between its two timed passes so the second pass re-pays exactly
+    * the costs the first one did (a memo-warm second pass would report
+    * a near-zero min for the stage query that funds the shared
+    * dedupe+merge). Evicted checkpoint blocks are cleaner-released
+    * when GC drops the Dataset references. */
+  def evictMemos(s: SparkSession): Unit = {
+    val pfx = sessionKey(s) + ":"
+    memoMaps.forEach(m => m.keySet.removeIf(_.startsWith(pfx)))
+  }
+
   def sessionKey(s: SparkSession): String =
     sessionIds.computeIfAbsent(s, _ => {
       val id = java.util.UUID.randomUUID().toString
@@ -117,16 +128,53 @@ package object queries {
     * disk and is read back via the local filesystem — valid only under
     * a local[] master; a cluster deployment would point this at a
     * shared filesystem instead. */
-  def localScratch(spark: SparkSession, tag: String, dir: String): String = {
+  def localScratch(spark: SparkSession, tag: String, dir: String,
+      expectedBytes: Long = 0L): String = {
     require(spark.sparkContext.isLocal,
       s"$tag synthesizes driver-local fixtures; requires a local[] master")
     val safeDir = dir.replaceAll("[^a-zA-Z0-9]+", "_")
     val safeApp = spark.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]+", "_")
-    // tmpfs when present: the fixtures are ephemeral per-application
-    // artifacts, so disk fsyncs are pure fixed cost (same reasoning
-    // as the streaming capture scratch).
-    val base =
-      if (new java.io.File("/dev/shm").canWrite) "/dev/shm" else "/tmp"
-    s"$base/graft_${tag}_${safeDir}_$safeApp"
+    // tmpfs when present AND comfortably sized: tmpfs is RAM-backed
+    // (typically capped near 50% of RAM), so a volume fixture that
+    // fit on disk-backed /tmp could ENOSPC here or add memory
+    // pressure that competes with executor heap. Require headroom of
+    // 4x the caller's expected size (min 1 GiB) and honor the
+    // GRAFT_SCRATCH_NO_SHM override for volume runs.
+    val shm = new java.io.File("/dev/shm")
+    val useShm = shm.canWrite &&
+      !sys.env.contains("GRAFT_SCRATCH_NO_SHM") &&
+      shm.getUsableSpace > math.max(4L * expectedBytes, 1L << 30)
+    val base = if (useShm) "/dev/shm" else "/tmp"
+    // Fixture dirs are created once per application, then lazily
+    // RE-READ for the whole session (mtime never advances), so an
+    // age-gated sweep could delete a live long session's fixtures.
+    // Instead the dir name carries the owning pid and each call
+    // sweeps siblings whose owner is dead — correctness-safe hygiene.
+    sweepDeadFixtures(new java.io.File(base))
+    s"$base/graft_fix_p${pidSelf}_${tag}_${safeDir}_$safeApp"
+  }
+
+  private val pidSelf: Long = ProcessHandle.current().pid()
+  private val FixturePat = "graft_fix_p(\\d+)_.*".r
+
+  private def sweepDeadFixtures(base: java.io.File): Unit =
+    try {
+      val kids = base.listFiles()
+      if (kids != null) kids.foreach { f =>
+        f.getName match {
+          case FixturePat(pid) if pid.toLong != pidSelf && {
+                val o = ProcessHandle.of(pid.toLong)
+                !(o.isPresent && o.get.isAlive)
+              } =>
+            deleteRecursively(f)
+          case _ => ()
+        }
+      }
+    } catch { case _: Throwable => () }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRecursively)
+    f.delete(); ()
   }
 }
