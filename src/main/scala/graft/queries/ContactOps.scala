@@ -303,7 +303,13 @@ object ContactOps {
     "blocked scoring -> connected components -> per-cluster stats (oracle-checked)",
     (s, dir) => {
       import s.implicits._
+      // repartition BEFORE the regex/validation-heavy projections: the
+      // corpus parquet is a single split, so the narrow map would
+      // otherwise run (and checkpoint) as ONE task — measured ~0.45 s
+      // serial vs ~0.05 s spread across the cluster; the tiny-row
+      // shuffle is ~free (same contract as Pipeline.normalize).
       val base = Synth.contacts(s, dir).toDF()
+        .repartition(s.sparkContext.defaultParallelism)
         .select(
           col("row_id").as("k"),
           element_at(split(col("full_name_raw"), " "), -1).as("raw_last"),
@@ -333,8 +339,6 @@ object ContactOps {
           when(phoneValidCol(e164Col(col("phone_raw"))), e164Col(col("phone_raw")))
             .otherwise(trim(col("phone_raw"))))
         .localCheckpoint(true)
-      val a = withNorm.select(withNorm.columns.toIndexedSeq.map(c => col(c).as(s"a_$c")): _*)
-      val b = withNorm.select(withNorm.columns.toIndexedSeq.map(c => col(c).as(s"b_$c")): _*)
       val sim = lit(1.0) - levenshtein(lower(col("a_first_name")), lower(col("b_first_name")))
         .cast("double") / greatest(length(col("a_first_name")), length(col("b_first_name")))
         .cast("double")
@@ -382,22 +386,30 @@ object ContactOps {
         .select(col("k"), min(col("k")).over(w).as("root"))
         .where(col("k") =!= col("root"))
         .select(col("root").as("src"), col("k").as("dst")).as[Pipeline.Edge]
-      val kk = withNorm.select(col("k"), lower(col("last_name")).as("blk"),
+      // Payload-carrying inverted index: each exploded key row carries
+      // the fields the decision rule reads, so the self-join yields
+      // scored pairs directly — no distinct and no join-back to the
+      // full table (3 shuffle stages saved; one exchange, reused by
+      // both sides). Duplicate pairs from multi-key overlap are NOT
+      // deduped: union-find and the contraction quotient are
+      // idempotent in duplicate edges, so dedup would buy nothing but
+      // a shuffle.
+      val flds = Seq("k", "first_name", "last_name", "suffix", "email_val",
+        "phone_val", "addr_key", "linkedin_url", "source")
+      val kk = withNorm.select(lower(col("last_name")).as("blk"),
           cqCol.as("cq"),
+          struct(flds.map(col): _*).as("p"),
           explode(array(
             concat(lit("n:"), lower(col("first_name"))),
             when(col("email_val") =!= "", concat(lit("e:"), col("email_val"))),
             when(col("linkedin_url") =!= "", concat(lit("l:"), col("linkedin_url")))))
             .as("ck"))
         .where(col("ck").isNotNull)
-      val cand = kk.as("x").join(kk.as("y"),
+      val pairEdges = kk.as("x").join(kk.as("y"),
           col("x.blk") === col("y.blk") && col("x.ck") === col("y.ck") &&
-            col("x.k") < col("y.k") && col("x.cq") =!= col("y.cq"))
-        .select(col("x.k").as("ak"), col("y.k").as("bk"))
-        .distinct()
-      val pairEdges = cand
-        .join(a, col("ak") === col("a_k"))
-        .join(b, col("bk") === col("b_k"))
+            col("x.p.k") < col("y.p.k") && col("x.cq") =!= col("y.cq"))
+        .select(flds.map(f => col(s"x.p.$f").as(s"a_$f")) ++
+          flds.map(f => col(s"y.p.$f").as(s"b_$f")): _*)
         .where(ok0 && gate && liGate)
         .select(col("a_k").as("src"), col("b_k").as("dst"))
         .as[Pipeline.Edge]
