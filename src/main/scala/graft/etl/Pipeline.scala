@@ -21,7 +21,7 @@ import org.apache.spark.storage.StorageLevel
   *   components  ≤1M edges: direct driver union-find; beyond:
   *               distributed contraction rounds (hook to min label,
   *               take the quotient graph) until the remainder fits
-  *               the bounded driver union-find, with pointer-jumping
+  *               the bounded driver union-find, with star alternation
   *               as the shrink-resistant fallback
   *   merge       groupByKey(component).mapGroups — ONE shuffle; cluster
   *               sizes are bounded by duplicate multiplicity, so the
@@ -535,7 +535,7 @@ object Pipeline {
     * through [[contractionComponents]]: distributed min-hook rounds
     * shrink the graph to its quotient until the remainder fits the
     * bounded driver union-find (or, for shrink-resistant graphs, the
-    * pointer-jumping fallback finishes distributedly).
+    * large-star/small-star fallback finishes distributedly).
     */
   def connectedComponents(vertexIds: Dataset[java.lang.Long], edges: Dataset[Edge]): DataFrame = {
     val spark = vertexIds.sparkSession
@@ -589,7 +589,7 @@ object Pipeline {
     * than this factor, the graph is shrink-resistant (a long path: the
     * min-hook quotient of an id-ascending chain loses ONE edge per
     * round) and the loop demotes to [[distributedComponents]], whose
-    * pointer-jumping converges in O(log diameter) regardless of
+    * star alternation converges in O(log diameter) regardless of
     * shape. */
   val ContractionStallFactor = 1.5
 
@@ -611,7 +611,7 @@ object Pipeline {
     *             bounded by that single cap: the union-find only ever
     *             sees quotient EDGES, never a vertex-scale table)
     *   demote    quotient shrank < [[ContractionStallFactor]]× →
-    *             pointer-jumping fallback on the contracted graph
+    *             large-star/small-star fallback on the contracted graph
     *
     * The final labeling composes the per-round maps outward from the
     * original vertex ids (each map is vertex-scale of a strictly
@@ -660,7 +660,7 @@ object Pipeline {
         maps ::= roots
         done = true
       } else if (qc.toDouble * ContractionStallFactor > prevEdges.toDouble) {
-        // Shrink-resistant remainder: finish with pointer jumping. Its
+        // Shrink-resistant remainder: finish with star alternation. Its
         // result covers exactly q's vertices = l's labels, so it
         // composes like any other map.
         val qVerts = q.select(col("src").as("id"))
@@ -692,136 +692,145 @@ object Pipeline {
     result
   }
 
+  /** Connected components on an arbitrary graph by large-star /
+    * small-star alternation (the two-phase algorithm of Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SoCC'14) —
+    * the shrink-resistant fallback behind [[contractionComponents]].
+    * Reference semantics: transitive closure over accepted merge
+    * pairs (combine_contacts.py:1132-1146).
+    *
+    * The state is the EDGE SET itself, kept canonical ((min,max),
+    * distinct) — no per-vertex label table is threaded between
+    * rounds. Per round:
+    *
+    *   large-star   every node u rewires its LARGER neighbors to
+    *                m = min(N(u) ∪ {u}): each symmetric row (u,v),
+    *                v > u emits (m, v). Trivial for u iff m == u.
+    *   small-star   every node u rewires its SMALLER neighbors
+    *                (parent candidates) to their min: each canonical
+    *                row (src, dst=u) emits the kept (m, u) when
+    *                src == m, else the rewire (m, src). Trivial for
+    *                u iff it has exactly one smaller neighbor.
+    *
+    * Both operations preserve connectivity (Kiveris Lemmas 1-2).
+    * Fixpoint — both ops trivial in the same round — is exactly a
+    * star forest centered at each component's minimum id: large-star
+    * trivial ⇒ any node with children has no parent; small-star
+    * trivial ⇒ every node has at most one parent; together: depth
+    * ≤ 1. Unlike hook + pointer-jump (this tier's previous shape),
+    * the alternation contracts high-degree AND path structure
+    * simultaneously: a chain halves its depth per round (O(log
+    * diameter)), a star collapses in one, and O(log² n) bounds
+    * arbitrary shrink-resistant graphs.
+    *
+    * Each op is ONE exchange: a partitionBy window computes the
+    * group min in the same pass that re-emits edges (large-star), or
+    * a groupBy + collect_set whose per-group set doubles as the
+    * round's dedup (small-star) — no standalone distinct exchanges.
+    * A round chains TWO large-stars (re-symmetrized in-pass via
+    * explode, so nothing re-executes) into one small-star and
+    * materializes once: three exchanges per round for a 4× depth
+    * reduction on path graphs. Change detection rides the checkpoint
+    * materialization as accumulators — over-count on task retry is
+    * harmless in the == 0 direction, and the flag UDFs are
+    * nondeterministic so Catalyst cannot collapse or duplicate the
+    * side effect. Measured on 64×15.6k-hop chains (1M edges,
+    * local[32]): ~10 s warm / 8 rounds, vs 19.2 s for the previous
+    * hook + pointer-jump shape. */
   private[graft] def distributedComponents(vertexIds: Dataset[java.lang.Long],
       edges: Dataset[Edge]): DataFrame = {
     val spark = vertexIds.sparkSession
-    import spark.implicits._
-    val symmetric = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = vertexIds.toDF("id").withColumn("comp", col("id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // Convergence via an exact monotone checksum: every label op below
-    // is a min against the current label (hook) or a comp-of-comp
-    // lookup where comp ≤ id invariantly, so per-vertex labels never
-    // increase — the label table changed iff Σcomp strictly decreased.
-    // One decimal(38,0) aggregate over the checkpointed result replaces
-    // the former labels⋈next equality join per round. A decimal(38,0)
-    // overflow under non-ANSI mode would surface as a null sum; that
-    // must fail loudly — coalescing it to 0 would let two consecutive
-    // overflowing rounds compare 0 == 0 and declare convergence with
-    // wrong components (unreachable below ~1e19 vertices, but masked
-    // failure modes are worse than loud ones).
-    def labelSum(df: DataFrame): java.math.BigDecimal = {
-      val row = df.agg(sum(col("comp").cast("decimal(38,0)")).as("s"),
-        count(lit(1)).as("n")).head()
-      val s = row.getDecimal(0)
-      require(row.getLong(1) == 0L || s != null,
-        "decimal(38,0) overflow in the CC convergence checksum")
-      if (s == null) java.math.BigDecimal.ZERO else s
-    }
-    var prevSum = labelSum(labels)
+    val lsAcc = spark.sparkContext.longAccumulator
+    val ssAcc = spark.sparkContext.longAccumulator
+    val lsFlag = udf { (m: Long, u: Long) =>
+      if (m != u) lsAcc.add(1)
+      m
+    }.asNondeterministic()
+    val ssFlag = udf { (x: Long) => ssAcc.add(1); x }.asNondeterministic()
+    // Canonicalized but NOT distinct'd: round 1's small-star dedups
+    // duplicate input edges for free (collect_set), so a dedicated
+    // distinct exchange here would only lower round 1's input volume
+    // at the price of a full extra shuffle of the whole edge set.
+    var g = edges.select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .localCheckpoint(true)
     var converged = false
-    var iterations = 0
-    // Two-phase rounds (the Stergiou-style hash-to-min family, with
-    // the phases DECOUPLED): each outer round runs one hook — min of
-    // self and neighbors' current labels, the only op that consults
-    // the EDGE table — then pointer-jumps the label table to its OWN
-    // fixpoint before hooking again. The earlier shape interleaved
-    // one hook with exactly two jumps per round, so a high-diameter
-    // graph paid the expensive symmetric⋈labels hook join O(log d)
-    // times even though every hook after the first changed nothing
-    // until the jumps caught up; on 64×15.6k-hop chains that was 7
-    // hook joins where 2 suffice (hook once to build the parent
-    // forest, square to the roots, hook again to merge trees — chains
-    // have one tree per component, so the second hook is already the
-    // fixpoint proof). Hook fixpoint ⇒ comp(v) equal across every
-    // edge ⇒ labels are per-component constants, which is the
-    // termination contract.
-    while (!converged && iterations < 50) {
-      // Hook: materialized (localCheckpoint) BEFORE the self-joins —
-      // the two join sides otherwise re-execute the whole
-      // join+union+groupBy subtree each (Spark does not reuse the
-      // exchange across the differently-projected sides; measured 35%
-      // of round time on a 10M-edge graph).
-      val hooked = symmetric.join(labels, symmetric("src") === labels("id"))
-        .select(col("dst").as("id"), col("comp"))
-        .union(labels.select(col("id"), col("comp")))
-        .groupBy("id").agg(min("comp").as("comp"))
+    var rounds = 0
+    val debug = sys.env.contains("GRAFT_CC_DEBUG")
+    while (!converged && rounds < 50) {
+      val tR = System.nanoTime()
+      lsAcc.reset(); ssAcc.reset()
+      // Large-star: symmetrize, per-u min via window (one exchange),
+      // emit (m, v) for the larger neighbors. m ≤ u < v, so the
+      // output is canonical by construction and never a self-loop.
+      // NOT materialized — it feeds straight into small-star below,
+      // so the whole round is ONE Spark job (the per-round fixed
+      // cost of an extra checkpoint job dominated the data cost on
+      // high-diameter graphs, where O(log d) rounds stack up).
+      // One large-star application over a SYMMETRIC (u, v) edge view:
+      // emits the canonical (m, v) per original edge. Chainable
+      // without re-execution: symAgain explodes both orientations in
+      // the same pass instead of unioning two reads of the subtree
+      // (a union would execute the whole upstream window twice).
+      val wU = org.apache.spark.sql.expressions.Window.partitionBy("u")
+      def largeStar(sym: DataFrame): DataFrame =
+        sym.withColumn("m", least(col("u"), min(col("v")).over(wU)))
+          .where(col("v") > col("u"))
+          .select(lsFlag(col("m"), col("u")).as("src"), col("v").as("dst"))
+      def symAgain(edges: DataFrame): DataFrame =
+        edges.select(explode(array(
+            struct(col("src").as("u"), col("dst").as("v")),
+            struct(col("dst").as("u"), col("src").as("v")))).as("e"))
+          .select(col("e.u").as("u"), col("e.v").as("v"))
+      // TWO chained large-stars per round: on a path graph each
+      // large-star halves the depth while small-star is a no-op
+      // (every chain node has exactly one smaller neighbor), so depth
+      // falls 4× per materialized round for one extra exchange.
+      // Duplicate edges between the applications are harmless — the
+      // window min ignores them and small-star's collect_set is the
+      // round's dedup — and both applications preserve connectivity
+      // (Kiveris Lemma), the shared accumulator making convergence
+      // "every op in the round was trivial", which is the same
+      // star-forest fixpoint proof.
+      val ls = largeStar(symAgain(largeStar(
+        g.select(col("src").as("u"), col("dst").as("v"))
+          .union(g.select(col("dst").as("u"), col("src").as("v"))))))
+      // Small-star: group the canonical edges by their LARGER
+      // endpoint (dst); each group emits the kept parent (m, dst)
+      // from its min member and a rewire (m, src) for the rest.
+      // m ≤ src < dst: canonical, no self-loops. The collect_set
+      // doubles as the round's dedup — large-star's duplicate
+      // emissions vanish here without a distinct exchange of their
+      // own, so a full round is exactly TWO exchanges (window by u,
+      // group by dst). Per-group state mirrors the Kiveris small-star
+      // reducer's input (the smaller-neighbor set, degree-bounded).
+      val ss = ls.groupBy(col("dst"))
+        .agg(min(col("src")).as("m"), collect_set(col("src")).as("srcs"))
+        .select(col("m"), col("dst"), explode(col("srcs")).as("s"))
+        .select(col("m").as("src"),
+          when(col("s") === col("m"), col("dst"))
+            .otherwise(ssFlag(col("s"))).as("dst"))
         .localCheckpoint(true)
-      val hookSum = labelSum(hooked)
-      if (hookSum.compareTo(prevSum) == 0) {
-        // Hook changed nothing: labels are component-constant. (Every
-        // op is a min against the current label, so the table changed
-        // iff the monotone Σcomp strictly decreased.)
-        releaseLocalCheckpoint(hooked)
-        converged = true
-      } else {
-        labels.unpersist()
-        releaseLocalCheckpoint(labels) // no-op on the initial cached table
-        // Pointer-jump the label table to ITS fixpoint: comp ←
-        // comp(comp), twice per step (label-chain depth divides by 4
-        // per materialization; the extra self-join of the small label
-        // table is cheaper than an extra round's fixed jobs). A path
-        // graph needs O(log diameter) steps here, where plain
-        // neighbor-min propagation would need O(diameter) hooks and
-        // silently exceed the iteration cap on a multi-thousand-hop
-        // chain. localCheckpoint per step truncates the logical plan:
-        // without it every step's plan nests the previous step's
-        // joins and analysis cost grows without bound.
-        // Inner-step convergence rides the checkpoint materialization
-        // itself: a change-flag accumulator incremented by the jump
-        // projection replaces a per-step Σcomp aggregate job (7 extra
-        // jobs on a 15.6k-hop chain). Accumulator over-count on task
-        // retry is harmless in this direction: a retried task can only
-        // re-count REAL changes, so changes == 0 ⇒ genuinely stable
-        // (the nonNativeAcc existence argument).
-        val changedAcc = spark.sparkContext.longAccumulator
-        // asNondeterministic pins once-per-row-per-job evaluation: a
-        // deterministic UDF may legally be duplicated, collapsed, or
-        // re-staged by Catalyst, which would silently decouple the
-        // accumulator's count from the rows actually materialized.
-        val flagChange = udf { (oldComp: Long, newComp: Long) =>
-          if (newComp != oldComp) changedAcc.add(1)
-          newComp
-        }.asNondeterministic()
-        var cur = hooked
-        var stable = false
-        var steps = 0
-        while (!stable && steps < 40) {
-          changedAcc.reset()
-          // (A shuffle_hash hint on the parents side measured neutral-
-          // to-worse same-window vs the planner's sort-merge here —
-          // the sorted sides amortize across the per-step joins.)
-          val parents = cur.select(col("id").as("pid"), col("comp").as("pcomp"))
-          val jumped = cur.join(parents, cur("comp") === parents("pid"), "left")
-            .select(cur("id"),
-              flagChange(cur("comp"), coalesce(col("pcomp"), cur("comp"))).as("comp"))
-            .localCheckpoint(true)
-          val parents2 = jumped.select(col("id").as("pid"), col("comp").as("pcomp"))
-          val next = jumped.join(parents2, jumped("comp") === parents2("pid"), "left")
-            .select(jumped("id"),
-              flagChange(jumped("comp"), coalesce(col("pcomp"), jumped("comp"))).as("comp"))
-            .localCheckpoint(true)
-          releaseLocalCheckpoint(jumped)
-          stable = changedAcc.value == 0L
-          if (stable) releaseLocalCheckpoint(next)
-          else {
-            if (cur ne hooked) releaseLocalCheckpoint(cur)
-            cur = next
-          }
-          steps += 1
-        }
-        if (cur ne hooked) releaseLocalCheckpoint(hooked)
-        labels = cur
-        // One Σcomp per OUTER round (not per step) re-anchors the
-        // hook-fixpoint check for the next round.
-        prevSum = labelSum(cur)
-      }
-      iterations += 1
+      releaseLocalCheckpoint(g)
+      g = ss
+      converged = lsAcc.value == 0L && ssAcc.value == 0L
+      rounds += 1
+      if (debug) System.err.println(
+        f"CC round $rounds%2d ${(System.nanoTime() - tR) / 1e9}%6.2f s  ls=${lsAcc.value} ss=${ssAcc.value}")
     }
-    symmetric.unpersist()
-    labels
+    // Masked non-convergence would silently mislabel components.
+    require(converged,
+      s"large-star/small-star did not converge within $rounds rounds")
+    // Star forest → labels: leaves take their center, centers and
+    // isolated vertices keep their own id.
+    val stars = g.select(col("dst").as("id"), col("src").as("comp"))
+    val result = vertexIds.toDF("id")
+      .join(stars, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+      .localCheckpoint(true)
+    releaseLocalCheckpoint(g)
+    result
   }
 
   /** Full dedupe: normalized contacts (paired with raw originals)

@@ -41,11 +41,27 @@ object CCBench {
               org.apache.spark.sql.Dataset[Pipeline.Edge]) =>
               org.apache.spark.sql.DataFrame): Unit = {
       val nV = vertices.count(); val nE = edges.count() // materialize inputs untimed
-      val t0 = System.nanoTime()
-      val labels = via(vertices, edges)
-      val bad = labels.where(col("comp") =!= expected).count()
-      val dt = (System.nanoTime() - t0) / 1e9
-      println(f"CCBENCH $name%-22s vertices=$nV%,d edges=$nE%,d  ${dt}%8.2f s  parity=${if (bad == 0) "OK" else s"FAIL($bad)"}")
+      // Min-of-2 timed passes, same protocol as graft.Bench: the first
+      // pass pays one-time Janino codegen for the round plans (~7 s on
+      // the chain case), which a deployment amortizes across every
+      // component run; the min is the device cost.
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val labels = via(vertices, edges)
+        val bad = labels.where(col("comp") =!= expected).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        require(bad == 0, s"$name parity FAIL($bad)")
+        // Release the returned checkpoint's blocks — otherwise each
+        // case/rep pins vertex-scale label RDDs for the JVM lifetime
+        // and later cases measure the memory pressure, not the device.
+        labels.queryExecution.analyzed.foreach {
+          case lr: org.apache.spark.sql.execution.LogicalRDD =>
+            lr.rdd.unpersist(blocking = false)
+          case _ => ()
+        }
+        dt
+      }
+      println(f"CCBENCH $name%-22s vertices=$nV%,d edges=$nE%,d  ${times.min}%8.2f s (min of ${times.map(t => f"$t%.2f").mkString("/")})  parity=OK")
     }
 
     val C1 = 500000L; val E1 = 4500000L
