@@ -364,8 +364,16 @@ object ContactLogic {
         * device (cf. Bayardo WWW'07 frequency-ordered pruning). */
       matchKeyFrequencyCap: Option[Long] = None)
 
+  /** Test-only observability (local[] masters): counts typed-path
+    * merge decisions — the Scala remainder that pairs fall to only
+    * when a side is nameless / empty-norm. Pins PipelineSpec's
+    * "all-named corpora decide entirely in codegen" contract. */
+  private[graft] val typedDecisionCount =
+    new java.util.concurrent.atomic.LongAdder
+
   /** The full merge decision rule (combine_contacts.py:1154-1222). */
   def shouldMerge(left: MatchRec, right: MatchRec, cfg: DedupeConfig): Boolean = {
+    typedDecisionCount.increment()
     val signals = computeSignals(left, right, cfg.nicknameEquivalence)
     var ok = signals.score >= cfg.mergeScoreThreshold ||
       (signals.firstSimilarity >= cfg.firstNameSimilarityThreshold &&

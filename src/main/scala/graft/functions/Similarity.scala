@@ -8,11 +8,21 @@ import scala.collection.immutable.ListMap
   */
 object Similarity {
 
+  /** Test-only observability (meaningful under local[] masters, where
+    * executors share the driver JVM): counts every Ratcliff–Obershelp
+    * evaluation — typed path and codegen expression both funnel
+    * through [[seqRatio]]. Pins the clause-order contract that
+    * junk-key candidate pairs die at the alignment gate with ZERO R-O
+    * calls (PipelineSpec). LongAdder: contention-free increment,
+    * negligible next to the O(|a|·|b|) matching below. */
+  private[graft] val evalCount = new java.util.concurrent.atomic.LongAdder
+
   /** SequenceMatcher.ratio(): 2*M / (|a|+|b|) where M sums the lengths
     * of recursively-found longest matching blocks. Ties resolved like
     * difflib: lowest i, then lowest j. (Autojunk only affects sequences
     * ≥200 chars — names never hit it.) Case-folded like `seq_ratio`. */
   def seqRatio(aRaw: String, bRaw: String): Double = {
+    evalCount.increment()
     val a = Option(aRaw).getOrElse("").toLowerCase
     val b = Option(bRaw).getOrElse("").toLowerCase
     if (a.isEmpty && b.isEmpty) return 1.0

@@ -363,6 +363,33 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(capped == uncapped)
   }
 
+  test("junk-key pairs decide in codegen: zero R-O calls, zero typed decisions") {
+    import spark.implicits._
+    def c(id: Long) = Contact.blank(id)
+    // The q45/THROUGHPUT skew shape with NO legitimate merges: one
+    // surname block, all-distinct digit-suffixed first names, every
+    // row carrying the same call-center phone. All 300 candidate
+    // pairs arise from the junk key alone and must die at the codegen
+    // alignment gate — before any Ratcliff–Obershelp evaluates
+    // (Pipeline's clause-order contract), and without a single pair
+    // leaving the native path (every row has a core name and clean
+    // folded norms). Counters are JVM-local, meaningful because the
+    // suite runs local[] — executors share this JVM.
+    val raw = (0L until 25L).map { i =>
+      c(i).copy(source = "gmail", source_row_id = i.toString,
+        first_name = s"Pat$i", last_name = "Smith",
+        phones = Seq(PhoneEntry("+16175550000", "work", "")))
+    }
+    val norm = Pipeline.normalize(raw.toDS()).localCheckpoint(true)
+    val ro0 = graft.functions.Similarity.evalCount.sum()
+    val td0 = ContactLogic.typedDecisionCount.sum()
+    assert(Pipeline.acceptedPairs(norm).collect().isEmpty)
+    assert(graft.functions.Similarity.evalCount.sum() == ro0,
+      "junk-key pairs paid Ratcliff–Obershelp calls")
+    assert(ContactLogic.typedDecisionCount.sum() == td0,
+      "junk-key pairs left the codegen path for the typed remainder")
+  }
+
   test("flatten projects first valid channel per label bucket") {
     import spark.implicits._
     val m = MergedContact(
