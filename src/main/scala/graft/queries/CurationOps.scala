@@ -25,25 +25,23 @@ object CurationOps {
 
   private def tokens(c: Column): Column = split(trim(c), " +")
 
-  /** Distinct word 3-gram shingles from an already-split token array —
-    * same shingling as q34/q51, but as a JIT-compiled Scala UDF rather
-    * than the `transform`/`element_at` Catalyst lambda chain: a
-    * higher-order-function lambda is INTERPRETED per element (boxed
-    * expression-tree eval), which costs ~10× on a volume corpus where
-    * shingling is the hot path (measured: the 252M-token cache
-    * materialization dropped 68 s → 11 s on the 2M-doc corpus). The
-    * LinkedHashSet preserves array_distinct's first-occurrence order. */
-  private val shingles = udf { (toks: Seq[String]) =>
-    if (toks.length < 3) Seq.empty[String]
-    else {
-      val seen = new java.util.LinkedHashSet[String]()
-      var i = 0
-      while (i + 2 < toks.length) {
-        seen.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2)); i += 1
-      }
-      scala.jdk.CollectionConverters.CollectionHasAsScala(seen).asScala.toSeq
-    }
-  }
+  /** Distinct word 3-gram shingle HASHES ([[h60]]) from an
+    * already-split token array — the shared JIT kernel
+    * ([[graft.queries.shingleH60Udf]]) q38/q51/q77 use, rather than a
+    * string-array shingler: q80 only ever compares shingles for
+    * EQUALITY (df aggregation + membership), so an 8-byte hash is a
+    * complete identity — the cached representation drops from
+    * ~24 B/shingle (string) to 8 B, the df shuffle moves long keys,
+    * and the broadcast set becomes a sorted long array. Collision
+    * bound: two distinct shingles sharing one 60-bit md5-derived hash
+    * merge their df counts; at 10⁸ distinct shingles the chance of
+    * ANY collision corpus-wide is ≈ (10⁸)²/2⁶¹ ≈ 0.4 % — and the
+    * engine's whole sketch family (q38/q51/q73/q77) already
+    * standardizes on h60 as the shingle identity for cross-engine
+    * determinism. A JIT-compiled UDF, not a Catalyst lambda chain: a
+    * higher-order-function lambda is INTERPRETED per element, ~10× on
+    * a volume corpus where shingling is the hot path. */
+  private val shingleHashes3 = shingleH60Udf(3)
 
   private val oShingleDocs =
     """SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
@@ -67,11 +65,12 @@ object CurationOps {
     * most 5·E[shingles/doc] distinct shingles can each reach df ≥ N/5
     * regardless of corpus size — which makes it broadcastable at ANY
     * scale: the per-doc count is then a NARROW pass over the cached
-    * arrays against a broadcast Set — no second explode, no semi-join,
-    * no per-doc re-aggregation. (2M-doc / 252M-token corpus, full
-    * materialization: 51 s as explode→semi-join→regroup with
-    * interpreted-lambda shingling → 45 s in this shape; the losing
-    * variants are recorded in THROUGHPUT.md.) Nothing is all-pairs. */
+    * arrays against a broadcast sorted long array — no second explode,
+    * no semi-join, no per-doc re-aggregation. (2M-doc / 252M-token
+    * corpus, full materialization: 51 s as explode→semi-join→regroup
+    * with interpreted-lambda shingling → 45 s string-cached → 28.7 s
+    * with the hash-only cache; the losing variants are recorded in
+    * THROUGHPUT.md.) Nothing is all-pairs. */
   /** q80's dataflow with the broadcast-set size GUARDED: the counting
     * argument above bounds the boilerplate set by construction, but a
     * pathological corpus (near-identical docs → every shingle at
@@ -92,7 +91,7 @@ object CurationOps {
     val base = graft.Scratch.scoped(t(s, dir, "documents")
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .where(size(col("toks")) >= 3)
-      .select(col("doc_id"), shingles(col("toks")).as("sh")))
+      .select(col("doc_id"), shingleHashes3(col("toks")).as("sh")))
     val nd = base.count()
     val boiler = base.select(explode(col("sh")).as("s"))
       .groupBy(col("s")).agg(count(lit(1)).as("c"))
@@ -102,10 +101,18 @@ object CurationOps {
     // passing >= Int.MaxValue would otherwise overflow to a negative
     // limit and throw at runtime.
     val probe = boiler.limit(math.min(maxBroadcastShingles, Int.MaxValue - 1L).toInt + 1)
-      .collect().map(_.getString(0))
+      .collect().map(_.getLong(0))
     val counted: DataFrame = if (probe.length <= maxBroadcastShingles) {
-      val bc = base.sparkSession.sparkContext.broadcast(probe.toSet)
-      val countBoiler = udf { (sh: Seq[String]) => sh.count(bc.value.contains) }
+      // Sorted primitive array + binary search: no per-entry boxing,
+      // ~3× smaller broadcast than a boxed Set at the 4M-entry cap.
+      java.util.Arrays.sort(probe)
+      val bc = base.sparkSession.sparkContext.broadcast(probe)
+      val countBoiler = udf { (sh: Seq[Long]) =>
+        val arr = bc.value
+        var n = 0
+        sh.foreach(h => if (java.util.Arrays.binarySearch(arr, h) >= 0) n += 1)
+        n
+      }
       base.select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"),
         countBoiler(col("sh")).cast("long").as("n_boiler"))
     } else {
