@@ -21,6 +21,15 @@ import org.apache.spark.sql.functions._
   * cross-engine determinism rides on [[h60]] (md5-derived 60-bit hash),
   * never on engine-private hash functions.
   */
+/** Gate-metric bundle returned by CurationOps' one-pass token kernel.
+  * TOP-LEVEL on purpose: a case class nested inside the object makes
+  * Spark's generated UnsafeProjection serializer reference an
+  * outer-scoped accessor that Janino cannot resolve, silently dropping
+  * the whole projection to interpreted mode (observed as
+  * "Expr codegen error and falling back to interpreter mode"). */
+final case class GateMetrics(n_tokens: Long, sum_len: Long,
+    stop_hits: Long, alpha_toks: Long)
+
 object CurationOps {
 
   private def tokens(c: Column): Column = split(trim(c), " +")
@@ -238,31 +247,61 @@ object CurationOps {
   // minimum alphabetic-token fraction.
   private val StopEn = Seq("the", "and", "of", "to", "a", "in", "is", "it")
 
+  private val StopSet = StopEn.toSet
+
+  /** One-pass JIT kernel for the gate's four per-token metrics. The
+    * Catalyst form made FOUR interpreted higher-order passes over the
+    * token array, one of them an `rlike` — a java.util.regex call PER
+    * TOKEN, and regex inside many-way codegen doesn't scale with
+    * threads (see alnumLowerUdf / THROUGHPUT.md round 8). Semantics
+    * pinned to the originals: length(x) counts codepoints
+    * (codePointCount, matching Spark length() and the DuckDB oracle's
+    * length()), the alpha rule is "token contains an ASCII letter"
+    * (= regexp_matches(x, '[A-Za-z]')), stop hits are exact matches
+    * against the 8-word list. Null token array (null text) returns
+    * null, matching size(null)/aggregate(null) propagation. */
+  private val gateMetricsUdf = udf { (toks: Seq[String]) =>
+    if (toks == null) null
+    else {
+      var n = 0L; var sum = 0L; var stop = 0L; var alpha = 0L
+      val it = toks.iterator
+      while (it.hasNext) {
+        val x = it.next()
+        n += 1
+        sum += x.codePointCount(0, x.length)
+        if (StopSet.contains(x)) stop += 1
+        var i = 0; var has = false
+        while (i < x.length && !has) {
+          val c = x.charAt(i)
+          if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')) has = true
+          i += 1
+        }
+        if (has) alpha += 1
+      }
+      GateMetrics(n, sum, stop, alpha)
+    }
+  }
+
   /** Append the gate's per-rule flags + verdict to any DataFrame with
     * a `text` column (leaves every other column in place). Shared
     * between the batch gate (q83) and the streaming curation monitor
     * (q86) so the two can never disagree on a rule. */
   private[graft] def withGateFlags(df: DataFrame): DataFrame = df
-    .withColumn("toks", tokens(col("text")))
-    .withColumn("n_tokens", size(col("toks")).cast("long"))
+    .withColumn("gm", gateMetricsUdf(tokens(col("text"))))
+    .withColumn("n_tokens", col("gm.n_tokens"))
     .withColumn("mean_tok_len",
-      round(aggregate(col("toks"), lit(0L), (acc, x) => acc + length(x))
-        .cast("double") / size(col("toks")), 4))
-    .withColumn("stop_hits", size(filter(col("toks"),
-      x => x.isin(StopEn.map(w => w: Any): _*))).cast("long"))
-    .withColumn("alpha_toks",
-      size(filter(col("toks"), x => x.rlike("[A-Za-z]"))).cast("long"))
+      round(col("gm.sum_len").cast("double") / col("gm.n_tokens"), 4))
     .withColumn("f_len",
       (col("n_tokens") >= 50 && col("n_tokens") <= 100000).cast("int"))
     .withColumn("f_mean",
       (col("mean_tok_len") >= 3.0 && col("mean_tok_len") <= 10.0).cast("int"))
-    .withColumn("f_stop", (col("stop_hits") >= 2).cast("int"))
+    .withColumn("f_stop", (col("gm.stop_hits") >= 2).cast("int"))
     .withColumn("f_alpha",
-      (col("alpha_toks") * 10 >= col("n_tokens") * 8).cast("int"))
+      (col("gm.alpha_toks") * 10 >= col("n_tokens") * 8).cast("int"))
     .withColumn("keep",
       (col("f_len") === 1 && col("f_mean") === 1 &&
         col("f_stop") === 1 && col("f_alpha") === 1).cast("int"))
-    .drop("toks", "stop_hits", "alpha_toks")
+    .drop("gm")
 
   /** Composite quality gate: the per-document accept/reject decision a
     * pipeline applies before training, with each rule's flag emitted

@@ -47,14 +47,16 @@ object DedupOps {
     * fingerprint, keep min doc_id. Output is the per-source dedup
     * summary. At 100 TB this is one hash shuffle on the 16-byte
     * fingerprint with map-side partial aggregation — the canonical
-    * exact-dedup plan. */
+    * exact-dedup plan. Normalization runs through [[alnumLowerUdf]],
+    * char-identical to the oracle's lower(regexp_replace(…)): the
+    * regexp form was the whole cost of this query at 2M docs and did
+    * not scale with threads (THROUGHPUT.md round 8). */
   val q50 = Q(
     "q50_exact_dedup",
     "per-source exact-duplicate summary via normalized-text md5 groupBy",
     (s, dir) =>
       t(s, dir, "documents")
-        .select(col("source"),
-          md5(lower(regexp_replace(col("text"), "[^a-zA-Z0-9]", ""))).as("fp"))
+        .select(col("source"), md5(alnumLowerUdf(col("text"))).as("fp"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           countDistinct(col("fp")).as("n_unique"),

@@ -120,6 +120,34 @@ package object queries {
       seen.toSeq
     }
 
+  /** JIT char-filter kernel, char-identical to
+    * `lower(regexp_replace(s, "[^a-zA-Z0-9]", ""))`: keep ASCII
+    * alphanumerics, lowercasing A-Z; drop every other UTF-16 unit
+    * (surrogate halves match the negated class individually in
+    * java.util.regex, so dropping them unit-wise is identical, and
+    * lower() on the surviving ASCII-only string is plain +32).
+    * Exists because java.util.regex inside many-way codegen hits a
+    * scalability WALL, not just a constant: ~137 us/doc wall on
+    * ~950-char docs whether 4 or 32 threads run (CPU/doc grows
+    * 0.5→4.4 ms with thread count — see ProfRegex2/THROUGHPUT.md),
+    * while this kernel is ~1-2 us/doc and scales. Pinned against the
+    * regex form by FunctionProps. */
+  def alnumLower(s: String): String = {
+    val n = s.length
+    val b = new java.lang.StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if ((c >= '0' && c <= '9') || (c >= 'a' && c <= 'z')) b.append(c)
+      else if (c >= 'A' && c <= 'Z') b.append((c + 32).toChar)
+      i += 1
+    }
+    b.toString
+  }
+
+  val alnumLowerUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (s: String) => if (s == null) null else alnumLower(s) }
+
   /** Driver-local scratch dir for queries that must synthesize file
     * fixtures (q49) or bucketed tables (q28). Keyed by the FULL
     * sanitized input dir (no hashCode collisions between sfDirs) plus

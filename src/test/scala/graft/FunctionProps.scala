@@ -81,4 +81,18 @@ object FunctionProps extends Properties("functions") {
   property("vcard unescape removes escaped separators") = Prop {
     Channels.unescapeVcard("""a\;b\,c\nd\\e""") == "a;b,c\nd\\e"
   }
+
+  // q50's JIT normalization kernel must be char-identical to the
+  // oracle's lower(regexp_replace(s, '[^a-zA-Z0-9]', '')) on ANY
+  // input, including non-ASCII and surrogate pairs (each UTF-16 unit
+  // of a pair matches the negated class individually and is dropped).
+  private val anyText = Gen.listOf(Gen.frequency(
+    (6, Gen.alphaNumChar), (2, Gen.oneOf(' ', '.', 'é', '中', '\ud83d', '\ude00')),
+    (1, Gen.choose(Char.MinValue, Char.MaxValue)))).map(_.mkString)
+
+  property("alnumLower == lower(regexp_replace) on arbitrary text") =
+    forAll(anyText) { s =>
+      queries.alnumLower(s) ==
+        s.replaceAll("[^a-zA-Z0-9]", "").toLowerCase(java.util.Locale.ROOT)
+    }
 }
