@@ -37,7 +37,10 @@ object Registry {
       queries.CurationOps.all :+
       // q87 lives in ContactOps but registers at the tail for the
       // same order-stability reason.
-      queries.ContactOps.q87
+      queries.ContactOps.q87 :+
+      // q88 (capped LSH) likewise appends rather than joining
+      // DedupOps.all mid-list.
+      queries.DedupOps.q88
 
   // ListMap: keep registry order. A HashMap would reshuffle the
   // bench's execution order whenever a query is added, which moves

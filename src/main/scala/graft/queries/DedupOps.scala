@@ -95,9 +95,15 @@ object DedupOps {
     * row; the band self-join emits candidates; verify is exact Jaccard
     * over the per-doc hash sets (collisions map both engines
     * identically, so counts agree). */
-  /** MinHash-LSH verified near-dup pairs (doc_a, doc_b, jaccard) —
-    * shared by q51 (pair listing) and q73 (cluster rollup). */
-  private def minhashPairs(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+  /** Shared MinHash signature + band-key stage: returns (sig, banded).
+    * sig(doc_id, m0..m11, hs) is Scratch-scoped (compressed columnar
+    * cache shared by its consumers, released by the harness after the
+    * query's action — neither session-pinned (the r01 leak) nor
+    * raw-row checkpointed, which costs 2-5x the columnar cache at
+    * corpus scale); banded(doc_id, band, key) has one row per
+    * (doc, band). */
+  private[graft] def sigBanded(s: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
     val tk = t(s, dir, "documents")
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), toks(col("text")).as("tk"))
@@ -111,10 +117,6 @@ object DedupOps {
       .select(col("doc_id"), (col("h0") % P).as("h"))
     val minAggs = AB.zipWithIndex.map { case ((a, b), i) =>
       min((lit(a) * col("h") + lit(b)) % P).as(s"m$i") }
-    // Scratch.scoped: compressed columnar cache shared by the three
-    // consumers, released by the harness after the query's action —
-    // neither session-pinned (the r01 leak) nor raw-row checkpointed
-    // (2-5x the memory of the columnar cache at corpus scale).
     val sig = graft.Scratch.scoped(hashed.groupBy(col("doc_id"))
       .agg(minAggs.head, minAggs.tail :+ sort_array(collect_set(col("h"))).as("hs"): _*))
     val banded = sig.select(col("doc_id"), expr(
@@ -123,12 +125,13 @@ object DedupOps {
           .mkString("concat_ws(',', ", ", ", ")")
         s"$bnd, $key"
       }.mkString(s"stack($Bands, ", ", ", ") as (band, key)")))
-    val cand = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    (sig, banded)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs against the cached
+    * signature sets (collisions map both engines identically, so
+    * counts agree with the oracle). */
+  private def verifiedPairs(sig: DataFrame, cand: DataFrame): DataFrame =
     cand
       .join(sig.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
       .join(sig.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
@@ -137,19 +140,67 @@ object DedupOps {
           size(array_union(col("hs_a"), col("hs_b"))).cast("double"), 4)
           .as("jaccard"))
       .where(col("jaccard") >= 0.8)
+
+  /** MinHash-LSH verified near-dup pairs (doc_a, doc_b, jaccard) —
+    * shared by q51 (pair listing) and q73 (cluster rollup). */
+  private def minhashPairs(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val (sig, banded) = sigBanded(s, dir)
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifiedPairs(sig, cand)
   }
+
+  private val bucketPairsUdf = udf { (ids: Seq[Long]) =>
+    for { i <- ids.indices; j <- (i + 1) until ids.size } yield (ids(i), ids(j))
+  }
+
+  /** Capped MinHash-LSH pairs: identical to [[minhashPairs]] except
+    * band buckets holding more than `cap` documents are DROPPED before
+    * any pair is generated — the q72 stop-key frequency cap transplanted
+    * to LSH blocking (reference blocking loop
+    * combine_contacts.py:1116-1131). On a skewed corpus, where one hot
+    * bucket of b docs costs O(b²) candidate pairs, this bounds per-bucket
+    * work at O(cap²) — the difference between a dedup pass that finishes
+    * and one that doesn't (see THROUGHPUT.md's tape-corpus measurement).
+    *
+    * The plan is also the better at-scale LSH shape: ONE exchange
+    * (groupBy band,key with the size-bounded
+    * [[graft.functions.BoundedIdBag]] collector, whose map-side partial
+    * aggregation truncates hot buckets at cap+1 ids) replaces the band
+    * self-join, and pairs explode from the ≤cap-element bucket arrays
+    * with no join at all. */
+  def minhashPairsCapped(s: org.apache.spark.sql.SparkSession, dir: String,
+      cap: Int): DataFrame = {
+    val (sig, banded) = sigBanded(s, dir)
+    val kept = banded.groupBy(col("band"), col("key"))
+      .agg(graft.functions.BoundedCollect.boundedIdBag(cap)(col("doc_id")).as("ids"))
+      .where(size(col("ids")) >= 2) // drops over-cap empties AND singletons
+    val cand = kept
+      .select(explode(bucketPairsUdf(col("ids"))).as("p"))
+      .select(col("p._1").as("doc_a"), col("p._2").as("doc_b"))
+      .distinct()
+    verifiedPairs(sig, cand)
+  }
+
+  private def oMins: String = AB.zipWithIndex.map { case ((a, b), i) =>
+    s"min(($a * h + $b) % $P) AS m$i" }.mkString(",\n          ")
+
+  private def oBandRows: String = (0 until Bands).map { bnd =>
+    val key = (0 until RowsPerBand).map(r => s"CAST(m${bnd * RowsPerBand + r} AS VARCHAR)")
+      .mkString(" || ',' || ")
+    s"SELECT doc_id, $bnd AS band, $key AS key FROM sig"
+  }.mkString("\n        UNION ALL ")
 
   /** DuckDB CTE chain computing the same verified pair set, ending in a
     * `pairs(doc_a, doc_b, jaccard)` relation — shared by the q51/q73
     * oracles. */
   private def oMinhashPairsCtes: String = {
-    val mins = AB.zipWithIndex.map { case ((a, b), i) =>
-      s"min(($a * h + $b) % $P) AS m$i" }.mkString(",\n          ")
-    val bandRows = (0 until Bands).map { bnd =>
-      val key = (0 until RowsPerBand).map(r => s"CAST(m${bnd * RowsPerBand + r} AS VARCHAR)")
-        .mkString(" || ',' || ")
-      s"SELECT doc_id, $bnd AS band, $key AS key FROM sig"
-    }.mkString("\n        UNION ALL ")
+    val mins = oMins
+    val bandRows = oBandRows
     s"""WITH sh AS ($oShingles3),
       hashed AS (
         SELECT doc_id, ${oH60("shingle")} % $P AS h
@@ -245,6 +296,56 @@ object DedupOps {
         string_agg(CAST(k AS VARCHAR), ',' ORDER BY k) AS members
       FROM l11 GROUP BY lab ORDER BY canonical_id"""
     })
+
+  /** Default band-bucket cap for the REGISTERED q88 instance: chosen
+    * so the drop path is actually exercised by the oracle-checked
+    * corpora (sf0.001 and sf0.1 both contain 4-doc band buckets; see
+    * Q88CapSpec). A production corpus would run
+    * [[minhashPairsCapped]] with a cap sized to its skew — the
+    * THROUGHPUT tape-corpus run uses 64. */
+  private val Q88Cap = 3
+
+  /** q88 oracle: q51's CTE chain with the band-bucket cap applied
+    * between banding and candidate generation — the same relation the
+    * Spark side computes via the bounded collector. */
+  private def oMinhashPairsCappedCtes(cap: Int): String = {
+    val mins = oMins
+    val bandRows = oBandRows
+    s"""WITH sh AS ($oShingles3),
+      hashed AS (
+        SELECT doc_id, ${oH60("shingle")} % $P AS h
+        FROM (SELECT doc_id, unnest(sh) AS shingle FROM sh)),
+      sig AS (
+        SELECT doc_id,
+          $mins,
+          list_sort(list(DISTINCT h)) AS hs
+        FROM hashed GROUP BY doc_id),
+      banded AS (
+        $bandRows),
+      kept AS (
+        SELECT doc_id, band, key FROM banded
+        QUALIFY count(*) OVER (PARTITION BY band, key) <= $cap),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM kept a JOIN kept b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+      pairs AS MATERIALIZED (
+        SELECT doc_a, doc_b, jaccard FROM (
+          SELECT doc_a, doc_b,
+            round(CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) /
+                  CAST(len(list_distinct(sa.hs || sb.hs)) AS DOUBLE), 4) AS jaccard
+          FROM cand JOIN sig sa ON cand.doc_a = sa.doc_id
+                    JOIN sig sb ON cand.doc_b = sb.doc_id)
+        WHERE jaccard >= 0.8)"""
+  }
+
+  val q88 = Q(
+    "q88_minhash_lsh_capped",
+    s"q51's LSH pairs with band buckets capped at $Q88Cap docs (skew guard)",
+    (s, dir) => minhashPairsCapped(s, dir, Q88Cap)
+      .orderBy(col("doc_a"), col("doc_b")),
+    Some(s"""${oMinhashPairsCappedCtes(Q88Cap)}
+      SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b"""))
 
   /** 32-bit SimHash near-dup pairs.
     *
