@@ -11,6 +11,12 @@ import org.apache.spark.sql.functions._
   * single scan + narrow map per document, aggregating only the small
   * per-language/per-bucket outputs.
   */
+
+/** q76's per-document repetition metrics — TOP-LEVEL for the same
+  * Janino reason as [[GateMetrics]]: nested case classes break the
+  * generated UnsafeProjection and silently fall back to interpreted. */
+final case class RepMetrics(n_tokens: Long, n_distinct: Long, top_bg: Long)
+
 object TextOps {
 
   private def tokens(c: Column): Column = split(trim(c), " +")
@@ -131,10 +137,12 @@ object TextOps {
   val q33 = Q(
     "q33_fingerprint",
     "md5 fingerprint of normalized text; exact-duplicate groups",
+    // alnumLowerUdf == lower(regexp_replace(…)) char-for-char
+    // (FunctionProps pin); the regex form was 155 s of this query's
+    // 2M-doc run and does not scale with threads (THROUGHPUT.md).
     (s, dir) =>
       t(s, dir, "documents")
-        .select(col("doc_id"),
-          md5(lower(regexp_replace(col("text"), "[^a-zA-Z0-9]", ""))).as("fp"))
+        .select(col("doc_id"), md5(alnumLowerUdf(col("text"))).as("fp"))
         .groupBy(col("fp"))
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc_id"))
         .orderBy(col("fp")),
@@ -151,10 +159,10 @@ object TextOps {
       t(s, dir, "documents")
         .select(col("doc_id"), tokens(col("text")).as("toks"))
         .where(size(col("toks")) >= 3)
-        .select(col("doc_id"), explode(
-          transform(sequence(lit(1), size(col("toks")) - 2),
-            i => concat_ws(" ", element_at(col("toks"), i),
-              element_at(col("toks"), i + 1), element_at(col("toks"), i + 2))))
+        // JIT shingle strings (shingleStringsUdf): same values in the
+        // same order as the transform/concat_ws lambda, which is
+        // interpreted per element — 56 s of the 2M-doc run.
+        .select(col("doc_id"), explode(shingleStringsUdf(3)(col("toks")))
           .as("shingle"))
         .groupBy(col("shingle"))
         .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
@@ -281,7 +289,9 @@ object TextOps {
     "q38_winnowing",
     "winnowing fingerprint set sizes: min-hash per 4-window over 5-gram hashes",
     (s, dir) => {
-      val norm = lower(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""))
+      // Space-preserving twin of q33's kernel swap (FunctionProps pin);
+      // the regex norm dominated the 2M-doc run (THROUGHPUT.md).
+      val norm = alnumSpaceLowerUdf(col("text"))
       // Winnowing is a PER-DOCUMENT kernel, so it runs as one: a
       // JIT-compiled pass over each document computing the polynomial
       // gram hashes (base 131 mod 1e9+7 over ASCII codes — portable,
@@ -447,32 +457,44 @@ object TextOps {
     * hash aggregations per document — narrow, codegen, no state —
     * exactly the per-document scrub pass a 100 TB corpus gets before
     * training. */
+  /** One-pass per-document repetition kernel: token count, distinct
+    * count, and the max bigram frequency from a single JIT scan of the
+    * token array. The metrics are all PER-DOCUMENT, so the former
+    * declarative shape (explode bigrams → two groupBy exchanges →
+    * join back) shuffled ~n_tokens rows per document for values a
+    * per-row hashmap computes in place — 47 s of the 2M-doc volume run
+    * became a zero-shuffle narrow map (THROUGHPUT.md round 8). The
+    * DuckDB oracle keeps the declarative form, so the kernel is
+    * value-checked end-to-end. */
+  private val repMetricsUdf = udf { (toks: Seq[String]) =>
+    val arr = toks.toArray
+    val n = arr.length
+    val distinct = new java.util.HashSet[String](n * 2)
+    var i = 0
+    while (i < n) { distinct.add(arr(i)); i += 1 }
+    val bg = new java.util.HashMap[String, Integer](n * 2)
+    var top = 0
+    i = 0
+    while (i < n - 1) {
+      val c = bg.merge(arr(i) + " " + arr(i + 1), 1, Integer.sum(_, _))
+      if (c > top) top = c
+      i += 1
+    }
+    RepMetrics(n.toLong, distinct.size.toLong, top.toLong)
+  }
+
   val q76 = Q(
     "q76_repetition_quality",
     "duplicate-token ratio + top-bigram coverage fraction per document",
     (s, dir) => {
-      val base = t(s, dir, "documents")
+      t(s, dir, "documents")
         .select(col("doc_id"), tokens(col("text")).as("toks"))
         .where(size(col("toks")) >= 2)
-        .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("n_tokens"),
-          size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
-      val top = base
-        .select(col("doc_id"), col("n_tokens"),
-          explode(transform(sequence(lit(1), size(col("toks")) - 1),
-            i => concat_ws(" ", element_at(col("toks"), i),
-              element_at(col("toks"), i + 1)))).as("bg"))
-        .groupBy(col("doc_id"), col("n_tokens"), col("bg"))
-        .agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id"), col("n_tokens"))
-        .agg(max(col("c")).as("top_bg"))
-      base.select(col("doc_id"), col("n_tokens"), col("n_distinct"))
-        .join(top.select(col("doc_id"),
-          round(col("top_bg") * 2.0 / col("n_tokens"), 4).as("top_bigram_frac")),
-          Seq("doc_id"))
-        .select(col("doc_id"), col("n_tokens"),
-          round(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"), 4)
+        .select(col("doc_id"), repMetricsUdf(col("toks")).as("rm"))
+        .select(col("doc_id"), col("rm.n_tokens").as("n_tokens"),
+          round(lit(1.0) - col("rm.n_distinct").cast("double") / col("rm.n_tokens"), 4)
             .as("dup_token_ratio"),
-          col("top_bigram_frac"))
+          round(col("rm.top_bg") * 2.0 / col("rm.n_tokens"), 4).as("top_bigram_frac"))
         .orderBy(col("doc_id"))
     },
     Some("""WITH tok AS (

@@ -95,4 +95,23 @@ object FunctionProps extends Properties("functions") {
       queries.alnumLower(s) ==
         s.replaceAll("[^a-zA-Z0-9]", "").toLowerCase(java.util.Locale.ROOT)
     }
+
+  property("alnumLower(keepSpace) == space-preserving regex form") =
+    forAll(anyText) { s =>
+      queries.alnumLower(s, keepSpace = true) ==
+        s.replaceAll("[^a-zA-Z0-9 ]", "").toLowerCase(java.util.Locale.ROOT)
+    }
+
+  // q34's JIT shingle strings must equal the Catalyst
+  // transform/concat_ws lambda: every position, no dedupe, same order.
+  private val tokenList = Gen.listOf(Gen.nonEmptyListOf(Gen.alphaNumChar)
+    .map(_.mkString.take(8)))
+
+  property("shingleStrings(3) == sliding-3 join on token arrays") =
+    forAll(tokenList) { toks =>
+      val expected =
+        if (toks.length < 3) Seq.empty[String]
+        else toks.sliding(3).map(_.mkString(" ")).toSeq
+      queries.shingleStrings(toks, 3) == expected
+    }
 }
