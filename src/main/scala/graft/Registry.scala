@@ -40,7 +40,9 @@ object Registry {
       queries.ContactOps.q87 :+
       // q88 (capped LSH) likewise appends rather than joining
       // DedupOps.all mid-list.
-      queries.DedupOps.q88
+      queries.DedupOps.q88 :+
+      // q89 (capped decontamination) — same tail-append rule.
+      queries.TextOps.q89
 
   // ListMap: keep registry order. A HashMap would reshuffle the
   // bench's execution order whenever a query is added, which moves

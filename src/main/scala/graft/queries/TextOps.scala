@@ -569,6 +569,70 @@ object TextOps {
       WHERE sh.split <> 'train'
       GROUP BY sh.doc_id, sh.split ORDER BY sh.doc_id"""))
 
+  /** Default train-df cap for the REGISTERED q89 instance: chosen so
+    * the drop path is exercised by the oracle corpora (both sf0.001
+    * and sf0.01 carry train 8-grams with df 3–4; see the THROUGHPUT
+    * round-8 decontamination note). A production run caps in the
+    * hundreds — the point is dropping BOILERPLATE grams, which carry
+    * no contamination signal but all of the join's quadratic cost. */
+  private val Q89Cap = 2
+
+  /** q77's audit with a train-df cap — the capped-join answer to the
+    * blowup the 2M-doc tape corpus demonstrated (THROUGHPUT.md round
+    * 8): exact `n_train_docs` joins every eval shingle occurrence
+    * against every train doc carrying that shingle, so a hot
+    * (boilerplate) 8-gram shared by b train docs multiplies the join
+    * b-fold — 337-billion-row territory on a saturated corpus. Train
+    * hashes with df > cap are dropped BEFORE the join via the same
+    * size-bounded [[graft.functions.BoundedIdBag]] collector as q88,
+    * so hot grams cost O(cap) in the aggregation and never reach the
+    * join at all. */
+  val q89 = Q(
+    "q89_decontam_capped",
+    s"q77 decontamination with train-df cap $Q89Cap on shingle hashes",
+    (s, dir) => {
+      val sh = t(s, dir, "documents")
+        .select(col("doc_id"),
+          (h60(concat(lit("split:"), col("doc_id"))) % 100).as("b"),
+          tokens(col("text")).as("toks"))
+        .where(size(col("toks")) >= 8)
+        .select(col("doc_id"),
+          when(col("b") < 90, "train").when(col("b") < 95, "val")
+            .otherwise("test").as("split"),
+          explode(shingleHashes8(col("toks"))).as("h"))
+      val train = sh.where(col("split") === "train")
+        .select(col("h"), col("doc_id").as("train_doc")).distinct()
+      val kept = train.groupBy(col("h"))
+        .agg(graft.functions.BoundedCollect.boundedIdBag(Q89Cap)(col("train_doc"))
+          .as("docs"))
+        .where(size(col("docs")) >= 1) // over-cap buckets emit empty
+        .select(col("h"), explode(col("docs")).as("train_doc"))
+      sh.where(col("split") =!= "train")
+        .join(kept, "h")
+        .groupBy(col("doc_id"), col("split"))
+        .agg(countDistinct(col("h")).as("n_shared_shingles"),
+          countDistinct(col("train_doc")).as("n_train_docs"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH sh AS (
+        SELECT doc_id,
+          CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split,
+          unnest(list_distinct(list_transform(range(1, len(toks) - 6),
+            i -> ${oH60("toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7]")}))) AS h
+        FROM (SELECT doc_id, ${oH60("'split:' || CAST(doc_id AS VARCHAR)")} % 100 AS b,
+                string_split_regex(trim(text), ' +') AS toks
+              FROM documents)
+        WHERE len(toks) >= 8),
+      train AS (SELECT DISTINCT h, doc_id AS train_doc FROM sh WHERE split = 'train'),
+      kept AS (SELECT h, train_doc FROM train
+               QUALIFY count(*) OVER (PARTITION BY h) <= $Q89Cap)
+      SELECT sh.doc_id, sh.split,
+        count(DISTINCT sh.h) AS n_shared_shingles,
+        count(DISTINCT kept.train_doc) AS n_train_docs
+      FROM sh JOIN kept ON sh.h = kept.h
+      WHERE sh.split <> 'train'
+      GROUP BY sh.doc_id, sh.split ORDER BY sh.doc_id"""))
+
   /** The 16-entry demo dictionary for q78. A production run broadcasts
     * a 100k-name census list the same way — the plan is identical, only
     * the broadcast payload (a few MB) grows. */
