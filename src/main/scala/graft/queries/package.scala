@@ -132,13 +132,14 @@ package object queries {
     * 0.5→4.4 ms with thread count — see ProfRegex2/THROUGHPUT.md),
     * while this kernel is ~1-2 us/doc and scales. Pinned against the
     * regex form by FunctionProps. */
-  def alnumLower(s: String): String = {
+  def alnumLower(s: String, keepSpace: Boolean = false): String = {
     val n = s.length
     val b = new java.lang.StringBuilder(n)
     var i = 0
     while (i < n) {
       val c = s.charAt(i)
-      if ((c >= '0' && c <= '9') || (c >= 'a' && c <= 'z')) b.append(c)
+      if ((c >= '0' && c <= '9') || (c >= 'a' && c <= 'z') ||
+          (keepSpace && c == ' ')) b.append(c)
       else if (c >= 'A' && c <= 'Z') b.append((c + 32).toChar)
       i += 1
     }
@@ -147,6 +148,35 @@ package object queries {
 
   val alnumLowerUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (s: String) => if (s == null) null else alnumLower(s) }
+
+  /** [[alnumLower]] with the space-preserving class — char-identical
+    * to `lower(regexp_replace(s, "[^a-zA-Z0-9 ]", ""))` (q38's
+    * winnowing normalization). */
+  val alnumSpaceLowerUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (s: String) => if (s == null) null else alnumLower(s, keepSpace = true) }
+
+  /** JIT word n-gram shingle STRINGS over an already-split token
+    * array — all positions, no dedupe: identical to
+    * `transform(sequence(1, size-2), i -> concat_ws(" ", tok_i …))`
+    * but compiled, where the Catalyst higher-order lambda is
+    * interpreted per element (the q34 volume cost). */
+  def shingleStrings(toks: Seq[String], n: Int): Seq[String] = {
+    val arr = toks.toArray
+    val m = math.max(0, arr.length - n + 1)
+    val out = new Array[String](m)
+    var i = 0
+    while (i < m) {
+      val sb = new java.lang.StringBuilder(arr(i))
+      var k = 1
+      while (k < n) { sb.append(' ').append(arr(i + k)); k += 1 }
+      out(i) = sb.toString
+      i += 1
+    }
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+  }
+
+  def shingleStringsUdf(n: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (toks: Seq[String]) => if (toks == null) null else shingleStrings(toks, n) }
 
   /** Driver-local scratch dir for queries that must synthesize file
     * fixtures (q49) or bucketed tables (q28). Keyed by the FULL
