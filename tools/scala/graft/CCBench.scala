@@ -85,6 +85,18 @@ object CCBench {
       col("id") % C3,
       (v, e) => Pipeline.distributedComponents(v, e))
 
+    // Optional 10x headroom case (arg "xl"): 100M edges / 110M
+    // vertices — kept off the default run so the A/B/C walls stay
+    // comparable round-over-round.
+    if (args.contains("xl")) {
+      val C4 = 10000000L; val E4 = 100000000L
+      run("D xl/star 100M",
+        spark.range(C4 + E4).as[java.lang.Long],
+        spark.range(E4).select((col("id") % C4).as("src"), (col("id") + C4).as("dst")).as[Pipeline.Edge],
+        when(col("id") < C4, col("id")).otherwise((col("id") - C4) % C4),
+        (v, e) => Pipeline.connectedComponents(v, e))
+    }
+
     spark.stop()
   }
 }
