@@ -43,6 +43,18 @@ class Q88CapSpec extends AnyFunSuite {
     assert(capped.toSet.subsetOf(uncapped.toSet))
   }
 
+  test("capped plan has no band self-join: joins only in the verify step") {
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    def joins(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.sparkPlan.collect { case j: BaseJoinExec => j }.size
+    val dir = "/root/testdata/sf0.001"
+    // q51: band self-join + two verify joins; q88: the bucket-grouped
+    // aggregate replaces the self-join, leaving only the verify pair.
+    assert(joins(Registry.queriesMap("q51_minhash_lsh")(spark, dir)) == 3)
+    assert(joins(Registry.queriesMap("q88_minhash_lsh_capped")(spark, dir)) == 2)
+    Scratch.releaseAll()
+  }
+
   test("hot bucket is dropped, small bucket survives (crafted corpus)") {
     // 5 byte-identical docs -> identical signatures -> one 5-doc bucket
     // in every band, over the cap of 3 everywhere: NO pair may emerge
