@@ -105,6 +105,28 @@ object DedupBench {
     multi.unpersist()
     Scratch.releaseAll()
 
+    // Capped-plan equivalence at volume: no band bucket on this corpus
+    // approaches a production cap of 64, so q88's bucket-grouped
+    // bounded-aggregator plan must reproduce q51's verified pair set
+    // EXACTLY — two different physical shapes (one-exchange aggregate
+    // vs band self-join), bit-equal output at 2M docs. Opt-in ("eq"
+    // arg): holding two sig caches needs SPARK_DRIVER_MEM=48g, and the
+    // bigger heap's GC regime slows the HEADLINE numbers 3-4x, so the
+    // check runs in its own process.
+    if (args.contains("eq")) {
+    val t88 = System.nanoTime()
+    val capped = queries.DedupOps.minhashPairsCapped(spark, dir, 64)
+      .select(col("doc_a"), col("doc_b"))
+    val onlyUncapped = pairs.exceptAll(capped).count()
+    val onlyCapped = capped.exceptAll(pairs).count()
+    val dt88 = (System.nanoTime() - t88) / 1e9
+    Scratch.releaseAll()
+    println(f"DEDUPBENCH q88(cap=64) equivalence $dt88%8.2f s  " +
+      f"onlyUncapped=$onlyUncapped onlyCapped=$onlyCapped")
+    require(onlyUncapped == 0 && onlyCapped == 0,
+      "capped(64) pair set diverges from q51 at volume")
+    }
+
     val expected = nDocs / 32 // per kind: 4-clusters and exact pairs
     val recall4 = full4.toDouble / expected
     val recall2 = exact2.toDouble / expected
