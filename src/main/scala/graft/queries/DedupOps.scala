@@ -158,6 +158,48 @@ object DedupOps {
     for { i <- ids.indices; j <- (i + 1) until ids.size } yield (ids(i), ids(j))
   }
 
+  /** Deferred-verify variant of [[minhashPairs]] (ProfQ51 A/B): the
+    * signature aggregation computes the 12 minhashes ONLY, and the
+    * exact-verify hash sets are built in a second pass restricted to
+    * documents that appear in candidate pairs (broadcast semi-join on
+    * the candidate id set, re-shingle just those rows). Identical
+    * output; the candidate-fraction determines the win — hs for every
+    * document is the dominant waste of the one-pass plan whenever
+    * candidates are sparse, which at corpus scale they always are. */
+  private[graft] def minhashPairsDeferred(
+      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val tk = t(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .where(size(col("tk")) >= 3)
+    val hashed = tk
+      .select(col("doc_id"), explode(shingleH60Udf(3)(col("tk"))).as("h0"))
+      .select(col("doc_id"), (col("h0") % P).as("h"))
+    val minAggs = AB.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("h") + lit(b)) % P).as(s"m$i") }
+    val sig = graft.Scratch.scoped(
+      hashed.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*))
+    val banded = sig.select(col("doc_id"), expr(
+      (0 until Bands).map { bnd =>
+        val key = (0 until RowsPerBand).map(r => s"m${bnd * RowsPerBand + r}")
+          .mkString("concat_ws(',', ", ", ", ")")
+        s"$bnd, $key"
+      }.mkString(s"stack($Bands, ", ", ", ") as (band, key)")))
+    val cand = graft.Scratch.scoped(banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct())
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val hsTab = tk.join(broadcast(candDocs), "doc_id")
+      .select(col("doc_id"), explode(shingleH60Udf(3)(col("tk"))).as("h0"))
+      .select(col("doc_id"), (col("h0") % P).as("h"))
+      .groupBy(col("doc_id")).agg(sort_array(collect_set(col("h"))).as("hs"))
+    verifiedPairs(hsTab, cand)
+  }
+
   /** Capped MinHash-LSH pairs: identical to [[minhashPairs]] except
     * band buckets holding more than `cap` documents are DROPPED before
     * any pair is generated — the q72 stop-key frequency cap transplanted

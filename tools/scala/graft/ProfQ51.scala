@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A/B of q51's verify-set strategy at volume: the shipped plan
+  * computes and caches the full distinct-shingle-hash set (hs) for
+  * EVERY document inside the signature aggregation, but the verify
+  * step only reads hs for documents that appear in candidate pairs —
+  * ~19% on the dedup corpus and a fraction of a percent on a
+  * production corpus. Variant B defers hs to a second pass over the
+  * candidate docs only (broadcast semi-join on the candidate id set,
+  * re-shingle just those rows). Both variants must produce identical
+  * verified pair sets.
+  *
+  * Usage: SPARK_GRAFT_CPUS=32 sbt "Test/runMain graft.ProfQ51 /tmp/dedup2m"
+  */
+object ProfQ51 {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/dedup2m")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val shufWrite = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+        shufWrite.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    })
+
+    def time(tag: String, df: => DataFrame): Long = {
+      shufWrite.set(0)
+      val t0 = System.nanoTime()
+      val n = df.queryExecution.toRdd.count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      Scratch.releaseAll()
+      println(f"PROFQ51 $tag%-10s $dt%8.2f s  rows=$n%,d  shufWrite=${shufWrite.get / 1e9}%.2f GB")
+      n
+    }
+
+    for (rep <- 1 to 2) {
+      val a = time("full_hs", Registry.queriesMap("q51_minhash_lsh")(spark, dir))
+      val b = time("deferred", queries.DedupOps.minhashPairsDeferred(spark, dir)
+        .orderBy(col("doc_a"), col("doc_b")))
+      require(a == b, s"pair count diverged: $a vs $b")
+      println(s"PROFQ51 --- rep $rep done (counts equal: $a) ---")
+    }
+    spark.stop()
+  }
+}
