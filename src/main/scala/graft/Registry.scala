@@ -42,7 +42,9 @@ object Registry {
       // DedupOps.all mid-list.
       queries.DedupOps.q88 :+
       // q89 (capped decontamination) — same tail-append rule.
-      queries.TextOps.q89
+      queries.TextOps.q89 :+
+      // q90 (embedding near-dup clusters) — same tail-append rule.
+      queries.DedupOps.q90
 
   // ListMap: keep registry order. A HashMap would reshuffle the
   // bench's execution order whenever a query is added, which moves

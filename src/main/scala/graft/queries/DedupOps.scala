@@ -633,32 +633,33 @@ object DedupOps {
     * classic random-hyperplane LSH trade. Dot/norm are index-wise
     * double folds, evaluated in the same sequential order as the
     * oracle so the doubles agree bit-for-bit. */
-  val q54 = Q(
-    "q54_embedding_neardup",
-    "sign-LSH-bucketed embedding pairs with cosine >= 0.35",
-    (s, dir) => {
-      // Native sequential-fold dot product (plans.VecDotProduct): the
-      // interpreted aggregate(zip_with(...)) form allocated per pair
-      // and GC-thrashed the bucketed self-join at high parallelism.
-      // Built as a Column directly — no registry mutation.
-      val dot = (x: Column, y: Column) => graft.plans.VecDotProduct(x, y)
-      val e = t(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding").as("v"))
-        .withColumn("norm", sqrt(dot(col("v"), col("v"))))
-        .withColumn("bucket", concat(
-          when(element_at(col("v"), 1) >= 0, "1").otherwise("0"),
-          when(element_at(col("v"), 17) >= 0, "1").otherwise("0"),
-          when(element_at(col("v"), 33) >= 0, "1").otherwise("0"),
-          when(element_at(col("v"), 49) >= 0, "1").otherwise("0")))
-      e.as("a").join(e.as("b"),
-          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-          round(dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")), 4)
-            .as("cosine"))
-        .where(col("cosine") >= 0.35)
-        .orderBy(col("vec_a"), col("vec_b"))
-    },
-    Some("""WITH e AS (
+  /** Sign-LSH-bucketed cosine near-dup pairs over the embeddings table
+    * — shared by q54 (pair listing) and q90 (cluster rollup). */
+  private def cosinePairs(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    // Native sequential-fold dot product (plans.VecDotProduct): the
+    // interpreted aggregate(zip_with(...)) form allocated per pair
+    // and GC-thrashed the bucketed self-join at high parallelism.
+    // Built as a Column directly — no registry mutation.
+    val dot = (x: Column, y: Column) => graft.plans.VecDotProduct(x, y)
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+      .withColumn("bucket", concat(
+        when(element_at(col("v"), 1) >= 0, "1").otherwise("0"),
+        when(element_at(col("v"), 17) >= 0, "1").otherwise("0"),
+        when(element_at(col("v"), 33) >= 0, "1").otherwise("0"),
+        when(element_at(col("v"), 49) >= 0, "1").otherwise("0")))
+    e.as("a").join(e.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")), 4)
+          .as("cosine"))
+      .where(col("cosine") >= 0.35)
+  }
+
+  /** DuckDB CTE chain ending in `pairs(vec_a, vec_b, cosine)` —
+    * shared by the q54/q90 oracles. */
+  private val oCosinePairsCtes = """WITH e AS (
         SELECT vec_id, embedding AS v,
           sqrt(list_aggregate(list_transform(range(1, len(embedding) + 1),
             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), 'sum')) AS norm,
@@ -666,14 +667,79 @@ object DedupOps {
            CASE WHEN embedding[17] >= 0 THEN '1' ELSE '0' END ||
            CASE WHEN embedding[33] >= 0 THEN '1' ELSE '0' END ||
            CASE WHEN embedding[49] >= 0 THEN '1' ELSE '0' END) AS bucket
-        FROM embeddings)
-      SELECT vec_a, vec_b, cosine FROM (
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-          round(list_aggregate(list_transform(range(1, len(a.v) + 1),
-            i -> CAST(a.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE)), 'sum') /
-            (a.norm * b.norm), 4) AS cosine
-        FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
-      WHERE cosine >= 0.35 ORDER BY vec_a, vec_b"""))
+        FROM embeddings),
+      pairs AS MATERIALIZED (
+        SELECT vec_a, vec_b, cosine FROM (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+            round(list_aggregate(list_transform(range(1, len(a.v) + 1),
+              i -> CAST(a.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE)), 'sum') /
+              (a.norm * b.norm), 4) AS cosine
+          FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        WHERE cosine >= 0.35)"""
+
+  val q54 = Q(
+    "q54_embedding_neardup",
+    "sign-LSH-bucketed embedding pairs with cosine >= 0.35",
+    (s, dir) => cosinePairs(s, dir).orderBy(col("vec_a"), col("vec_b")),
+    Some(s"""$oCosinePairsCtes
+      SELECT vec_a, vec_b, cosine FROM pairs ORDER BY vec_a, vec_b"""))
+
+  /** Embedding-space near-dup CLUSTERS (the SemDeDup-family shape:
+    * semantic duplicates found in embedding space, one canonical
+    * survivor kept per group — Abbas et al. 2023, public preprint):
+    * q54's verified cosine pairs become an undirected graph, connected
+    * components assign cluster ids, and each cluster keeps its minimum
+    * vec_id as the canonical survivor — the embedding twin of q73,
+    * riding the same tiered [[graft.etl.Pipeline.connectedComponents]],
+    * so the driver/quotient/star-alternation scaling story applies
+    * unchanged. */
+  val q90 = Q(
+    "q90_embedding_neardup_clusters",
+    "cosine pairs -> connected components -> canonical vector per cluster",
+    (s, dir) => {
+      import s.implicits._
+      val pairs = cosinePairs(s, dir)
+        .select(col("vec_a").as("src"), col("vec_b").as("dst"))
+        .as[graft.etl.Pipeline.Edge]
+      val verts = pairs.select(col("src")).union(pairs.select(col("dst")))
+        .distinct().as[java.lang.Long]
+      val comps = graft.etl.Pipeline.connectedComponents(verts, pairs)
+      comps.groupBy(col("comp"))
+        .agg(min(col("id")).as("canonical_vec_id"),
+          count(lit(1)).as("n_vecs"),
+          concat_ws(",", transform(sort_array(collect_list(col("id"))),
+            x => x.cast("string"))).as("members"))
+        .select(col("canonical_vec_id"), col("n_vecs"), col("members"))
+        .orderBy(col("canonical_vec_id"))
+    },
+    Some {
+      // Same chained-MATERIALIZED min-label closure device as the
+      // q73/q64 oracles, with the 11th step asserting convergence.
+      val steps = (1 to 11).map { i =>
+        s"""l$i AS MATERIALIZED (
+        SELECT v.k, least(v.lab, coalesce(min(n.lab), v.lab)) AS lab
+        FROM l${i - 1} v
+        LEFT JOIN sym e ON e.a = v.k
+        LEFT JOIN l${i - 1} n ON n.k = e.b
+        GROUP BY v.k, v.lab)"""
+      }.mkString(",\n      ")
+      s"""$oCosinePairsCtes,
+      sym AS MATERIALIZED (
+        SELECT vec_a AS a, vec_b AS b FROM pairs
+        UNION ALL SELECT vec_b AS a, vec_a AS b FROM pairs),
+      l0 AS MATERIALIZED (SELECT DISTINCT a AS k, a AS lab FROM sym),
+      $steps,
+      conv AS (
+        SELECT count(*) AS viol
+        FROM l11 n JOIN l10 p ON n.k = p.k WHERE n.lab <> p.lab)
+      SELECT CASE WHEN (SELECT viol FROM conv) > 0
+               THEN error('q90 oracle: label propagation not converged in 10 rounds')
+               ELSE min(k) END AS canonical_vec_id,
+        count(*) AS n_vecs,
+        string_agg(CAST(k AS VARCHAR), ',' ORDER BY k) AS members
+      FROM l11 GROUP BY lab ORDER BY canonical_vec_id"""
+    })
+
 
   val all: Seq[Q] = Seq(q50, q51, q52, q53, q54, q73)
 }
