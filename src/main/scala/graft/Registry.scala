@@ -44,7 +44,12 @@ object Registry {
       // q89 (capped decontamination) — same tail-append rule.
       queries.TextOps.q89 :+
       // q90 (embedding near-dup clusters) — same tail-append rule.
-      queries.DedupOps.q90
+      queries.DedupOps.q90 :+
+      // q91/q92/q93 (round 9): scale-parameterized sign-LSH embedding
+      // pairs, 64-bit simhash, and the scaled embedding clusters.
+      queries.DedupOps.q91 :+
+      queries.DedupOps.q92 :+
+      queries.DedupOps.q93
 
   // ListMap: keep registry order. A HashMap would reshuffle the
   // bench's execution order whenever a query is added, which moves

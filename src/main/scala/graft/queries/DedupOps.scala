@@ -165,7 +165,14 @@ object DedupOps {
     * the candidate id set, re-shingle just those rows). Identical
     * output; the candidate-fraction determines the win — hs for every
     * document is the dominant waste of the one-pass plan whenever
-    * candidates are sparse, which at corpus scale they always are. */
+    * candidates are sparse, which at corpus scale they always are.
+    *
+    * DENSITY ASSUMPTION (do not promote as-is): the candidate doc-id
+    * set is broadcast, so this path requires candidates ≪ corpus. On a
+    * candidate-dense corpus (e.g. the tape corpus, 19% density) the
+    * broadcast relation grows with the corpus and can OOM the driver;
+    * a promoted variant must fall back to a shuffle semi-join above a
+    * size threshold. Today this is only reachable from ProfQ51. */
   private[graft] def minhashPairsDeferred(
       s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val tk = t(s, dir, "documents")
@@ -740,6 +747,347 @@ object DedupOps {
       FROM l11 GROUP BY lab ORDER BY canonical_vec_id"""
     })
 
+
+  // ---- scale-parameterized embedding sign-LSH (q91/q93) -------------
+
+  /** Deterministic Rademacher (±1) hyperplane matrix shared by the
+    * Spark kernel and the generated oracle SQL: signs(j)(i) is the
+    * sign of dim i in hyperplane j, a splitmix64 bit-mix of the flat
+    * index — no RNG state, both engines see the same literals (the
+    * SQL text is generated from this very array). Random ±1 entries
+    * are a standard sign-LSH instantiation (Charikar STOC'02 uses
+    * Gaussian hyperplanes; Rademacher entries give the same
+    * angle-concentration behavior and stay exactly representable). */
+  private[graft] def rademacherSigns(planes: Int, dim: Int): Array[Array[Int]] =
+    Array.tabulate(planes, dim) { (j, i) =>
+      var z = j.toLong * dim + i + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^= z >>> 31
+      if ((z & 1L) == 0L) 1 else -1
+    }
+
+  private val EmbDim = 64
+
+  /** JIT kernel: all `bands` keys for one vector in one pass. Each key
+    * bit r is sign(Σᵢ s·vᵢ) for hyperplane b·bits+r, accumulated in
+    * doubles in index order — the same sequential fold the generated
+    * oracle expression performs, so the signs agree bit-for-bit. */
+  private def bandKeysUdf(bands: Int, bits: Int) = {
+    val signs = rademacherSigns(bands * bits, EmbDim)
+    udf { (v: Seq[Float]) =>
+      val a = v.toArray // LinearSeq guard: indexed access below
+      val keys = new Array[Int](bands)
+      var b = 0
+      while (b < bands) {
+        var key = 0
+        var r = 0
+        while (r < bits) {
+          val s = signs(b * bits + r)
+          val n = math.min(a.length, s.length)
+          var acc = 0.0
+          var i = 0
+          while (i < n) { acc += s(i) * a(i).toDouble; i += 1 }
+          if (acc >= 0) key |= 1 << r
+          r += 1
+        }
+        keys(b) = key
+        b += 1
+      }
+      keys
+    }
+  }
+
+  /** Scale-parameterized embedding near-dup pairs: `bands` sign-LSH
+    * tables of `bits` Rademacher hyperplanes each, band buckets capped
+    * at `cap` vectors (the q88 skew guard), exact cosine ≥ `threshold`
+    * verify on the candidates only.
+    *
+    * This is the scale-safe registered answer to q54's fixed 16-bucket
+    * instance: bits grows with log n to keep per-bucket population —
+    * and hence O(Σ b²) candidate work — bounded, `bands` restores the
+    * recall that more bits costs (collision prob per band is
+    * (1−θ/π)^bits; union over bands re-amplifies, the classic LSH
+    * banding trade, same S-curve family as q51's minhash bands), and
+    * the bounded-bag cap bounds any residual hot direction at O(cap²).
+    * The plan is the q88 one-exchange shape: groupBy(band,key) with
+    * the size-bounded collector — map-side truncation at cap+1 —
+    * replaces a band self-join entirely; pairs explode from ≤cap
+    * bucket arrays; only the verified-candidate join touches vectors
+    * again. At 100 TB: pick bits ≈ log₂(n/target-bucket) per band,
+    * bands by the recall target, cap by the skew budget — the
+    * registered instance (4×4, cap 48) is the oracle-scale point of
+    * the same family, with its drop path exercised by the sf corpora
+    * (sf0.01 has band buckets of 50–58 > 48). */
+  private[graft] def embeddingPairsScaled(s: org.apache.spark.sql.SparkSession,
+      dir: String, bands: Int, bits: Int, cap: Int,
+      threshold: Double): DataFrame = {
+    val dot = (x: Column, y: Column) => graft.plans.VecDotProduct(x, y)
+    val e = graft.Scratch.scoped(t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v")))))
+    val banded = e.select(col("vec_id"),
+        posexplode(bandKeysUdf(bands, bits)(col("v"))))
+      .select(col("vec_id"), col("pos").as("band"), col("col").as("key"))
+    val kept = banded.groupBy(col("band"), col("key"))
+      .agg(graft.functions.BoundedCollect.boundedIdBag(cap)(col("vec_id")).as("ids"))
+      .where(size(col("ids")) >= 2) // drops over-cap empties AND singletons
+    val cand = kept
+      .select(explode(bucketPairsUdf(col("ids"))).as("p"))
+      .select(col("p._1").as("vec_a"), col("p._2").as("vec_b"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("norm").as("na")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("norm").as("nb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+
+  // Registered q91/q93 instance parameters (see embeddingPairsScaled
+  // scaladoc for how a production corpus re-derives them).
+  private val Q91Bands = 4
+  private val Q91Bits = 4
+  private val Q91Cap = 48
+  private val Q91Threshold = 0.35
+
+  /** Oracle text of the hyperplane-j projection: the same sequential
+    * signed sum of CAST(v[i] AS DOUBLE) terms the kernel folds. */
+  private def oProj(signs: Array[Int]): String =
+    signs.zipWithIndex.map { case (sg, i) =>
+      val term = s"CAST(v[${i + 1}] AS DOUBLE)"
+      if (i == 0) { if (sg > 0) term else s"-$term" }
+      else if (sg > 0) s" + $term" else s" - $term"
+    }.mkString
+
+  /** DuckDB CTE chain for [[embeddingPairsScaled]] ending in
+    * `pairs(vec_a, vec_b, cosine)` — shared by the q91/q93 oracles. */
+  private def oEmbPairsScaledCtes(bands: Int, bits: Int, cap: Int,
+      threshold: Double): String = {
+    val signs = rademacherSigns(bands * bits, EmbDim)
+    val bandRows = (0 until bands).map { b =>
+      val key = (0 until bits).map { r =>
+        s"CASE WHEN (${oProj(signs(b * bits + r))}) >= 0 THEN ${1 << r} ELSE 0 END"
+      }.mkString(" + ")
+      s"SELECT vec_id, $b AS band, $key AS key FROM e"
+    }.mkString("\n        UNION ALL ")
+    s"""WITH e AS (
+        SELECT vec_id, embedding AS v,
+          sqrt(list_aggregate(list_transform(range(1, len(embedding) + 1),
+            i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), 'sum')) AS norm
+        FROM embeddings),
+      banded AS (
+        $bandRows),
+      kept AS (
+        SELECT vec_id, band, key FROM banded
+        QUALIFY count(*) OVER (PARTITION BY band, key) <= $cap),
+      cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM kept a JOIN kept b
+          ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
+      pairs AS MATERIALIZED (
+        SELECT vec_a, vec_b, cosine FROM (
+          SELECT cand.vec_a, cand.vec_b,
+            round(list_aggregate(list_transform(range(1, len(a.v) + 1),
+              i -> CAST(a.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE)), 'sum') /
+              (a.norm * b.norm), 4) AS cosine
+          FROM cand JOIN e a ON cand.vec_a = a.vec_id
+                    JOIN e b ON cand.vec_b = b.vec_id)
+        WHERE cosine >= $threshold)"""
+  }
+
+  val q91 = Q(
+    "q91_embedding_lsh_scaled",
+    s"embedding near-dup pairs via $Q91Bands x $Q91Bits-bit Rademacher sign-LSH bands, bucket cap $Q91Cap, cosine >= $Q91Threshold",
+    (s, dir) => embeddingPairsScaled(s, dir, Q91Bands, Q91Bits, Q91Cap, Q91Threshold)
+      .orderBy(col("vec_a"), col("vec_b")),
+    Some(s"""${oEmbPairsScaledCtes(Q91Bands, Q91Bits, Q91Cap, Q91Threshold)}
+      SELECT vec_a, vec_b, cosine FROM pairs ORDER BY vec_a, vec_b"""))
+
+  /** Embedding near-dup CLUSTERS over the scale-parameterized pair
+    * source — q90's rollup riding q91 instead of the fixed-16-bucket
+    * q54 pairs, so the registered cluster instance inherits the
+    * banded/capped scaling story end-to-end (pairs bounded by the
+    * bucket cap, closure by the tiered CC machinery). */
+  val q93 = Q(
+    "q93_embedding_scaled_clusters",
+    "scaled sign-LSH cosine pairs -> connected components -> canonical vector",
+    (s, dir) => {
+      import s.implicits._
+      val pairs = embeddingPairsScaled(s, dir, Q91Bands, Q91Bits, Q91Cap, Q91Threshold)
+        .select(col("vec_a").as("src"), col("vec_b").as("dst"))
+        .as[graft.etl.Pipeline.Edge]
+      val verts = pairs.select(col("src")).union(pairs.select(col("dst")))
+        .distinct().as[java.lang.Long]
+      val comps = graft.etl.Pipeline.connectedComponents(verts, pairs)
+      comps.groupBy(col("comp"))
+        .agg(min(col("id")).as("canonical_vec_id"),
+          count(lit(1)).as("n_vecs"),
+          concat_ws(",", transform(sort_array(collect_list(col("id"))),
+            x => x.cast("string"))).as("members"))
+        .select(col("canonical_vec_id"), col("n_vecs"), col("members"))
+        .orderBy(col("canonical_vec_id"))
+    },
+    Some {
+      // Same chained-MATERIALIZED min-label closure as the q90 oracle,
+      // with the 11th step asserting convergence.
+      val steps = (1 to 11).map { i =>
+        s"""l$i AS MATERIALIZED (
+        SELECT v.k, least(v.lab, coalesce(min(n.lab), v.lab)) AS lab
+        FROM l${i - 1} v
+        LEFT JOIN sym e ON e.a = v.k
+        LEFT JOIN l${i - 1} n ON n.k = e.b
+        GROUP BY v.k, v.lab)"""
+      }.mkString(",\n      ")
+      s"""${oEmbPairsScaledCtes(Q91Bands, Q91Bits, Q91Cap, Q91Threshold)},
+      sym AS MATERIALIZED (
+        SELECT vec_a AS a, vec_b AS b FROM pairs
+        UNION ALL SELECT vec_b AS a, vec_a AS b FROM pairs),
+      l0 AS MATERIALIZED (SELECT DISTINCT a AS k, a AS lab FROM sym),
+      $steps,
+      conv AS (
+        SELECT count(*) AS viol
+        FROM l11 n JOIN l10 p ON n.k = p.k WHERE n.lab <> p.lab)
+      SELECT CASE WHEN (SELECT viol FROM conv) > 0
+               THEN error('q93 oracle: label propagation not converged in 10 rounds')
+               ELSE min(k) END AS canonical_vec_id,
+        count(*) AS n_vecs,
+        string_agg(CAST(k AS VARCHAR), ',' ORDER BY k) AS members
+      FROM l11 GROUP BY lab ORDER BY canonical_vec_id"""
+    })
+
+  // ---- 64-bit SimHash (q92) -----------------------------------------
+
+  /** 64-bit SimHash near-dup pairs with parameterized band width and
+    * the q88 bucket cap — the production-width fix for q52's measured
+    * precision collapse (THROUGHPUT.md: at 2M docs the 32-bit sketch's
+    * low 16 bits cannot separate documents and 86% of emitted pairs
+    * are false). 64 bits double the band count at the same width, so
+    * candidates must agree on 16 of 64 bits (any of 4 bands) AND
+    * verify hamming ≤ `maxHamming` over all 64 — false-pair odds per
+    * candidate drop from ~2⁻¹⁶·C(16,≤6) territory to
+    * Σ_{k≤6}C(48,k)/2⁴⁸ ≈ 5·10⁻⁸.
+    *
+    * The sketch is kept as two non-negative 32-bit halves (hi = md5
+    * hex 1-8, lo = hex 9-16 of each distinct token) so every shift /
+    * xor / bit_count stays in signed-BIGINT-safe range in BOTH engines
+    * — no 1<<63 sign traps. Majority vote per bit is 64 codegen'd
+    * conditional sums in ONE groupBy (narrow fold, map-side partial
+    * agg); banding is a stack over shifted masks; candidate generation
+    * is the q88 one-exchange bounded-bag shape (no band self-join);
+    * verify re-joins the 16-byte sketches only. `bandBits` must divide
+    * 32; at 100 TB pick bandBits ≈ log₂(n/target-bucket) and let
+    * 64/bandBits bands set the hamming-recall S-curve. */
+  private[graft] def simhash64Pairs(s: org.apache.spark.sql.SparkSession,
+      dir: String, bandBits: Int, maxHamming: Int, cap: Int): DataFrame = {
+    require(bandBits > 0 && 32 % bandBits == 0, s"bandBits must divide 32, got $bandBits")
+    val bandsPerHalf = 32 / bandBits
+    val nBands = 2 * bandsPerHalf
+    val mask = (1L << bandBits) - 1
+    val hashed = t(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        explode(array_distinct(toks(col("text")))).as("tk"))
+      .select(col("doc_id"), md5(col("tk")).as("m"))
+      .select(col("doc_id"),
+        conv(substring(col("m"), 1, 8), 16, 10).cast("long").as("hhi"),
+        conv(substring(col("m"), 9, 8), 16, 10).cast("long").as("hlo"))
+    val bitSums =
+      (0 until 32).map(b =>
+        sum((shiftright(col("hhi"), b) % 2).cast("long")).as(s"hi$b")) ++
+      (0 until 32).map(b =>
+        sum((shiftright(col("hlo"), b) % 2).cast("long")).as(s"lo$b"))
+    val counted = hashed.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), bitSums: _*)
+    def vote(pfx: String) = (0 until 32).map(b =>
+      when(col(s"$pfx$b") * 2 > col("n"), lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val base = graft.Scratch.scoped(counted.select(col("doc_id"),
+      vote("hi").as("shi"), vote("lo").as("slo")))
+    val bandExprs = (0 until nBands).map { j =>
+      val src = if (j < bandsPerHalf) "shi" else "slo"
+      val sh = (j % bandsPerHalf) * bandBits
+      s"$j, shiftright($src, $sh) & $mask"
+    }
+    val banded = base.select(col("doc_id"),
+      expr(bandExprs.mkString(s"stack($nBands, ", ", ", ") as (band, key)")))
+    val kept = banded.groupBy(col("band"), col("key"))
+      .agg(graft.functions.BoundedCollect.boundedIdBag(cap)(col("doc_id")).as("ids"))
+      .where(size(col("ids")) >= 2)
+    val cand = kept
+      .select(explode(bucketPairsUdf(col("ids"))).as("p"))
+      .select(col("p._1").as("doc_a"), col("p._2").as("doc_b"))
+      .distinct()
+    cand
+      .join(base.select(col("doc_id").as("doc_a"), col("shi").as("ha"), col("slo").as("la")), "doc_a")
+      .join(base.select(col("doc_id").as("doc_b"), col("shi").as("hb"), col("slo").as("lb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        expr("CAST(bit_count(ha ^ hb) + bit_count(la ^ lb) AS INT)").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
+  // Registered q92 instance: production band width (16 bits -> 4
+  // bands over 64 sketch bits), hamming <= 6 like q52, cap 256 (the
+  // skew guard is declared in the oracle; at sf scale no 16-bit band
+  // bucket approaches it — the drop semantics are pinned by spec and
+  // the volume run, same split as q88's tape-corpus cap of 64).
+  private val Q92BandBits = 16
+  private val Q92MaxHamming = 6
+  private val Q92Cap = 256
+
+  private def oSimhash64Ctes(bandBits: Int, maxHamming: Int, cap: Int): String = {
+    val bandsPerHalf = 32 / bandBits
+    val nBands = 2 * bandsPerHalf
+    val mask = (1L << bandBits) - 1
+    val bitSums =
+      ((0 until 32).map(b => s"sum((hhi >> $b) & 1) AS hi$b") ++
+       (0 until 32).map(b => s"sum((hlo >> $b) & 1) AS lo$b"))
+        .mkString(",\n          ")
+    def vote(pfx: String) = (0 until 32).map(b =>
+      s"CASE WHEN $pfx$b * 2 > n THEN (CAST(1 AS BIGINT) << $b) ELSE 0 END")
+      .mkString(" + ")
+    val bandRows = (0 until nBands).map { j =>
+      val src = if (j < bandsPerHalf) "shi" else "slo"
+      val sh = (j % bandsPerHalf) * bandBits
+      s"SELECT doc_id, $j AS band, ($src >> $sh) & $mask AS key FROM base"
+    }.mkString("\n        UNION ALL ")
+    s"""WITH hashed AS (
+        SELECT doc_id,
+          CAST(('0x' || substring(m, 1, 8)) AS BIGINT) AS hhi,
+          CAST(('0x' || substring(m, 9, 8)) AS BIGINT) AS hlo
+        FROM (SELECT doc_id, md5(tk) AS m
+              FROM (SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), ' +'))) AS tk
+                    FROM documents))),
+      counted AS (
+        SELECT doc_id, count(*) AS n,
+          $bitSums
+        FROM hashed GROUP BY doc_id),
+      base AS (
+        SELECT doc_id, ${vote("hi")} AS shi, ${vote("lo")} AS slo FROM counted),
+      banded AS (
+        $bandRows),
+      kept AS (
+        SELECT doc_id, band, key FROM banded
+        QUALIFY count(*) OVER (PARTITION BY band, key) <= $cap),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM kept a JOIN kept b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b, hamming FROM (
+        SELECT doc_a, doc_b,
+          CAST(bit_count(xor(sa.shi, sb.shi)) + bit_count(xor(sa.slo, sb.slo)) AS INTEGER) AS hamming
+        FROM cand JOIN base sa ON cand.doc_a = sa.doc_id
+                  JOIN base sb ON cand.doc_b = sb.doc_id)
+      WHERE hamming <= $maxHamming
+      ORDER BY doc_a, doc_b"""
+  }
+
+  val q92 = Q(
+    "q92_simhash64",
+    s"64-bit simhash; $Q92BandBits-bit band blocking (q88-capped buckets) with hamming <= $Q92MaxHamming",
+    (s, dir) => simhash64Pairs(s, dir, Q92BandBits, Q92MaxHamming, Q92Cap)
+      .orderBy(col("doc_a"), col("doc_b")),
+    Some(oSimhash64Ctes(Q92BandBits, Q92MaxHamming, Q92Cap)))
 
   val all: Seq[Q] = Seq(q50, q51, q52, q53, q54, q73)
 }

@@ -51,7 +51,7 @@ object DedupBench {
     })
 
     val names = Seq("q50_exact_dedup", "q51_minhash_lsh", "q52_simhash",
-      "q73_neardup_clusters")
+      "q73_neardup_clusters", "q92_simhash64")
     // Plan/codegen warmup at the unit scale so the timed pass measures
     // data work, not one-time JVM compilation.
     for (n <- names) {
@@ -126,6 +126,32 @@ object DedupBench {
     require(onlyUncapped == 0 && onlyCapped == 0,
       "capped(64) pair set diverges from q51 at volume")
     }
+
+    // q92 precision at volume — THE measurement that motivated the
+    // 64-bit sketch: q52's 32-bit instance emits ~17x the true pair
+    // count at 2M docs (86% false; THROUGHPUT.md). With 16-bit bands
+    // over 64 bits + hamming <= 6 the expected false-pair volume is
+    // ~candidates * sum_{k<=6} C(48,k)/2^48 ~ single digits. Exact
+    // dups (hamming 0) must all surface; 1-token-mutation cluster
+    // pairs pass only when <= 6 of 64 majority votes flip — that
+    // recall is REPORTED, not asserted (it is a property of simhash
+    // at these doc lengths, identical for any sketch width).
+    val p92 = Registry.queriesMap("q92_simhash64")(spark, dir)
+      .select(col("doc_a"), col("doc_b")).cache()
+    val n92 = p92.count()
+    val cross92 = p92.where(
+      !(floor(col("doc_a") / 4) === floor(col("doc_b") / 4) &&
+        ((floor(col("doc_a") / 4) % 8 === 0) ||
+         (floor(col("doc_a") / 4) % 8 === 1 &&
+          col("doc_a") % 4 === 0 && col("doc_b") % 4 === 1)))).count()
+    val exact92 = p92.where(
+      floor(col("doc_a") / 4) % 8 === 1 && col("doc_a") % 4 === 0 &&
+        col("doc_b") === col("doc_a") + 1).count()
+    p92.unpersist(); Scratch.releaseAll()
+    println(f"DEDUPVERIFY q92 pairs=$n92%,d false_pairs=$cross92%,d " +
+      f"exact_recovered=$exact92%,d/${nDocs / 32}%,d")
+    require(cross92 <= 100, s"q92 emitted $cross92 false pairs; 64-bit precision claim fails")
+    require(exact92 == nDocs / 32, "q92 missed exact-dup (hamming 0) pairs")
 
     val expected = nDocs / 32 // per kind: 4-clusters and exact pairs
     val recall4 = full4.toDouble / expected

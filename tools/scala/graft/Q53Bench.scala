@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Volume exercise for q53's PREFIX-FILTER path (the large-vocab
+  * plan), against `tools/jaccard_gen.py` corpora — the one q53
+  * physical plan the sf bench never reaches: the driver corpora's
+  * gram vocabulary fits the bitset bound, so the adaptive probe
+  * always picks the bitset join there (VERDICT r8 "What's missing"
+  * #2). jaccard_gen's 32-letter tokens push the vocabulary to ~10^6,
+  * so THIS run exercises the probe's overflow branch and the
+  * PPJoin-style df-ordered prefix equi-join at volume.
+  *
+  * The prefix filter is sound AND complete for J >= 0.5 (with the
+  * size-ratio guard), so ground truth is asserted as EQUALITY:
+  * exactly 6 pairs per generated 4-doc cluster + 1 per exact-dup
+  * pair, zero cross-group pairs.
+  *
+  * Usage (ladder — the point is the n^2 candidate growth curve):
+  *   for n in 25000 50000 100000 200000; do
+  *     python3 tools/jaccard_gen.py /tmp/jacc$n $n
+  *   done
+  *   SPARK_GRAFT_CPUS=32 sbt "Test/runMain graft.Q53Bench /tmp/jacc25000 /tmp/jacc50000 ..."
+  */
+object Q53Bench {
+  def main(args: Array[String]): Unit = {
+    val dirs = if (args.nonEmpty) args.toSeq else Seq("/tmp/jacc50000")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val shufWrite = new java.util.concurrent.atomic.AtomicLong(0)
+    val shufRead = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics
+        shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+      }
+    })
+
+    // Warm the PREFIX plan's codegen explicitly (maxVocab = 0 forces
+    // it): the sf corpus would otherwise warm the bitset plan only.
+    queries.DedupOps.ngramJaccardPairs(spark, "/root/testdata/sf0.001", 0)
+      .queryExecution.toRdd.count()
+    Scratch.releaseAll()
+
+    for (dir <- dirs) {
+      shufWrite.set(0); shufRead.set(0)
+      val t0 = System.nanoTime()
+      // 16384 = the registered q53 bound: the probe must OVERFLOW on
+      // this corpus and choose the prefix path on its own.
+      val pairs = queries.DedupOps.ngramJaccardPairs(spark, dir, 16384)
+        .select(col("doc_a"), col("doc_b")).cache()
+      val nPairs = pairs.count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+      println(f"Q53BENCH $dir%-18s docs=$nDocs%,9d $dt%8.2f s  pairs=$nPairs%,d  " +
+        f"shufWrite=${shufWrite.get / 1e9}%.2f GB  shufRead=${shufRead.get / 1e9}%.2f GB")
+
+      // ---- exactness vs ground truth (untimed) ------------------------
+      val badPairs = pairs.where(
+        !(floor(col("doc_a") / 4) === floor(col("doc_b") / 4) &&
+          ((floor(col("doc_a") / 4) % 8 === 0) ||
+           (floor(col("doc_a") / 4) % 8 === 1 &&
+            col("doc_a") % 4 === 0 && col("doc_b") % 4 === 1)))).count()
+      def cntRes(n: Long, r: Long): Long = if (n <= r) 0 else (n - r + 7) / 8
+      val hi = nDocs / 4
+      val expected = cntRes(hi, 0) * 6 + cntRes(hi, 1)
+      pairs.unpersist(); Scratch.releaseAll()
+      println(f"Q53VERIFY $dir%-18s pairs=$nPairs%,d expected=$expected%,d unsound=$badPairs")
+      require(badPairs == 0, s"$badPairs pairs bridge unrelated docs")
+      require(nPairs == expected,
+        s"prefix path emitted $nPairs pairs, ground truth says $expected")
+    }
+    spark.stop()
+  }
+}
