@@ -540,22 +540,39 @@ object Pipeline {
   def connectedComponents(vertexIds: Dataset[java.lang.Long], edges: Dataset[Edge]): DataFrame = {
     val spark = vertexIds.sparkSession
     import spark.implicits._
-    val edgesP = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    // Persist edges for the two internal actions (count + collect /
+    // contraction rounds) — UNLESS the caller already cache-covers
+    // this relation. Dataset.unpersist removes cache entries by
+    // canonicalized sameResult, and a rename-only projection (e.g.
+    // pairs.select(vec_a AS src, ...)) canonicalizes identically to
+    // its child — so an unconditional unpersist here would silently
+    // evict the CALLER's cache of the pair relation and force every
+    // downstream action to recompute the whole pair pipeline
+    // (measured: q93's cluster phase paid the full q91 build per
+    // action until this guard, round 9).
+    val preCached = edges.storageLevel != StorageLevel.NONE
+    val edgesP = if (preCached) edges else edges.persist(StorageLevel.MEMORY_AND_DISK)
     val edgeCount = edgesP.count()
 
     if (edgeCount <= ContractionMinEdges) {
       val collected = edgesP.collect()
-      edgesP.unpersist()
+      if (!preCached) edgesP.unpersist()
       val find = unionFind(collected.iterator.map(e => (e.src, e.dst)))
       val labels = collected.iterator.flatMap(e => Iterator(e.src, e.dst))
-        .toSet.iterator.map((v: Long) => v -> find(v)).toMap
-      val lookup = spark.sparkContext.broadcast(labels)
+        .toSet.iterator.map((v: Long) => v -> find(v)).toSeq
+      // Broadcast hash JOIN, not a udf over a broadcast Map: the udf
+      // form paid ~180us PER ROW re-reading the broadcast value (round
+      // 9, EmbedDedupBench — 66 s to label 371k vertices), invisible
+      // on the contact-scale graphs but dominant the moment the driver
+      // path runs near its 1M-edge ceiling. The join is codegen'd and
+      // the build side is the same label table.
+      val labelsDf = spark.createDataFrame(labels).toDF("id", "comp")
       return vertexIds.toDF("id")
-        .select(col("id"), udf((id: Long) => lookup.value.getOrElse(id, id))
-          .apply(col("id")).as("comp"))
+        .join(broadcast(labelsDf), Seq("id"), "left")
+        .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
     }
     try contractionComponents(vertexIds, edgesP)
-    finally edgesP.unpersist()
+    finally { if (!preCached) edgesP.unpersist() }
   }
 
   /** Driver union-find with path compression over an edge iterator. */

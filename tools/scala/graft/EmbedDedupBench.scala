@@ -34,14 +34,14 @@ import org.apache.spark.sql.functions._
   *   SPARK_GRAFT_CPUS=32 sbt "Test/runMain graft.EmbedDedupBench /tmp/embed2m"
   */
 object EmbedDedupBench {
-  private val Bands = 4
-  private val Bits = 16
+  private val Bands = 6
+  private val Bits = 20
   private val Cap = 64
   private val Threshold = 0.8
-  private val HotN = 20000L
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/embed2m")
+    val HotN = args.lift(1).map(_.toLong).getOrElse(20000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -72,7 +72,7 @@ object EmbedDedupBench {
       .select(col("vec_a"), col("vec_b")).cache()
     val nPairs = pairs.count()
     val dtPairs = (System.nanoTime() - t0) / 1e9
-    println(f"EMBEDBENCH q91(4x16,cap=$Cap)   $dtPairs%8.2f s  pairs=$nPairs%,d  " +
+    println(f"EMBEDBENCH q91(${Bands}x$Bits,cap=$Cap)   $dtPairs%8.2f s  pairs=$nPairs%,d  " +
       f"shufWrite=${shufWrite.get / 1e9}%.2f GB  shufRead=${shufRead.get / 1e9}%.2f GB")
 
     // ---- timed: cluster rollup on the same pair source ----------------
@@ -82,7 +82,12 @@ object EmbedDedupBench {
       .as[graft.etl.Pipeline.Edge]
     val verts = edges.select(col("src")).union(edges.select(col("dst")))
       .distinct().as[java.lang.Long]
-    val comps = graft.etl.Pipeline.connectedComponents(verts, edges)
+    val nVerts = verts.count()
+    val tVerts = (System.nanoTime() - t0) / 1e9
+    println(f"EMBEDBENCH   verts=$nVerts%,d in $tVerts%.2f s")
+    val ccDf = graft.etl.Pipeline.connectedComponents(verts, edges)
+    println(f"EMBEDBENCH   cc plan built at ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    val comps = ccDf
       .groupBy(col("comp"))
       .agg(min(col("id")).as("canonical"), count(lit(1)).as("n_vecs"),
         sort_array(collect_list(col("id"))).as("mem"))
@@ -139,7 +144,7 @@ object EmbedDedupBench {
         when(element_at(col("embedding"), 33) >= 0, "1").otherwise("0"),
         when(element_at(col("embedding"), 49) >= 0, "1").otherwise("0")).as("b"))
       .groupBy(col("b")).count()
-      .agg(sum(col("count") * (col("count") - 1) / 2)).head().getLong(0)
+      .agg(sum(col("count") * (col("count") - 1))).head().getLong(0) / 2
 
     println(f"EMBEDVERIFY pairs_unsound=$badPairs clusters_unsound=$badClusters " +
       f"full4=$full4%,d/$expected4%,d (${recall4 * 100}%.2f%%) " +
