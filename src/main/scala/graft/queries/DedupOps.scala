@@ -506,7 +506,14 @@ object DedupOps {
     * set returns the complete dictionary exactly when the bitset path
     * applies (|dict| ≤ V), so path choice and dictionary collection
     * share a single job; a large-vocab corpus short-circuits at V+1
-    * rows and never materializes its dictionary anywhere. */
+    * rows and never materializes its dictionary anywhere.
+    *
+    * Round 9 split the large-vocab side in two: up to
+    * [[DenseVerifyMaxDocs]] docs the prefix candidates verify against
+    * BROADCAST packed-gram arrays ([[prefixBroadcastPath]] — the plan
+    * the measured candidate density demands); past that ceiling the
+    * fully-general shuffle verify ([[prefixPath]]) remains, with its
+    * wall documented. */
   val q53 = Q(
     "q53_ngram_jaccard",
     "char-4-gram Jaccard >= 0.5 pairs; adaptive bitset / prefix-filter join",
@@ -533,7 +540,15 @@ object DedupOps {
     * compute the same pairs — the scale path would otherwise never run
     * on a test-sized vocabulary. */
   private[graft] def ngramJaccardPairs(s: org.apache.spark.sql.SparkSession,
-      dir: String, maxVocab: Long): DataFrame = {
+      dir: String, maxVocab: Long): DataFrame =
+    ngramJaccardPairs(s, dir, maxVocab, DenseVerifyMaxDocs)
+
+  /** As above with the broadcast-verify doc ceiling exposed, so
+    * DedupPathsSpec can force each of the three physical plans
+    * (bitset / prefix+broadcast / prefix+shuffle) onto one corpus and
+    * prove they compute the same pairs. */
+  private[graft] def ngramJaccardPairs(s: org.apache.spark.sql.SparkSession,
+      dir: String, maxVocab: Long, maxBroadcastDocs: Long): DataFrame = {
     val norm = lower(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""))
     // Per-doc distinct gram ARRAYS in one narrow projection: gram
     // extraction is per-row work, so an explode → groupBy round-trip
@@ -548,6 +563,7 @@ object DedupOps {
     val dict = docGrams.select(explode(col("grams")).as("tok")).distinct()
     val probe = dict.limit(maxVocab.toInt + 1).collect().map(_.getString(0))
     val pairs = if (probe.length <= maxVocab) bitsetPath(docGrams, probe)
+      else if (docGrams.count() <= maxBroadcastDocs) prefixBroadcastPath(docGrams)
       else prefixPath(docGrams.select(col("doc_id"),
         explode(col("grams")).as("tok")))
     pairs
@@ -602,10 +618,103 @@ object DedupOps {
           (col("na") + col("nb") - col("inter")).cast("double"), 4).as("jaccard"))
   }
 
-  /** Prefix-filter plan (large vocabulary): df-ordered ⌊n/2⌋+1
-    * prefixes → candidate equi-join on prefix tokens → dedup → exact
-    * merge-pass verify. Shuffles scale with corpus size; no all-pairs
-    * stage anywhere. */
+  /** Doc-count ceiling for [[prefixBroadcastPath]]: packed grams cost
+    * ~8 B/gram ≈ 7 KB/doc, so 250k docs ≈ 1.8 GB of broadcast — the
+    * largest corpus whose verify side comfortably broadcasts. */
+  private[graft] val DenseVerifyMaxDocs = 250000L
+
+  /** Pack a 4-char gram into one long (16 bits/char, bijective on the
+    * normalized [a-z0-9 ] alphabet — and on any BMP text), sorted for
+    * the merge verify. Exact: intersection/union counts over packed
+    * longs equal the counts over the gram strings. */
+  private val packGrams = udf { (grams: Seq[String]) =>
+    val out = new Array[Long](grams.size)
+    var i = 0
+    grams.foreach { g =>
+      var v = 0L
+      var k = 0
+      while (k < 4) { v = (v << 16) | g.charAt(k); k += 1 }
+      out(i) = v; i += 1
+    }
+    java.util.Arrays.sort(out)
+    out
+  }
+
+  /** Prefix candidates + BROADCAST merge verify — the dense-regime
+    * plan between the bitset bound and corpus scale.
+    *
+    * MEASURED wall this path exists for (round 9, jaccard_gen 25k
+    * docs, ~1M gram vocab): the sound+complete df-ordered prefix
+    * filter admits 78M distinct candidates — 25% of ALL doc pairs —
+    * because on a gram-dense corpus every doc's rare-half grams are
+    * shared with dozens of others. A verify join that ships the two
+    * ~870-gram arrays per candidate therefore moves ~1 TB and fills
+    * the scratch disk before a single pair verifies. The candidate
+    * volume is inherent (it is the certificate set of the exact
+    * join); the array shipping is not: per-doc SORTED packed-gram
+    * arrays (7 KB/doc) broadcast once, and the verify is a zero-
+    * array-shuffle map over candidate pairs (~1.7k word-ops each).
+    * The [[DenseVerifyMaxDocs]] gate bounds the broadcast; past it,
+    * exact char-gram Jaccard at t = 0.5 is quadratic in candidates no
+    * matter the plan — partition the corpus (per-language/source
+    * shards) or relax to the registered sketch family (q51/q88). */
+  private def prefixBroadcastPath(docGrams: DataFrame): DataFrame = {
+    val spark = docGrams.sparkSession
+    import spark.implicits._
+    val packed = graft.Scratch.scoped(docGrams
+      .select(col("doc_id"), packGrams(col("grams")).as("pg")))
+    val docMap = packed.as[(Long, Array[Long])].collect().toMap
+    val bc = spark.sparkContext.broadcast(docMap)
+    val iuCounts = udf { (a: Long, b: Long) =>
+      val x = bc.value(a); val y = bc.value(b)
+      var i = 0; var j = 0; var inter = 0
+      while (i < x.length && j < y.length) {
+        val c = java.lang.Long.compare(x(i), y(j))
+        if (c == 0) { inter += 1; i += 1; j += 1 }
+        else if (c < 0) i += 1
+        else j += 1
+      }
+      (inter, x.length + y.length - inter)
+    }
+    val cand = prefixCandidates(packed
+      .select(col("doc_id"), explode(col("pg")).as("tok")))
+    cand
+      .select(col("doc_a"), col("doc_b"),
+        iuCounts(col("doc_a"), col("doc_b")).as("iu"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("iu._1").cast("double") / col("iu._2").cast("double"), 4)
+          .as("jaccard"))
+  }
+
+  /** df-ordered ⌊n/2⌋+1 prefix candidate generation (Bayardo WWW'07 /
+    * Xiao WWW'08) over an exploded (doc_id, tok) relation; tok may be
+    * any orderable type — the global (df, tok) order just has to be
+    * total and shared. Emits DISTINCT (doc_a, doc_b) passing the
+    * size-ratio filter. */
+  private def prefixCandidates(toks: DataFrame): DataFrame = {
+    val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val grams0 = toks.join(dfreq, "tok")
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("gdf"))
+      .select(col("doc_id"),
+        expr("slice(transform(gdf, x -> x.tok), 1, size(gdf) DIV 2 + 1)").as("pref"),
+        size(col("gdf")).as("n"))
+    val pref = grams0.select(col("doc_id"), col("n"), explode(col("pref")).as("tok"))
+    pref.as("a").join(pref.as("b"),
+        col("a.tok") === col("b.tok") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          greatest(col("a.n"), col("b.n")) <= least(col("a.n"), col("b.n")) * 2)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Prefix-filter plan with the SHUFFLE verify (large vocabulary AND
+    * past the broadcast gate): candidate equi-join on prefix tokens →
+    * dedup → exact merge-pass verify joining the gram arrays.
+    * Structurally the only fully-general exact plan, but on gram-
+    * dense corpora its verify join ships both gram arrays per
+    * candidate — see [[prefixBroadcastPath]] for the measured wall
+    * and the honest scale guidance. */
   private def prefixPath(toks: DataFrame): DataFrame = {
     val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val grams0 = toks.join(dfreq, "tok")

@@ -19,8 +19,9 @@ class DedupPathsSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
-  private def pairs(dir: String, maxVocab: Long): Seq[(Long, Long, Double)] = {
-    val rows = DedupOps.ngramJaccardPairs(spark, dir, maxVocab)
+  private def pairs(dir: String, maxVocab: Long,
+      maxBroadcastDocs: Long = DedupOps.DenseVerifyMaxDocs): Seq[(Long, Long, Double)] = {
+    val rows = DedupOps.ngramJaccardPairs(spark, dir, maxVocab, maxBroadcastDocs)
       .collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
         r.getAs[Double]("jaccard")))
@@ -30,12 +31,14 @@ class DedupPathsSpec extends AnyFunSuite {
   }
 
   for (sf <- Seq("sf0.001", "sf0.01")) {
-    test(s"prefix-filter path = bitset path on $sf") {
+    test(s"all three physical paths agree on $sf") {
       val dir = s"/root/testdata/$sf"
       val bitset = pairs(dir, 16384L) // small vocab -> bitset plan
-      val prefix = pairs(dir, 0L) // forced prefix-filter plan
+      val prefixBc = pairs(dir, 0L) // forced prefix + broadcast verify
+      val prefixShuf = pairs(dir, 0L, 0L) // forced prefix + shuffle verify
       assert(bitset.nonEmpty, "corpus produced no near-dup pairs; test is vacuous")
-      assert(prefix == bitset)
+      assert(prefixBc == bitset)
+      assert(prefixShuf == bitset)
     }
   }
 }
