@@ -750,7 +750,14 @@ object DedupOps {
     * double folds, evaluated in the same sequential order as the
     * oracle so the doubles agree bit-for-bit. */
   /** Sign-LSH-bucketed cosine near-dup pairs over the embeddings table
-    * — shared by q54 (pair listing) and q90 (cluster rollup). */
+    * — shared by q54 (pair listing) and q90 (cluster rollup).
+    *
+    * SCALE NOTE: this fixed 4-bit/16-bucket instance is the
+    * oracle-parity baseline; at corpus scale its buckets hold n/16
+    * vectors (1.25e11 candidates measured at 2M — THROUGHPUT.md). The
+    * scale-parameterized successor is [[embeddingPairsScaled]]
+    * (q91/q93): log-n hyperplane bits, banded recall amplification,
+    * and the q88 bucket cap, ground-truth volume-proven at 2M. */
   private def cosinePairs(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     // Native sequential-fold dot product (plans.VecDotProduct): the
     // interpreted aggregate(zip_with(...)) form allocated per pair
