@@ -663,6 +663,9 @@ object DedupOps {
     import spark.implicits._
     val packed = graft.Scratch.scoped(docGrams
       .select(col("doc_id"), packGrams(col("grams")).as("pg")))
+    // Bounded collect: callers reach this path only under the
+    // maxBroadcastDocs gate (<= DenseVerifyMaxDocs docs x ~7 KB/doc
+    // of packed grams), so the driver never sees corpus-scale data.
     val docMap = packed.as[(Long, Array[Long])].collect().toMap
     val bc = spark.sparkContext.broadcast(docMap)
     val iuCounts = udf { (a: Long, b: Long) =>

@@ -30,6 +30,28 @@ class DedupPathsSpec extends AnyFunSuite {
     rows
   }
 
+  test("probe overflow selects the broadcast-verify path naturally (crafted large-vocab corpus)") {
+    // High-entropy texts push the 4-gram vocabulary past a tiny probe
+    // bound, so the REGISTERED path-selection logic (probe overflow ->
+    // doc-count gate -> broadcast verify) runs end-to-end rather than
+    // being forced via maxVocab = 0. Mixed-case hex + doc-unique salts
+    // give each doc distinct grams; the near-dup pair must survive.
+    def text(seed: Long): String = (0 until 40).map { p =>
+      val h = seed * 1000003L + p * 2654435761L
+      java.lang.Long.toHexString(h & 0xffffffffffL)
+    }.mkString(" ")
+    val docs = (0L until 60L).map(i => (i, text(i))) :+
+      (100L, text(7)) // exact duplicate of doc 7 -> jaccard 1.0
+    val tmp = java.nio.file.Files.createTempDirectory("q53probe").toString
+    spark.createDataFrame(docs).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+
+    val small = pairs(tmp, 64L) // probe overflows (vocab >> 64) -> broadcast path
+    val bitset = pairs(tmp, 1000000L) // vocab fits -> bitset path
+    assert(small.nonEmpty && small == bitset)
+    assert(small.exists { case (a, b, j) => a == 7L && b == 100L && j == 1.0 })
+  }
+
   for (sf <- Seq("sf0.001", "sf0.01")) {
     test(s"all three physical paths agree on $sf") {
       val dir = s"/root/testdata/$sf"

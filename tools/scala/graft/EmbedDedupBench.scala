@@ -11,9 +11,11 @@ import org.apache.spark.sql.functions._
   * row (VERDICT r8 "What's missing" #1).
   *
   * Runs [[graft.queries.DedupOps.embeddingPairsScaled]] at production
-  * parameters — 4 bands x 16 Rademacher bits (65536 buckets/band at
-  * 2M vectors -> ~30-vector buckets), bucket cap 64, cosine >= 0.8 —
-  * then the q93 cluster rollup on those pairs. Checks:
+  * parameters — 6 bands x 20 Rademacher bits (2^20 buckets/band at 2M
+  * vectors -> mean occupancy ~1.9; an earlier 4x16 attempt put the
+  * cap at only 2x the mean occupancy of 30 and LOST real pairs:
+  * 93.6%/97.8% recall), bucket cap 64, cosine >= 0.8 — then the q93
+  * cluster rollup on those pairs. Checks:
   *  - SOUNDNESS (exact): every pair stays within one generated group
   *    (blob, 4-cluster, or exact-dup pair) — near-orthogonal 64-dim
   *    singletons cannot reach cosine 0.8, so any cross-group pair is
