@@ -49,7 +49,9 @@ object Registry {
       // pairs, 64-bit simhash, and the scaled embedding clusters.
       queries.DedupOps.q91 :+
       queries.DedupOps.q92 :+
-      queries.DedupOps.q93
+      queries.DedupOps.q93 :+
+      // q94 (char-4-gram minhash: q53's at-scale sketch relaxation).
+      queries.DedupOps.q94
 
   // ListMap: keep registry order. A HashMap would reshuffle the
   // bench's execution order whenever a query is added, which moves

@@ -1208,5 +1208,120 @@ object DedupOps {
       .orderBy(col("doc_a"), col("doc_b")),
     Some(oSimhash64Ctes(Q92BandBits, Q92MaxHamming, Q92Cap)))
 
+  // ---- char-4-gram MinHash (q94): the sketch relaxation of q53 ------
+
+  // 16 hashes = 8 bands x 2 rows: at the q53 threshold t = 0.5 the
+  // S-curve needs SHALLOW bands (j^2 per band, 1-(1-j^2)^8 = 0.90 at
+  // j = 0.5, ~1.0 at j >= 0.7) — q51's 4x3 shape is tuned for t = 0.8
+  // and would recall only 41% of borderline 0.5-pairs. Same universal-
+  // hash family and prime as q51 (shared i -> identical constants).
+  private val NumHashes94 = 16
+  private val Bands94 = 8
+  private val RowsPerBand94 = 2
+  private val AB94: Seq[(Long, Long)] = (0 until NumHashes94).map { i =>
+    ((2654435761L * (2 * i + 1)) % P, (40503L * (i + 7) * (i + 7) + 2654435769L * i) % P)
+  }
+
+  /** Char-4-gram MinHash-LSH near-dup pairs at J ≥ 0.5 — the
+    * REGISTERED at-scale relaxation of q53's exact join: where exact
+    * char-gram Jaccard is quadratic-in-candidates on any gram-dense
+    * corpus (THROUGHPUT.md round 9 — candidates track gram df, which
+    * grows ∝ n), minhash band buckets track SIMILARITY, so candidate
+    * volume follows true near-dup density and the operator extends to
+    * corpus sizes where no exact plan can run. Same q53 normalization
+    * and gram definition; grams hash through the JIT [[gram4H60Udf]]
+    * kernel (the q50/q33 regex-wall lesson); banding and the skew cap
+    * ride the q88 one-exchange bounded-bag shape; verify is exact
+    * Jaccard over the per-doc gram-hash sets (collisions map both
+    * engines identically). Probabilistic recall at the 0.5 boundary
+    * (0.90 per the band S-curve), ~1.0 for real near-dups (J ≥ 0.7)
+    * — measured against ground truth at volume in Q53Bench. */
+  private[graft] def ngramMinhashPairs(s: org.apache.spark.sql.SparkSession,
+      dir: String, cap: Int): DataFrame = {
+    val hashed = t(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), alnumSpaceLowerUdf(col("text")).as("t"))
+      .where(length(col("t")) >= 4)
+      .select(col("doc_id"), explode(gram4H60Udf(col("t"))).as("h0"))
+      .select(col("doc_id"), (col("h0") % P).as("h"))
+    val minAggs = AB94.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("h") + lit(b)) % P).as(s"m$i") }
+    val sig = graft.Scratch.scoped(hashed.groupBy(col("doc_id"))
+      .agg(minAggs.head, minAggs.tail :+ sort_array(collect_set(col("h"))).as("hs"): _*))
+    val banded = sig.select(col("doc_id"), expr(
+      (0 until Bands94).map { bnd =>
+        val key = (0 until RowsPerBand94).map(r => s"m${bnd * RowsPerBand94 + r}")
+          .mkString("concat_ws(',', ", ", ", ")")
+        s"$bnd, $key"
+      }.mkString(s"stack($Bands94, ", ", ", ") as (band, key)")))
+    val kept = banded.groupBy(col("band"), col("key"))
+      .agg(graft.functions.BoundedCollect.boundedIdBag(cap)(col("doc_id")).as("ids"))
+      .where(size(col("ids")) >= 2)
+    val cand = kept
+      .select(explode(bucketPairsUdf(col("ids"))).as("p"))
+      .select(col("p._1").as("doc_a"), col("p._2").as("doc_b"))
+      .distinct()
+    cand
+      .join(sig.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
+          size(array_union(col("hs_a"), col("hs_b"))).cast("double"), 4)
+          .as("jaccard"))
+      .where(col("jaccard") >= 0.5)
+  }
+
+  // Registered q94 cap: sized so the sf corpora exercise the drop
+  // path (template text makes some 2-row band buckets hot) while the
+  // true near-dup pairs keep a surviving band — same split as q88's
+  // cap-3 choice. Volume runs use 64.
+  private val Q94Cap = 8
+
+  private def oNgramMinhashSql(cap: Int): String = {
+    val mins = AB94.zipWithIndex.map { case ((a, b), i) =>
+      s"min(($a * h + $b) % $P) AS m$i" }.mkString(",\n          ")
+    val bandRows = (0 until Bands94).map { bnd =>
+      val key = (0 until RowsPerBand94).map(r => s"CAST(m${bnd * RowsPerBand94 + r} AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, $bnd AS band, $key AS key FROM sig"
+    }.mkString("\n        UNION ALL ")
+    s"""WITH norm AS (
+        SELECT doc_id, lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS t
+        FROM documents),
+      hashed AS (
+        SELECT doc_id, ${oH60("substring(t, i, 4)")} % $P AS h
+        FROM (SELECT doc_id, t, unnest(range(1, length(t) - 2)) AS i
+              FROM norm WHERE length(t) >= 4)),
+      sig AS (
+        SELECT doc_id,
+          $mins,
+          list_sort(list(DISTINCT h)) AS hs
+        FROM hashed GROUP BY doc_id),
+      banded AS (
+        $bandRows),
+      kept AS (
+        SELECT doc_id, band, key FROM banded
+        QUALIFY count(*) OVER (PARTITION BY band, key) <= $cap),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM kept a JOIN kept b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b, jaccard FROM (
+        SELECT doc_a, doc_b,
+          round(CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) /
+                CAST(len(list_distinct(sa.hs || sb.hs)) AS DOUBLE), 4) AS jaccard
+        FROM cand JOIN sig sa ON cand.doc_a = sa.doc_id
+                  JOIN sig sb ON cand.doc_b = sb.doc_id)
+      WHERE jaccard >= 0.5
+      ORDER BY doc_a, doc_b"""
+  }
+
+  val q94 = Q(
+    "q94_ngram_minhash",
+    s"char-4-gram MinHash($NumHashes94)/LSH(${Bands94}x$RowsPerBand94) pairs at J >= 0.5, band buckets capped at $Q94Cap",
+    (s, dir) => ngramMinhashPairs(s, dir, Q94Cap)
+      .orderBy(col("doc_a"), col("doc_b")),
+    Some(oNgramMinhashSql(Q94Cap)))
+
   val all: Seq[Q] = Seq(q50, q51, q52, q53, q54, q73)
 }

@@ -120,6 +120,36 @@ package object queries {
       seen.toSeq
     }
 
+  /** JIT distinct char-4-gram [[h60]] hashes over a (pre-normalized)
+    * string — bit-identical per position to
+    * `h60(substring(t, i, 4))` over `i = 1 .. len-3` (md5 of the
+    * UTF-8 gram → first 15 hex digits → unsigned 60-bit long),
+    * distinct in first-occurrence order like `array_distinct`.
+    * Same existence rationale as [[shingleH60Udf]]: the Catalyst
+    * `transform` + substr + md5-per-element form is interpreted per
+    * gram, and a ~950-char doc has ~950 grams. Pinned char-identical
+    * to the expression form by FunctionProps. */
+  def gram4H60(t: String): Seq[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val seen = scala.collection.mutable.LinkedHashSet.empty[Long]
+    var i = 0
+    while (i + 4 <= t.length) {
+      md.reset()
+      val d = md.digest(t.substring(i, i + 4)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var h = 0L
+      var b = 0
+      while (b < 7) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+      h = (h << 4) | ((d(7) & 0xf0L) >> 4)
+      seen.add(h)
+      i += 1
+    }
+    seen.toSeq
+  }
+
+  val gram4H60Udf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (t: String) => if (t == null) null else gram4H60(t) }
+
   /** JIT char-filter kernel, char-identical to
     * `lower(regexp_replace(s, "[^a-zA-Z0-9]", ""))`: keep ASCII
     * alphanumerics, lowercasing A-Z; drop every other UTF-16 unit

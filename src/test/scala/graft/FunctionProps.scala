@@ -114,4 +114,20 @@ object FunctionProps extends Properties("functions") {
         else toks.sliding(3).map(_.mkString(" ")).toSeq
       queries.shingleStrings(toks, 3) == expected
     }
+
+  // q94's JIT char-4-gram hash kernel must be bit-identical per
+  // position to the h60 expression form: md5 of the UTF-8 gram, first
+  // 15 hex digits parsed base-16 (an independent reference path from
+  // the kernel's byte fold), first-occurrence distinct.
+  property("gram4H60 == hex-parsed h60 of sliding-4 grams, distinct") =
+    forAll(anyText) { s =>
+      val expected = collection.mutable.LinkedHashSet.empty[Long]
+      if (s.length >= 4) s.sliding(4).foreach { g =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(g.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map("%02x".format(_)).mkString
+        expected.add(java.lang.Long.parseLong(hex.take(15), 16))
+      }
+      queries.gram4H60(s) == expected.toSeq
+    }
 }

@@ -26,7 +26,14 @@ import org.apache.spark.sql.functions._
   */
 object Q53Bench {
   def main(args: Array[String]): Unit = {
-    val dirs = if (args.nonEmpty) args.toSeq else Seq("/tmp/jacc50000")
+    // Flags: "q94" also runs the registered char-gram MINHASH (q53's
+    // at-scale sketch relaxation) on each corpus with the same ground
+    // truth (recall >= 99.9% asserted instead of exactness — the band
+    // S-curve at J >= 0.89 is ~1.0); "noexact" skips the exact q53
+    // run (for corpora past the exact join's practical range).
+    val flags = args.toSeq.filter(a => a == "q94" || a == "noexact").toSet
+    val dirArgs = args.toSeq.filterNot(flags)
+    val dirs = if (dirArgs.nonEmpty) dirArgs else Seq("/tmp/jacc50000")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -50,7 +57,7 @@ object Q53Bench {
       .queryExecution.toRdd.count()
     Scratch.releaseAll()
 
-    for (dir <- dirs) {
+    for (dir <- dirs if !flags("noexact")) {
       shufWrite.set(0); shufRead.set(0)
       val t0 = System.nanoTime()
       // 16384 = the registered q53 bound: the probe must OVERFLOW on
@@ -77,6 +84,32 @@ object Q53Bench {
       require(badPairs == 0, s"$badPairs pairs bridge unrelated docs")
       require(nPairs == expected,
         s"prefix path emitted $nPairs pairs, ground truth says $expected")
+    }
+
+    if (flags("q94")) for (dir <- dirs) {
+      shufWrite.set(0); shufRead.set(0)
+      val t0 = System.nanoTime()
+      val pairs = Registry.queriesMap("q94_ngram_minhash")(spark, dir)
+        .select(col("doc_a"), col("doc_b")).cache()
+      val nPairs = pairs.count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+      println(f"Q94BENCH $dir%-18s docs=$nDocs%,9d $dt%8.2f s  pairs=$nPairs%,d  " +
+        f"shufWrite=${shufWrite.get / 1e9}%.2f GB  shufRead=${shufRead.get / 1e9}%.2f GB")
+      val badPairs = pairs.where(
+        !(floor(col("doc_a") / 4) === floor(col("doc_b") / 4) &&
+          ((floor(col("doc_a") / 4) % 8 === 0) ||
+           (floor(col("doc_a") / 4) % 8 === 1 &&
+            col("doc_a") % 4 === 0 && col("doc_b") % 4 === 1)))).count()
+      pairs.unpersist(); Scratch.releaseAll()
+      def cntRes(n: Long, r: Long): Long = if (n <= r) 0 else (n - r + 7) / 8
+      val hi = nDocs / 4
+      val expected = cntRes(hi, 0) * 6 + cntRes(hi, 1)
+      val recall = (nPairs - badPairs).toDouble / expected
+      println(f"Q94VERIFY $dir%-18s pairs=$nPairs%,d expected=$expected%,d " +
+        f"unsound=$badPairs recall=${recall * 100}%.3f%%")
+      require(badPairs == 0, s"$badPairs q94 pairs bridge unrelated docs")
+      require(recall >= 0.999, f"q94 recall $recall%.4f below 0.999")
     }
     spark.stop()
   }
