@@ -53,6 +53,21 @@ class DedupPathsSpec extends AnyFunSuite {
   }
 
   for (sf <- Seq("sf0.001", "sf0.01")) {
+    test(s"q94 sketch pairs are a subset of q53 exact pairs on $sf") {
+      // At sf scale the gram vocabulary is tiny, so 60-bit hash-set
+      // Jaccard (q94's verify) equals string-set Jaccard (q53's)
+      // exactly — every q94 pair must therefore appear in the exact
+      // join's output; q94 may only MISS pairs (band S-curve + cap).
+      val dir = s"/root/testdata/$sf"
+      val exact = pairs(dir, 16384L).map(p => (p._1, p._2)).toSet
+      val sketch = Registry.queriesMap("q94_ngram_minhash")(spark, dir)
+        .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+      Scratch.releaseAll()
+      assert(sketch.nonEmpty, "q94 found no pairs; test is vacuous")
+      assert(sketch.subsetOf(exact),
+        s"q94 invented pairs the exact join rejects: ${(sketch -- exact).take(5)}")
+    }
+
     test(s"all three physical paths agree on $sf") {
       val dir = s"/root/testdata/$sf"
       val bitset = pairs(dir, 16384L) // small vocab -> bitset plan
