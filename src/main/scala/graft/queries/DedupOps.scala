@@ -934,10 +934,15 @@ object DedupOps {
     * replaces a band self-join entirely; pairs explode from ≤cap
     * bucket arrays; only the verified-candidate join touches vectors
     * again. At 100 TB: pick bits ≈ log₂(n/target-bucket) per band,
-    * bands by the recall target, cap by the skew budget — the
-    * registered instance (4×4, cap 48) is the oracle-scale point of
-    * the same family, with its drop path exercised by the sf corpora
-    * (sf0.01 has band buckets of 50–58 > 48). */
+    * bands by the recall target, cap ≫ the mean occupancy n/2^bits so
+    * it fires only on pathological mass (the 2M-vector volume run
+    * measured the law: a cap at 2× the mean loses real pairs, 33×
+    * recalls to the last pair — THROUGHPUT.md round 9). The
+    * registered instance (4×6, cap 56) spans both sf corpora: no
+    * drops at sf0.01 (the oracle gate still declares the cap, as
+    * q92's does), a few 58–75-doc hot buckets dropped at sf0.1, and
+    * the drop semantics pinned by ScaledSketchSpec's crafted blob +
+    * the ground-truth volume run. */
   private[graft] def embeddingPairsScaled(s: org.apache.spark.sql.SparkSession,
       dir: String, bands: Int, bits: Int, cap: Int,
       threshold: Double): DataFrame = {
@@ -966,8 +971,8 @@ object DedupOps {
   // Registered q91/q93 instance parameters (see embeddingPairsScaled
   // scaladoc for how a production corpus re-derives them).
   private val Q91Bands = 4
-  private val Q91Bits = 4
-  private val Q91Cap = 48
+  private val Q91Bits = 6
+  private val Q91Cap = 56
   private val Q91Threshold = 0.35
 
   /** Oracle text of the hyperplane-j projection: the same sequential
