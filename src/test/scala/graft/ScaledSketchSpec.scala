@@ -39,18 +39,13 @@ class ScaledSketchSpec extends AnyFunSuite {
 
   test("simhash64 with 8-bit bands equals brute-force hamming <= 6 (pigeonhole recall)") {
     val banded = docPairs(DedupOps.simhash64Pairs(spark, dir, 8, 6, Int.MaxValue - 1))
-    // Brute force: rebuild the sketches via a 1-band-of-32... not
-    // available directly, so derive from the banded=8 run's own base
-    // by an all-pairs join: bandBits=32 gives 2 bands covering each
-    // half exactly; with maxHamming=64 every candidate passes, so a
-    // bandBits-independent all-pairs truth needs a different device —
-    // instead pin against bandBits=32 run only where it can recall:
-    // NOT a truth set. So compute truth with a cross join over the
-    // sketch relation exposed by a 1-bit band width (2^1 buckets per
-    // band, 32 bands of 1 bit: 64 errors max, hamming<=6 dirties <=6
-    // of 32 single-bit bands -> perfect recall as well, and the far
-    // smaller band count keeps the all-pairs-within-bucket cost at
-    // corpus-half scale, fine at sf0.001).
+    // Truth device: a 1-bit band width gives 64 single-bit bands, and
+    // hamming <= 6 can dirty at most 6 of them — 58 clean bands
+    // always remain, so candidate recall of the hamming <= 6 relation
+    // is exact there too, by the same pigeonhole but with slack 58
+    // instead of 2. Each 1-bit band has only 2 buckets (half the
+    // corpus each), i.e. this runs close to all-pairs — fine at
+    // sf0.001, which is why it serves as the brute-force reference.
     val truth = docPairs(DedupOps.simhash64Pairs(spark, dir, 1, 6, Int.MaxValue - 1))
     assert(truth.nonEmpty, "corpus produced no hamming<=6 pairs; test is vacuous")
     assert(banded == truth,
