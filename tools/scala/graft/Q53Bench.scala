@@ -31,7 +31,11 @@ object Q53Bench {
     // truth (recall >= 99.9% asserted instead of exactness — the band
     // S-curve at J >= 0.89 is ~1.0); "noexact" skips the exact q53
     // run (for corpora past the exact join's practical range).
-    val flags = args.toSeq.filter(a => a == "q94" || a == "noexact").toSet
+    // "cap=<n>" overrides q94's registered band-bucket cap (8) — used
+    // to attribute volume recall loss between the band S-curve and
+    // the cap (run once registered, once cap=64, diff the pair sets).
+    val flags = args.toSeq.filter(a => a == "q94" || a == "noexact" || a.startsWith("cap=")).toSet
+    val q94Cap = flags.collectFirst { case f if f.startsWith("cap=") => f.drop(4).toInt }
     val dirArgs = args.toSeq.filterNot(flags)
     val dirs = if (dirArgs.nonEmpty) dirArgs else Seq("/tmp/jacc50000")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -89,7 +93,8 @@ object Q53Bench {
     if (flags("q94")) for (dir <- dirs) {
       shufWrite.set(0); shufRead.set(0)
       val t0 = System.nanoTime()
-      val pairs = Registry.queriesMap("q94_ngram_minhash")(spark, dir)
+      val pairs = q94Cap.map(c => queries.DedupOps.ngramMinhashPairs(spark, dir, c))
+        .getOrElse(Registry.queriesMap("q94_ngram_minhash")(spark, dir))
         .select(col("doc_a"), col("doc_b")).cache()
       val nPairs = pairs.count()
       val dt = (System.nanoTime() - t0) / 1e9
