@@ -142,8 +142,90 @@ object DedupOps {
       .where(col("jaccard") >= 0.8)
 
   /** MinHash-LSH verified near-dup pairs (doc_a, doc_b, jaccard) —
-    * shared by q51 (pair listing) and q73 (cluster rollup). */
-  private def minhashPairs(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    * shared by q51 (pair listing) and q73 (cluster rollup).
+    *
+    * ADAPTIVE verify-set strategy (round 9, promoting the ProfQ51
+    * finding): the one-pass plan builds the exact-verify hash set (hs)
+    * for EVERY document inside the signature aggregation, but verify
+    * only reads hs for documents that appear in candidate pairs — a
+    * fraction of a percent on any production corpus. So the signature
+    * aggregation here computes the 12 minhashes ONLY, candidates are
+    * generated and cached, and ONE probe job counts the candidate doc
+    * ids (the count doubles as the action that materializes the
+    * candidate cache, so it is not wasted work):
+    *
+    *   - sparse (count ≤ [[DeferredBroadcastIdCap]]): re-shingle just
+    *     the candidate docs via a broadcast semi-join and verify
+    *     against that subset table — the deferred plan ProfQ51
+    *     measured 1.4× better cold even at 19% candidate density,
+    *     and strictly better below ~1%.
+    *   - dense (count above the cap): fall back to the one-pass verify
+    *     shape — aggregate hs for all docs and join; no driver-side id
+    *     relation is ever materialized, which is what made the
+    *     unguarded deferred path unpromotable (r8 ADVICE).
+    *
+    * Both branches produce identical pair sets (Q51AdaptiveSpec pins
+    * this, same device as DedupPathsSpec). */
+  private def minhashPairs(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    minhashPairsAdaptive(s, dir, DeferredBroadcastIdCap)
+
+  /** Candidate-doc-id ceiling for the deferred verify's broadcast
+    * semi-join: 2M longs is ~16 MB serialized and well inside executor
+    * budgets after HashedRelation expansion; above it the driver would
+    * be collecting an unbounded relation, so the plan flips to the
+    * one-pass verify instead (never a driver-side set). */
+  private[graft] val DeferredBroadcastIdCap = 2000000L
+
+  /** [[minhashPairs]] with the branch threshold exposed for tests:
+    * `broadcastIdCap = 0` forces the dense one-pass branch, a huge cap
+    * forces the deferred branch. */
+  private[graft] def minhashPairsAdaptive(s: org.apache.spark.sql.SparkSession,
+      dir: String, broadcastIdCap: Long): DataFrame = {
+    val tk = t(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .where(size(col("tk")) >= 3)
+    def hashed = tk
+      .select(col("doc_id"), explode(shingleH60Udf(3)(col("tk"))).as("h0"))
+      .select(col("doc_id"), (col("h0") % P).as("h"))
+    val minAggs = AB.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("h") + lit(b)) % P).as(s"m$i") }
+    val sig0 = graft.Scratch.scoped(
+      hashed.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*))
+    val banded = sig0.select(col("doc_id"), expr(
+      (0 until Bands).map { bnd =>
+        val key = (0 until RowsPerBand).map(r => s"m${bnd * RowsPerBand + r}")
+          .mkString("concat_ws(',', ", ", ", ")")
+        s"$bnd, $key"
+      }.mkString(s"stack($Bands, ", ", ", ") as (band, key)")))
+    val cand = graft.Scratch.scoped(banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct())
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    // The probe: one count job, which also materializes the cand cache
+    // that verify reuses below.
+    val nCandDocs = candDocs.count()
+    val hsTab =
+      if (nCandDocs <= broadcastIdCap)
+        tk.join(broadcast(candDocs), "doc_id")
+          .select(col("doc_id"), explode(shingleH60Udf(3)(col("tk"))).as("h0"))
+          .select(col("doc_id"), (col("h0") % P).as("h"))
+          .groupBy(col("doc_id")).agg(sort_array(collect_set(col("h"))).as("hs"))
+      else
+        hashed.groupBy(col("doc_id"))
+          .agg(sort_array(collect_set(col("h"))).as("hs"))
+    verifiedPairs(hsTab, cand)
+  }
+
+  /** The pre-round-9 one-pass plan (hs aggregated for every document
+    * alongside the signatures) — kept as the ProfQ51 A/B reference and
+    * the Q51AdaptiveSpec truth device. */
+  private[graft] def minhashPairsOnePass(
+      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val (sig, banded) = sigBanded(s, dir)
     val cand = banded.as("a")
       .join(banded.as("b"),
@@ -158,54 +240,6 @@ object DedupOps {
     for { i <- ids.indices; j <- (i + 1) until ids.size } yield (ids(i), ids(j))
   }
 
-  /** Deferred-verify variant of [[minhashPairs]] (ProfQ51 A/B): the
-    * signature aggregation computes the 12 minhashes ONLY, and the
-    * exact-verify hash sets are built in a second pass restricted to
-    * documents that appear in candidate pairs (broadcast semi-join on
-    * the candidate id set, re-shingle just those rows). Identical
-    * output; the candidate-fraction determines the win — hs for every
-    * document is the dominant waste of the one-pass plan whenever
-    * candidates are sparse, which at corpus scale they always are.
-    *
-    * DENSITY ASSUMPTION (do not promote as-is): the candidate doc-id
-    * set is broadcast, so this path requires candidates ≪ corpus. On a
-    * candidate-dense corpus (e.g. the tape corpus, 19% density) the
-    * broadcast relation grows with the corpus and can OOM the driver;
-    * a promoted variant must fall back to a shuffle semi-join above a
-    * size threshold. Today this is only reachable from ProfQ51. */
-  private[graft] def minhashPairsDeferred(
-      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    val tk = t(s, dir, "documents")
-      .repartition(s.sparkContext.defaultParallelism)
-      .select(col("doc_id"), toks(col("text")).as("tk"))
-      .where(size(col("tk")) >= 3)
-    val hashed = tk
-      .select(col("doc_id"), explode(shingleH60Udf(3)(col("tk"))).as("h0"))
-      .select(col("doc_id"), (col("h0") % P).as("h"))
-    val minAggs = AB.zipWithIndex.map { case ((a, b), i) =>
-      min((lit(a) * col("h") + lit(b)) % P).as(s"m$i") }
-    val sig = graft.Scratch.scoped(
-      hashed.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*))
-    val banded = sig.select(col("doc_id"), expr(
-      (0 until Bands).map { bnd =>
-        val key = (0 until RowsPerBand).map(r => s"m${bnd * RowsPerBand + r}")
-          .mkString("concat_ws(',', ", ", ", ")")
-        s"$bnd, $key"
-      }.mkString(s"stack($Bands, ", ", ", ") as (band, key)")))
-    val cand = graft.Scratch.scoped(banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct())
-    val candDocs = cand.select(col("doc_a").as("doc_id"))
-      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-    val hsTab = tk.join(broadcast(candDocs), "doc_id")
-      .select(col("doc_id"), explode(shingleH60Udf(3)(col("tk"))).as("h0"))
-      .select(col("doc_id"), (col("h0") % P).as("h"))
-      .groupBy(col("doc_id")).agg(sort_array(collect_set(col("h"))).as("hs"))
-    verifiedPairs(hsTab, cand)
-  }
 
   /** Capped MinHash-LSH pairs: identical to [[minhashPairs]] except
     * band buckets holding more than `cap` documents are DROPPED before
@@ -1276,11 +1310,38 @@ object DedupOps {
       .where(col("jaccard") >= 0.5)
   }
 
+  /** q94's banding front-end WITHOUT the verify hash sets, for the
+    * Q53Bench recall attribution (classify each ground-truth pair as
+    * band-S-curve miss vs cap miss): banded(doc_id, band, key), one
+    * row per (doc, band). Duplicates the signature construction of
+    * [[ngramMinhashPairs]] minus the collect_set — the hs aggregation
+    * is the expensive half and attribution never reads it. */
+  private[graft] def q94Banded(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val hashed = t(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), alnumSpaceLowerUdf(col("text")).as("t"))
+      .where(length(col("t")) >= 4)
+      .select(col("doc_id"), explode(gram4H60Udf(col("t"))).as("h0"))
+      .select(col("doc_id"), (col("h0") % P).as("h"))
+    val minAggs = AB94.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("h") + lit(b)) % P).as(s"m$i") }
+    val sig = hashed.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+    sig.select(col("doc_id"), expr(
+      (0 until Bands94).map { bnd =>
+        val key = (0 until RowsPerBand94).map(r => s"m${bnd * RowsPerBand94 + r}")
+          .mkString("concat_ws(',', ", ", ", ")")
+        s"$bnd, $key"
+      }.mkString(s"stack($Bands94, ", ", ", ") as (band, key)")))
+  }
+
   // Registered q94 cap: sized so the sf corpora exercise the drop
   // path (template text makes some 2-row band buckets hot) while the
   // true near-dup pairs keep a surviving band — same split as q88's
-  // cap-3 choice. Volume runs use 64.
-  private val Q94Cap = 8
+  // cap-3 choice. (A cap=64 run at 1M docs DNF'd on shuffle volume —
+  // THROUGHPUT.md round 9 — so the registered cap is load-bearing,
+  // not just a skew nicety.)
+  private[graft] val Q94Cap = 8
 
   private def oNgramMinhashSql(cap: Int): String = {
     val mins = AB94.zipWithIndex.map { case ((a, b), i) =>

@@ -35,7 +35,7 @@ Usage: python3 tools/dedup_gen.py <outDir> <nDocs>
 import duckdb, os, sys
 
 
-def main(out_dir, n_docs):
+def main(out_dir, n_docs, cluster_every=8):
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
     con.execute(f"""
@@ -44,10 +44,10 @@ def main(out_dir, n_docs):
           SELECT i AS doc_id, i // 4 AS g, i % 4 AS r FROM range(0, {n_docs}) t(i)),
         based AS (
           SELECT doc_id, g, r,
-            CASE WHEN g % 8 = 0 THEN 4 * g
-                 WHEN g % 8 = 1 AND r = 1 THEN 4 * g
+            CASE WHEN g % {cluster_every} = 0 THEN 4 * g
+                 WHEN g % {cluster_every} = 1 AND r = 1 THEN 4 * g
                  ELSE doc_id END AS base_id,
-            (g % 8 = 0 AND r > 0) AS mutated
+            (g % {cluster_every} = 0 AND r > 0) AS mutated
           FROM d),
         sized AS (
           SELECT *, 60 + (base_id * 17) % 121 AS n_toks,
@@ -80,4 +80,9 @@ def main(out_dir, n_docs):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], int(sys.argv[2]))
+    # Optional third arg spaces the dup structure out: every
+    # `clusterEvery`-th 4-doc group is a near-dup cluster (default 8,
+    # ~19% of docs in candidate pairs; 128 gives the ~1% candidate
+    # density a production corpus shows — the ProfQ51 sparse A/B).
+    main(sys.argv[1], int(sys.argv[2]),
+         int(sys.argv[3]) if len(sys.argv) > 3 else 8)

@@ -7,11 +7,17 @@ import org.apache.spark.sql.functions._
 /** Phase-level timing of the q45 dataflow: normalize, accepted pairs,
   * connected components, cluster merge + projection — each forced
   * separately so the wall splits by phase instead of lumping into the
-  * final action. Reps > 1 show the warm (bench-relevant) cost. */
+  * final action. Reps > 1 show the warm (bench-relevant) cost.
+  *
+  * Optional third arg is a stop-key frequency cap: `... sf0.1 2 50`
+  * profiles the q72 dataflow (q45 + the cap) with the same phase
+  * split, so the two queries' floors are directly comparable. */
 object ProfQ45 {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val reps = args.lift(1).map(_.toInt).getOrElse(2)
+    val cap = args.lift(2).map(_.toLong)
+    val tag = if (cap.isDefined) "PROFQ72" else "PROFQ45"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -24,7 +30,7 @@ object ProfQ45 {
     def t[A](name: String)(f: => A): A = {
       val t0 = System.nanoTime()
       val r = f
-      println(f"PROFQ45 $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      println(f"$tag $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       r
     }
 
@@ -35,7 +41,8 @@ object ProfQ45 {
           .repartition(spark.sparkContext.defaultParallelism)).localCheckpoint(true)
       }
       val edges = t("acceptedPairs+count") {
-        val e = Pipeline.acceptedPairs(norm, ContactLogic.DedupeConfig())
+        val e = Pipeline.acceptedPairs(norm,
+          ContactLogic.DedupeConfig(matchKeyFrequencyCap = cap))
         e.count(); e
       }
       val comps = t("connectedComponents") {

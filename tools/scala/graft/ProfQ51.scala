@@ -4,15 +4,18 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** A/B of q51's verify-set strategy at volume: the shipped plan
-  * computes and caches the full distinct-shingle-hash set (hs) for
-  * EVERY document inside the signature aggregation, but the verify
-  * step only reads hs for documents that appear in candidate pairs —
-  * ~19% on the dedup corpus and a fraction of a percent on a
-  * production corpus. Variant B defers hs to a second pass over the
-  * candidate docs only (broadcast semi-join on the candidate id set,
-  * re-shingle just those rows). Both variants must produce identical
-  * verified pair sets.
+/** A/B of q51's verify-set strategy at volume. Since round 9 the
+  * REGISTERED plan is the adaptive deferred-verify one (signature agg
+  * computes minhashes only; hs is built in a second pass over the
+  * candidate docs, probe-guarded — DedupOps.minhashPairsAdaptive);
+  * variant A here is the pre-round-9 one-pass reference plan (hs for
+  * EVERY document inside the signature aggregation). Both must
+  * produce identical verified pair sets.
+  *
+  * Run on /tmp/dedup2m (19% candidate density — the regime where
+  * deferral is merely a wash) AND /tmp/dedupsparse2m (~1% density,
+  * `dedup_gen.py ... 128` — the production regime where deferral
+  * wins outright).
   *
   * Usage: SPARK_GRAFT_CPUS=32 sbt "Test/runMain graft.ProfQ51 /tmp/dedup2m"
   */
@@ -43,9 +46,9 @@ object ProfQ51 {
     }
 
     for (rep <- 1 to 2) {
-      val a = time("full_hs", Registry.queriesMap("q51_minhash_lsh")(spark, dir))
-      val b = time("deferred", queries.DedupOps.minhashPairsDeferred(spark, dir)
+      val a = time("one_pass", queries.DedupOps.minhashPairsOnePass(spark, dir)
         .orderBy(col("doc_a"), col("doc_b")))
+      val b = time("adaptive", Registry.queriesMap("q51_minhash_lsh")(spark, dir))
       require(a == b, s"pair count diverged: $a vs $b")
       println(s"PROFQ51 --- rep $rep done (counts equal: $a) ---")
     }

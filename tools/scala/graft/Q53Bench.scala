@@ -31,10 +31,15 @@ object Q53Bench {
     // truth (recall >= 99.9% asserted instead of exactness — the band
     // S-curve at J >= 0.89 is ~1.0); "noexact" skips the exact q53
     // run (for corpora past the exact join's practical range).
-    // "cap=<n>" overrides q94's registered band-bucket cap (8) — used
-    // to attribute volume recall loss between the band S-curve and
-    // the cap (run once registered, once cap=64, diff the pair sets).
-    val flags = args.toSeq.filter(a => a == "q94" || a == "noexact" || a.startsWith("cap=")).toSet
+    // "cap=<n>" overrides q94's registered band-bucket cap (8).
+    // "attrib" classifies every ground-truth pair by q94's band keys
+    // WITHOUT running the pair pipeline — captured (some shared band's
+    // bucket <= cap) / cap miss (shared bands exist, all hot) /
+    // S-curve miss (no shared band) — the linear-cost recall
+    // attribution (a full cap=64 pair run at 1M docs fills the
+    // scratch disk; see THROUGHPUT.md).
+    val flags = args.toSeq.filter(a =>
+      a == "q94" || a == "noexact" || a == "attrib" || a.startsWith("cap=")).toSet
     val q94Cap = flags.collectFirst { case f if f.startsWith("cap=") => f.drop(4).toInt }
     val dirArgs = args.toSeq.filterNot(flags)
     val dirs = if (dirArgs.nonEmpty) dirArgs else Seq("/tmp/jacc50000")
@@ -115,6 +120,53 @@ object Q53Bench {
         f"unsound=$badPairs recall=${recall * 100}%.3f%%")
       require(badPairs == 0, s"$badPairs q94 pairs bridge unrelated docs")
       require(recall >= 0.999, f"q94 recall $recall%.4f below 0.999")
+    }
+
+    if (flags("attrib")) for (dir <- dirs) {
+      val cap = q94Cap.getOrElse(queries.DedupOps.Q94Cap)
+      val t0 = System.nanoTime()
+      val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+      // Ground-truth pairs (same residues as the verify blocks above):
+      // group g = id/4; g%8==0 -> 6 pairs among {4g..4g+3};
+      // g%8==1 -> exact pair (4g, 4g+1).
+      val g = spark.range(0, (nDocs + 3) / 4).toDF("g")
+      val combos = Seq((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3))
+      val clusterPairs = combos.map { case (i, j) =>
+        g.where(col("g") % 8 === 0)
+          .select((col("g") * 4 + i).as("a"), (col("g") * 4 + j).as("b"))
+      }.reduce(_ union _)
+      val exactPairs = g.where(col("g") % 8 === 1)
+        .select((col("g") * 4).as("a"), (col("g") * 4 + 1).as("b"))
+      val truth = clusterPairs.union(exactPairs)
+        .where(col("a") < nDocs && col("b") < nDocs)
+      // Band keys + GLOBAL bucket occupancy (BoundedIdBag keeps a
+      // bucket entirely iff its full size <= cap, so global counts
+      // decide drop exactly).
+      val banded = Scratch.scoped(queries.DedupOps.q94Banded(spark, dir))
+      val bcount = banded.groupBy(col("band"), col("key"))
+        .agg(count(lit(1)).as("n"))
+      val bk = banded.join(bcount, Seq("band", "key"))
+      val aSide = bk.select(col("doc_id").as("a"), col("band"),
+        col("key").as("key_a"), col("n").as("bucket_n"))
+      val bSide = bk.select(col("doc_id").as("b"), col("band"),
+        col("key").as("key_b"))
+      val shared = truth.join(aSide, Seq("a")).join(bSide, Seq("b", "band"))
+        .where(col("key_a") === col("key_b"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("n_shared"), min(col("bucket_n")).as("min_bucket"))
+      val cls = truth.join(shared, Seq("a", "b"), "left").select(
+        when(col("n_shared").isNull, "scurve_miss")
+          .when(col("min_bucket") > cap, "cap_miss")
+          .otherwise("captured").as("cls"))
+        .groupBy(col("cls")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      Scratch.releaseAll()
+      val dt = (System.nanoTime() - t0) / 1e9
+      val total = cls.values.sum
+      println(f"Q94ATTRIB $dir%-18s cap=$cap truthPairs=$total%,d  " +
+        f"captured=${cls.getOrElse("captured", 0L)}%,d  " +
+        f"scurve_miss=${cls.getOrElse("scurve_miss", 0L)}%,d  " +
+        f"cap_miss=${cls.getOrElse("cap_miss", 0L)}%,d  ($dt%.1f s)")
     }
     spark.stop()
   }
