@@ -141,19 +141,34 @@ object Q53Bench {
         .where(col("a") < nDocs && col("b") < nDocs)
       // Band keys + GLOBAL bucket occupancy (BoundedIdBag keeps a
       // bucket entirely iff its full size <= cap, so global counts
-      // decide drop exactly).
-      val banded = Scratch.scoped(queries.DedupOps.q94Banded(spark, dir))
-      val bcount = banded.groupBy(col("band"), col("key"))
-        .agg(count(lit(1)).as("n"))
-      val bk = banded.join(bcount, Seq("band", "key"))
+      // decide drop exactly). Spilled to parquet rather than cached:
+      // the columnar cache build competes with the signature
+      // aggregation for execution memory at 1M docs (measured: the
+      // cached form AGGREGATE_OOMs even at 28g/16 threads).
+      val bandedPath = java.nio.file.Files.createTempDirectory("q94attrib_").toString
+      queries.DedupOps.q94Banded(spark, dir)
+        .write.mode("overwrite").parquet(bandedPath)
+      val banded = spark.read.parquet(bandedPath)
+      val dbg = sys.env.contains("GRAFT_ATTRIB_DEBUG")
+      def step(name: String, df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+        if (dbg) {
+          val t = System.nanoTime()
+          val n = df.queryExecution.toRdd.count()
+          println(f"Q94ATTRIB-DBG $name%-12s rows=$n%,d  (${(System.nanoTime() - t) / 1e9}%.1f s)")
+        }
+        df
+      }
+      val bcount = step("bcount", banded.groupBy(col("band"), col("key"))
+        .agg(count(lit(1)).as("n")))
+      val bk = step("bk", banded.join(bcount, Seq("band", "key")))
       val aSide = bk.select(col("doc_id").as("a"), col("band"),
         col("key").as("key_a"), col("n").as("bucket_n"))
       val bSide = bk.select(col("doc_id").as("b"), col("band"),
         col("key").as("key_b"))
-      val shared = truth.join(aSide, Seq("a")).join(bSide, Seq("b", "band"))
+      val shared = step("shared", truth.join(aSide, Seq("a")).join(bSide, Seq("b", "band"))
         .where(col("key_a") === col("key_b"))
         .groupBy(col("a"), col("b"))
-        .agg(count(lit(1)).as("n_shared"), min(col("bucket_n")).as("min_bucket"))
+        .agg(count(lit(1)).as("n_shared"), min(col("bucket_n")).as("min_bucket")))
       val cls = truth.join(shared, Seq("a", "b"), "left").select(
         when(col("n_shared").isNull, "scurve_miss")
           .when(col("min_bucket") > cap, "cap_miss")
