@@ -1389,5 +1389,10 @@ object DedupOps {
       .orderBy(col("doc_a"), col("doc_b")),
     Some(oNgramMinhashSql(Q94Cap)))
 
+  /** Mid-list registrations only. q88/q90/q91/q92/q93/q94 are NOT
+    * missing: they register via tail-appends in Registry (order
+    * stability — the driver's per-query bench history is keyed by
+    * position). Add new dedup queries to the Registry tail, not
+    * here. */
   val all: Seq[Q] = Seq(q50, q51, q52, q53, q54, q73)
 }
