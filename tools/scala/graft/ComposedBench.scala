@@ -27,14 +27,18 @@ import org.apache.spark.sql.functions._
   * Q87PlanSpec).
   *
   * Usage: SPARK_GRAFT_CPUS=32 sbt "Test/runMain graft.ComposedBench
-  *   [corpusDir] [outBase]"
+  *   [corpusDir] [outBase] [cap=<n>]"
   * (generate the corpus first: python3 tools/throughput_gen.py
-  *  /tmp/tp100k 100000)
+  *  /tmp/tp100k 100000; `cap=50` enables the stop-key frequency cap
+  *  in BOTH paths — the skew-corpus configuration, where the capped
+  *  one-plan shape meets AQE skew handling.)
   */
 object ComposedBench {
   def main(args: Array[String]): Unit = {
     val corpus = args.headOption.getOrElse("/tmp/tp100k")
     val outBase = args.lift(1).getOrElse("/tmp/tp100k_out")
+    val yamlText = args.lift(2).filter(_.startsWith("cap=")).map(a =>
+      s"dedupe:\n  match_key_frequency_cap: ${a.drop(4)}\n")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -65,7 +69,7 @@ object ComposedBench {
     val stagedDir = s"$outBase/staged"
     shufRead.set(0); shufWrite.set(0)
     val t0 = System.nanoTime()
-    ConsolidateMain.run(spark, li, gm, vcf, stagedDir)
+    ConsolidateMain.run(spark, li, gm, vcf, stagedDir, yamlText)
     ValidateMain.run(spark, stagedDir)
     ConfidenceMain.run(spark, stagedDir)
     TagMain.run(spark, stagedDir, gm, vcf)
@@ -77,7 +81,7 @@ object ComposedBench {
     val composedDir = s"$outBase/composed"
     shufRead.set(0); shufWrite.set(0)
     val t1 = System.nanoTime()
-    val cfg = Config.load(Config.Cli(outDir = Some(composedDir)), None)
+    val cfg = Config.load(Config.Cli(outDir = Some(composedDir)), yamlText)
     val raw = Sources.loadAll(spark, li, gm, vcf).localCheckpoint(true)
     val normalized = Pipeline.normalize(raw, cfg.normalization)
     val (merged, lineage) = Pipeline.dedupeAndMerge(normalized, raw, cfg.dedupe)
