@@ -165,9 +165,24 @@ object DedupOps {
     *     unguarded deferred path unpromotable (r8 ADVICE).
     *
     * Both branches produce identical pair sets (Q51AdaptiveSpec pins
-    * this, same device as DedupPathsSpec). */
+    * this, same device as DedupPathsSpec).
+    *
+    * SIZE GATE: below [[DeferredMinDocs]] documents the one-pass plan
+    * wins on fixed job-count overhead (measured at sf0.1/60k docs:
+    * warm 1.54 s one-pass vs 2.37 s adaptive — five extra jobs cost
+    * more than the entire hs aggregation at that size), while at 2M
+    * docs the adaptive plan wins 1.4–1.7× cold at both 19 % and 1 %
+    * candidate density (THROUGHPUT.md). The doc count is a parquet
+    * metadata-only job (~ms), the same probe-then-pick pattern as
+    * q53's vocabulary gate. */
   private def minhashPairs(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    minhashPairsAdaptive(s, dir, DeferredBroadcastIdCap)
+    if (t(s, dir, "documents").count() < DeferredMinDocs) minhashPairsOnePass(s, dir)
+    else minhashPairsAdaptive(s, dir, DeferredBroadcastIdCap)
+
+  /** Corpus size below which the single-shuffle one-pass verify beats
+    * the deferred plan's extra jobs. Measured endpoints: 60k docs →
+    * one-pass wins warm; 2M docs → deferred wins 1.4–1.7× cold. */
+  private[graft] val DeferredMinDocs = 500000L
 
   /** Candidate-doc-id ceiling for the deferred verify's broadcast
     * semi-join: 2M longs is ~16 MB serialized and well inside executor

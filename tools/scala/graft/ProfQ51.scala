@@ -48,7 +48,12 @@ object ProfQ51 {
     for (rep <- 1 to 2) {
       val a = time("one_pass", queries.DedupOps.minhashPairsOnePass(spark, dir)
         .orderBy(col("doc_a"), col("doc_b")))
-      val b = time("adaptive", Registry.queriesMap("q51_minhash_lsh")(spark, dir))
+      // Forced adaptive (the registered entry size-gates to one-pass
+      // below DeferredMinDocs, which would make this A/B a no-op on
+      // small corpora).
+      val b = time("adaptive", queries.DedupOps.minhashPairsAdaptive(spark, dir,
+        queries.DedupOps.DeferredBroadcastIdCap)
+        .orderBy(col("doc_a"), col("doc_b")))
       require(a == b, s"pair count diverged: $a vs $b")
       println(s"PROFQ51 --- rep $rep done (counts equal: $a) ---")
     }
