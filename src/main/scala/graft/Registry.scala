@@ -51,7 +51,9 @@ object Registry {
       queries.DedupOps.q92 :+
       queries.DedupOps.q93 :+
       // q94 (char-4-gram minhash: q53's at-scale sketch relaxation).
-      queries.DedupOps.q94
+      queries.DedupOps.q94 :+
+      // q95 (C4-style span-boilerplate removal) — same tail-append rule.
+      queries.TextOps.q95
 
   // ListMap: keep registry order. A HashMap would reshuffle the
   // bench's execution order whenever a query is added, which moves

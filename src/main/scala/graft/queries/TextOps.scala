@@ -633,6 +633,74 @@ object TextOps {
       WHERE sh.split <> 'train'
       GROUP BY sh.doc_id, sh.split ORDER BY sh.doc_id"""))
 
+  private val SpanLen = 10
+  private val Q95DfCap = 2
+
+  /** C4-style corpus-frequency BOILERPLATE removal (Raffel et al.
+    * 2020 §2.2 remove any repeated three-sentence span; restated here
+    * over fixed 10-token spans since the corpus carries no sentence
+    * punctuation): every document splits into consecutive
+    * [[SpanLen]]-token spans, a span whose corpus-wide occurrence
+    * count exceeds [[Q95DfCap]] is boilerplate, surviving spans
+    * reassemble in document order, and the output carries the
+    * span counts plus an md5 fingerprint of the reassembled text
+    * (cross-engine exact, like q50's fingerprints).
+    *
+    * Scale shape: span-df is ONE exchange with map-side partial
+    * counts; the df relation is filtered to keepable spans BEFORE the
+    * join, so hot boilerplate (the high-df rows, exactly the ones
+    * that would multiply join work) never ships; reassembly is one
+    * groupBy carrying only kept spans. At 100 TB the span string join
+    * key would move to a 60-bit hash (collision odds become material
+    * only past ~10^9 distinct spans) and the df filter to a
+    * count-min/BoundedIdBag pre-pass — both the q89 pattern. */
+  val q95 = Q(
+    "q95_span_boilerplate",
+    s"C4-style boilerplate pass: drop $SpanLen-token spans with corpus count > $Q95DfCap, reassemble",
+    (s, dir) => {
+      val tk = t(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("tk"))
+      val spans = tk.select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, cast(ceil(size(tk) / ${SpanLen}.0) as int) - 1),
+           |  i -> concat_ws(' ', slice(tk, i * $SpanLen + 1, $SpanLen)))""".stripMargin)))
+        .toDF("doc_id", "pos", "span")
+      val keepable = spans.groupBy(col("span")).agg(count(lit(1)).as("n"))
+        .where(col("n") <= Q95DfCap)
+      val re = spans.join(keepable, "span")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          md5(concat_ws(" ", expr(
+            "transform(array_sort(collect_list(struct(pos, span))), x -> x.span)")))
+            .as("fp"))
+      val totals = tk.select(col("doc_id"),
+        ceil(size(col("tk")) / lit(SpanLen.toDouble)).cast("long").as("n_spans"))
+      totals.join(re, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_spans"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("fp"), lit("")).as("fp"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH tok AS (
+        SELECT doc_id, string_split_regex(trim(text), ' +') AS tk FROM documents),
+      sp AS (
+        SELECT doc_id, i AS pos,
+          array_to_string(list_slice(tk, $SpanLen * i + 1, $SpanLen * i + $SpanLen), ' ') AS span
+        FROM (SELECT doc_id, tk,
+                unnest(range(0, CAST(ceil(len(tk) / ${SpanLen}.0) AS BIGINT))) AS i
+              FROM tok)),
+      keepable AS (
+        SELECT span FROM sp GROUP BY span HAVING count(*) <= $Q95DfCap),
+      re AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+          md5(string_agg(span, ' ' ORDER BY pos)) AS fp
+        FROM sp JOIN keepable USING (span) GROUP BY doc_id),
+      tot AS (
+        SELECT doc_id, CAST(ceil(len(tk) / ${SpanLen}.0) AS BIGINT) AS n_spans FROM tok)
+      SELECT tot.doc_id AS doc_id, n_spans,
+        coalesce(n_kept, CAST(0 AS BIGINT)) AS n_kept,
+        coalesce(fp, '') AS fp
+      FROM tot LEFT JOIN re USING (doc_id) ORDER BY doc_id"""))
+
   /** The 16-entry demo dictionary for q78. A production run broadcasts
     * a 100k-name census list the same way — the plan is identical, only
     * the broadcast payload (a few MB) grows. */

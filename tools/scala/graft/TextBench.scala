@@ -24,7 +24,8 @@ object TextBench {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     def exec(q: Q, d: String): Long = q.run(spark, d).queryExecution.toRdd.count()
-    val qs = queries.TextOps.all :+ queries.TextOps.q89 // q89 registers at the Registry tail
+    // q89/q95 register at the Registry tail, not in TextOps.all.
+    val qs = queries.TextOps.all :+ queries.TextOps.q89 :+ queries.TextOps.q95
     for (q <- qs if sel(q)) {
       exec(q, "/root/testdata/sf0.001"); Scratch.releaseAll()
     }
