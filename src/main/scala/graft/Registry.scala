@@ -53,7 +53,9 @@ object Registry {
       // q94 (char-4-gram minhash: q53's at-scale sketch relaxation).
       queries.DedupOps.q94 :+
       // q95 (C4-style span-boilerplate removal) — same tail-append rule.
-      queries.TextOps.q95
+      queries.TextOps.q95 :+
+      // q96 (incremental ingest-gate dedup) — same tail-append rule.
+      queries.DedupOps.q96
 
   // ListMap: keep registry order. A HashMap would reshuffle the
   // bench's execution order whenever a query is added, which moves

@@ -1404,10 +1404,130 @@ object DedupOps {
       .orderBy(col("doc_a"), col("doc_b")),
     Some(oNgramMinhashSql(Q94Cap)))
 
-  /** Mid-list registrations only. q88/q90/q91/q92/q93/q94 are NOT
-    * missing: they register via tail-appends in Registry (order
-    * stability — the driver's per-query bench history is keyed by
-    * position). Add new dedup queries to the Registry tail, not
-    * here. */
+  /** Band-bucket cap for q96's INDEX side — same q88 device, sized so
+    * the sf corpora exercise the drop path (hot template buckets on
+    * the 90 % index exceed it) while real matches keep a surviving
+    * band. */
+  private val Q96Cap = 3
+
+  /** INCREMENTAL (cross-corpus) dedup — the continuous-ingest gate: a
+    * deterministic 10 % "incoming" batch is near-dup-matched against
+    * the other 90 % ("index") through the q51 MinHash bands, with the
+    * q88 bounded-bag cap on the INDEX side of the band join (a hot
+    * index bucket costs O(cap), never O(|bucket|) per incoming doc)
+    * and exact-Jaccard verification. No self-join anywhere: this is
+    * the asymmetric shape a production crawl runs every batch —
+    * signatures for the (small) incoming side are computed fresh, the
+    * index side's signatures/bands are exactly what a standing dedup
+    * index stores, and at 100 TB the index bands live bucketed on
+    * (band, key) so the candidate join is co-located and the incoming
+    * batch never shuffles the index. Output: one row per incoming doc
+    * with ≥1 verified match — match count, best-matching index doc
+    * (argmax jaccard, min-id tiebreak), and its jaccard. */
+  val q96 = Q(
+    "q96_incremental_dedup",
+    s"ingest gate: 10% incoming near-dup-matched vs 90% index (index buckets capped at $Q96Cap, J >= 0.8)",
+    (s, dir) => {
+      val base = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          (h60(concat(lit("ingest:"), col("doc_id"))) % 10 === 0).as("incoming"),
+          toks(col("text")).as("tk"))
+        .where(size(col("tk")) >= 3)
+      val hashed = base
+        .select(col("doc_id"), col("incoming"),
+          explode(shingleH60Udf(3)(col("tk"))).as("h0"))
+        .select(col("doc_id"), col("incoming"), (col("h0") % P).as("h"))
+      val minAggs = AB.zipWithIndex.map { case ((a, b), i) =>
+        min((lit(a) * col("h") + lit(b)) % P).as(s"m$i") }
+      val sig = graft.Scratch.scoped(hashed.groupBy(col("doc_id"), col("incoming"))
+        .agg(minAggs.head, minAggs.tail :+ sort_array(collect_set(col("h"))).as("hs"): _*))
+      val banded = sig.select(col("doc_id"), col("incoming"), expr(
+        (0 until Bands).map { bnd =>
+          val key = (0 until RowsPerBand).map(r => s"m${bnd * RowsPerBand + r}")
+            .mkString("concat_ws(',', ", ", ", ")")
+          s"$bnd, $key"
+        }.mkString(s"stack($Bands, ", ", ", ") as (band, key)")))
+      val keptIdx = banded.where(!col("incoming"))
+        .groupBy(col("band"), col("key"))
+        .agg(graft.functions.BoundedCollect.boundedIdBag(Q96Cap)(col("doc_id")).as("ids"))
+        .where(size(col("ids")) >= 1) // over-cap buckets emit empty
+        .select(col("band"), col("key"), explode(col("ids")).as("idx_doc"))
+      val cand = banded.where(col("incoming"))
+        .select(col("doc_id").as("inc_doc"), col("band"), col("key"))
+        .join(keptIdx, Seq("band", "key"))
+        .select(col("inc_doc"), col("idx_doc")).distinct()
+      val verified = cand
+        .join(sig.select(col("doc_id").as("inc_doc"), col("hs").as("hs_a")), "inc_doc")
+        .join(sig.select(col("doc_id").as("idx_doc"), col("hs").as("hs_b")), "idx_doc")
+        .select(col("inc_doc"), col("idx_doc"),
+          round(size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
+            size(array_union(col("hs_a"), col("hs_b"))).cast("double"), 4)
+            .as("jaccard"))
+        .where(col("jaccard") >= 0.8)
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("inc_doc"))
+      val wBest = wAll.orderBy(col("jaccard").desc, col("idx_doc"))
+      verified
+        .select(col("inc_doc"), col("idx_doc"), col("jaccard"),
+          count(lit(1)).over(wAll).as("n_matches"),
+          row_number().over(wBest).as("rn"))
+        .where(col("rn") === 1)
+        .select(col("inc_doc").as("doc_id"), col("n_matches"),
+          col("idx_doc").as("best_match"), col("jaccard").as("best_jaccard"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val mins = oMins
+      val bandRows = (0 until Bands).map { bnd =>
+        val key = (0 until RowsPerBand).map(r => s"CAST(m${bnd * RowsPerBand + r} AS VARCHAR)")
+          .mkString(" || ',' || ")
+        s"SELECT doc_id, incoming, $bnd AS band, $key AS key FROM sig"
+      }.mkString("\n        UNION ALL ")
+      s"""WITH sh AS ($oShingles3),
+        spl AS (
+          SELECT doc_id, ${oH60("'ingest:' || CAST(doc_id AS VARCHAR)")} % 10 = 0 AS incoming
+          FROM documents),
+        hashed AS (
+          SELECT s.doc_id, incoming, ${oH60("shingle")} % $P AS h
+          FROM (SELECT doc_id, unnest(sh) AS shingle FROM sh) s
+          JOIN spl ON s.doc_id = spl.doc_id),
+        sig AS (
+          SELECT doc_id, incoming,
+            $mins,
+            list_sort(list(DISTINCT h)) AS hs
+          FROM hashed GROUP BY doc_id, incoming),
+        banded AS (
+          $bandRows),
+        keptidx AS (
+          SELECT doc_id, band, key FROM banded WHERE NOT incoming
+          QUALIFY count(*) OVER (PARTITION BY band, key) <= $Q96Cap),
+        cand AS (
+          SELECT DISTINCT i.doc_id AS inc_doc, x.doc_id AS idx_doc
+          FROM banded i JOIN keptidx x ON i.band = x.band AND i.key = x.key
+          WHERE i.incoming),
+        ver AS (
+          SELECT inc_doc, idx_doc, jaccard FROM (
+            SELECT inc_doc, idx_doc,
+              round(CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) /
+                    CAST(len(list_distinct(sa.hs || sb.hs)) AS DOUBLE), 4) AS jaccard
+            FROM cand JOIN sig sa ON cand.inc_doc = sa.doc_id
+                      JOIN sig sb ON cand.idx_doc = sb.doc_id)
+          WHERE jaccard >= 0.8)
+        SELECT inc_doc AS doc_id, n_matches, idx_doc AS best_match,
+          jaccard AS best_jaccard
+        FROM (
+          SELECT inc_doc, idx_doc, jaccard,
+            count(*) OVER (PARTITION BY inc_doc) AS n_matches,
+            row_number() OVER (PARTITION BY inc_doc
+              ORDER BY jaccard DESC, idx_doc) AS rn
+          FROM ver)
+        WHERE rn = 1 ORDER BY doc_id"""
+    })
+
+  /** Mid-list registrations only. q88/q90/q91/q92/q93/q94 (and later
+    * tail entries) are NOT missing: they register via tail-appends in
+    * Registry (order stability — the driver's per-query bench history
+    * is keyed by position). Add new dedup queries to the Registry
+    * tail, not here. */
   val all: Seq[Q] = Seq(q50, q51, q52, q53, q54, q73)
 }

@@ -51,7 +51,7 @@ object DedupBench {
     })
 
     val names = Seq("q50_exact_dedup", "q51_minhash_lsh", "q52_simhash",
-      "q73_neardup_clusters", "q92_simhash64")
+      "q73_neardup_clusters", "q92_simhash64", "q96_incremental_dedup")
     // Plan/codegen warmup at the unit scale so the timed pass measures
     // data work, not one-time JVM compilation.
     for (n <- names) {
@@ -163,6 +163,39 @@ object DedupBench {
     require(badClusters == 0, s"$badClusters q73 clusters violate ground truth")
     require(recall4 >= 0.98, f"4-cluster recall $recall4%.4f below 0.98")
     require(recall2 == 1.0, f"exact-dup recall $recall2%.4f below 1.0")
+
+    // q96 ingest-gate soundness + recall: every reported match must
+    // stay inside its ground-truth group; expected matches = incoming
+    // docs (the query's own deterministic 10% split) with >= 1
+    // same-group partner left in the index (cluster-member Jaccard is
+    // >= 0.81 on this corpus, all above the 0.8 verify threshold).
+    val inc96 = Registry.queriesMap("q96_incremental_dedup")(spark, dir).cache()
+    val n96 = inc96.count()
+    val bad96 = inc96.where(
+      !(floor(col("doc_id") / 4) === floor(col("best_match") / 4) &&
+        ((floor(col("doc_id") / 4) % 8 === 0) ||
+         (floor(col("doc_id") / 4) % 8 === 1 &&
+          least(col("doc_id"), col("best_match")) % 4 === 0 &&
+          greatest(col("doc_id"), col("best_match")) % 4 === 1)))).count()
+    inc96.unpersist(); Scratch.releaseAll()
+    val docs96 = spark.range(0, nDocs).toDF("doc_id")
+      .withColumn("g", floor(col("doc_id") / 4))
+      .withColumn("r", col("doc_id") % 4)
+      .withColumn("incoming",
+        queries.h60(concat(lit("ingest:"), col("doc_id"))) % 10 === 0)
+      .where((col("g") % 8 === 0) || (col("g") % 8 === 1 && col("r") <= 1))
+    val grouped96 = docs96.groupBy(col("g"))
+      .agg(sum(when(col("incoming"), 1).otherwise(0)).as("n_inc"),
+        sum(when(!col("incoming"), 1).otherwise(0)).as("n_idx"))
+    val expected96 = grouped96
+      .select(sum(when(col("n_idx") >= 1, col("n_inc")).otherwise(0)))
+      .collect()(0).getLong(0)
+    Scratch.releaseAll()
+    val recall96 = n96.toDouble / expected96
+    println(f"DEDUPVERIFY q96 matches=$n96%,d expected=$expected96%,d " +
+      f"(${recall96 * 100}%.2f%%) unsound=$bad96")
+    require(bad96 == 0, s"$bad96 q96 matches bridge unrelated docs")
+    require(recall96 >= 0.9, f"q96 ingest recall $recall96%.4f below 0.9")
     println("DEDUPVERIFY OK")
     spark.stop()
   }
