@@ -55,7 +55,9 @@ object Registry {
       // q95 (C4-style span-boilerplate removal) — same tail-append rule.
       queries.TextOps.q95 :+
       // q96 (incremental ingest-gate dedup) — same tail-append rule.
-      queries.DedupOps.q96
+      queries.DedupOps.q96 :+
+      // q97 (embedding ingest gate) — same tail-append rule.
+      queries.DedupOps.q97
 
   // ListMap: keep registry order. A HashMap would reshuffle the
   // bench's execution order whenever a query is added, which moves

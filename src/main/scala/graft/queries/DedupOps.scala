@@ -1069,6 +1069,104 @@ object DedupOps {
         WHERE cosine >= $threshold)"""
   }
 
+  /** Embedding INGEST GATE — q96's incremental shape on the vector
+    * side: a deterministic 10 % incoming batch of embeddings is
+    * matched against the 90 % index through the q91 banded sign-LSH
+    * tables, with the bounded-bag cap on the INDEX buckets and exact
+    * cosine verification; output is the per-incoming-vector match
+    * count + best match (argmax cosine, min-id tiebreak). The
+    * production semantics: a standing vector index stores its band
+    * keys bucketed on (band, key); each incoming batch computes only
+    * its own signatures and probes co-located buckets — the index is
+    * never self-joined and never reshuffled. */
+  /** Parameterized body of [[q97]] — EmbedDedupBench runs it at the
+    * production 6x20/cap-64 point (the q91 volume parameters). */
+  private[graft] def embeddingIngestGate(s: org.apache.spark.sql.SparkSession,
+      dir: String, bands: Int, bits: Int, cap: Int,
+      threshold: Double): DataFrame = {
+      val dot = (x: Column, y: Column) => graft.plans.VecDotProduct(x, y)
+      val e = graft.Scratch.scoped(t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          (h60(concat(lit("ingest:"), col("vec_id"))) % 10 === 0).as("incoming"),
+          col("embedding").as("v"))
+        .withColumn("norm", sqrt(dot(col("v"), col("v")))))
+      val banded = e.select(col("vec_id"), col("incoming"),
+          posexplode(bandKeysUdf(bands, bits)(col("v"))))
+        .select(col("vec_id"), col("incoming"), col("pos").as("band"), col("col").as("key"))
+      val keptIdx = banded.where(!col("incoming"))
+        .groupBy(col("band"), col("key"))
+        .agg(graft.functions.BoundedCollect.boundedIdBag(cap)(col("vec_id")).as("ids"))
+        .where(size(col("ids")) >= 1) // over-cap buckets emit empty
+        .select(col("band"), col("key"), explode(col("ids")).as("idx_vec"))
+      val cand = banded.where(col("incoming"))
+        .select(col("vec_id").as("inc_vec"), col("band"), col("key"))
+        .join(keptIdx, Seq("band", "key"))
+        .select(col("inc_vec"), col("idx_vec")).distinct()
+      val verified = cand
+        .join(e.select(col("vec_id").as("inc_vec"), col("v").as("va"), col("norm").as("na")), "inc_vec")
+        .join(e.select(col("vec_id").as("idx_vec"), col("v").as("vb"), col("norm").as("nb")), "idx_vec")
+        .select(col("inc_vec"), col("idx_vec"),
+          round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4).as("cosine"))
+        .where(col("cosine") >= threshold)
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("inc_vec"))
+      val wBest = wAll.orderBy(col("cosine").desc, col("idx_vec"))
+      verified
+        .select(col("inc_vec"), col("idx_vec"), col("cosine"),
+          count(lit(1)).over(wAll).as("n_matches"),
+          row_number().over(wBest).as("rn"))
+        .where(col("rn") === 1)
+        .select(col("inc_vec").as("vec_id"), col("n_matches"),
+          col("idx_vec").as("best_match"), col("cosine").as("best_cosine"))
+        .orderBy(col("vec_id"))
+  }
+
+  val q97 = Q(
+    "q97_embedding_ingest_gate",
+    s"embedding ingest gate: 10% incoming vs 90% index via $Q91Bands x $Q91Bits-bit sign-LSH, index cap $Q91Cap, cosine >= $Q91Threshold",
+    (s, dir) => embeddingIngestGate(s, dir, Q91Bands, Q91Bits, Q91Cap, Q91Threshold),
+    Some {
+      val signs = rademacherSigns(Q91Bands * Q91Bits, EmbDim)
+      val bandRows = (0 until Q91Bands).map { b =>
+        val key = (0 until Q91Bits).map { r =>
+          s"CASE WHEN (${oProj(signs(b * Q91Bits + r))}) >= 0 THEN ${1 << r} ELSE 0 END"
+        }.mkString(" + ")
+        s"SELECT vec_id, incoming, $b AS band, $key AS key FROM e"
+      }.mkString("\n        UNION ALL ")
+      s"""WITH e AS (
+        SELECT vec_id, ${oH60("'ingest:' || CAST(vec_id AS VARCHAR)")} % 10 = 0 AS incoming,
+          embedding AS v,
+          sqrt(list_aggregate(list_transform(range(1, len(embedding) + 1),
+            i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), 'sum')) AS norm
+        FROM embeddings),
+      banded AS (
+        $bandRows),
+      keptidx AS (
+        SELECT vec_id, band, key FROM banded WHERE NOT incoming
+        QUALIFY count(*) OVER (PARTITION BY band, key) <= $Q91Cap),
+      cand AS (
+        SELECT DISTINCT i.vec_id AS inc_vec, x.vec_id AS idx_vec
+        FROM banded i JOIN keptidx x ON i.band = x.band AND i.key = x.key
+        WHERE i.incoming),
+      ver AS (
+        SELECT inc_vec, idx_vec, cosine FROM (
+          SELECT cand.inc_vec, cand.idx_vec,
+            round(list_aggregate(list_transform(range(1, len(a.v) + 1),
+              i -> CAST(a.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE)), 'sum') /
+              (a.norm * b.norm), 4) AS cosine
+          FROM cand JOIN e a ON cand.inc_vec = a.vec_id
+                    JOIN e b ON cand.idx_vec = b.vec_id)
+        WHERE cosine >= $Q91Threshold)
+      SELECT inc_vec AS vec_id, n_matches, idx_vec AS best_match,
+        cosine AS best_cosine
+      FROM (
+        SELECT inc_vec, idx_vec, cosine,
+          count(*) OVER (PARTITION BY inc_vec) AS n_matches,
+          row_number() OVER (PARTITION BY inc_vec
+            ORDER BY cosine DESC, idx_vec) AS rn
+        FROM ver)
+      WHERE rn = 1 ORDER BY vec_id"""
+    })
+
   val q91 = Q(
     "q91_embedding_lsh_scaled",
     s"embedding near-dup pairs via $Q91Bands x $Q91Bits-bit Rademacher sign-LSH bands, bucket cap $Q91Cap, cosine >= $Q91Threshold",

@@ -157,6 +157,45 @@ object EmbedDedupBench {
     require(badClusters == 0, s"$badClusters q93 clusters violate ground truth")
     require(recall4 >= 0.98, f"4-cluster recall $recall4%.4f below 0.98")
     require(recallExact == 1.0, f"exact-dup recall $recallExact%.4f below 1.0")
+
+    // ---- q97 ingest gate at the same production parameters ------------
+    shufWrite.set(0); shufRead.set(0)
+    t0 = System.nanoTime()
+    val gate = queries.DedupOps.embeddingIngestGate(
+      spark, dir, Bands, Bits, Cap, Threshold).cache()
+    val nGate = gate.count()
+    val dtGate = (System.nanoTime() - t0) / 1e9
+    println(f"EMBEDBENCH q97(${Bands}x$Bits,cap=$Cap)   $dtGate%8.2f s  matches=$nGate%,d  " +
+      f"shufWrite=${shufWrite.get / 1e9}%.2f GB")
+    // Soundness: a match is blob-blob or same-(cluster/exact)-group.
+    val badGate = gate.where(
+      !((col("vec_id") < HotN && col("best_match") < HotN) ||
+        (floor(col("vec_id") / 4) === floor(col("best_match") / 4) &&
+          ((floor(col("vec_id") / 4) % 8 === 0) ||
+           (floor(col("vec_id") / 4) % 8 === 1 &&
+            least(col("vec_id"), col("best_match")) % 4 === 0 &&
+            greatest(col("vec_id"), col("best_match")) % 4 === 1))))).count()
+    val nonBlobGate = gate.where(col("vec_id") >= HotN).count()
+    gate.unpersist(); Scratch.releaseAll()
+    // Expected non-blob matches: incoming cluster/exact vectors (the
+    // query's own deterministic split) with >= 1 index groupmate.
+    val docs97 = spark.range(HotN, nVecs).toDF("vec_id")
+      .withColumn("g", floor(col("vec_id") / 4))
+      .withColumn("r", col("vec_id") % 4)
+      .withColumn("incoming",
+        queries.h60(concat(lit("ingest:"), col("vec_id"))) % 10 === 0)
+      .where((col("g") % 8 === 0) || (col("g") % 8 === 1 && col("r") <= 1))
+    val expectedGate = docs97.groupBy(col("g"))
+      .agg(sum(when(col("incoming"), 1).otherwise(0)).as("n_inc"),
+        sum(when(!col("incoming"), 1).otherwise(0)).as("n_idx"))
+      .select(sum(when(col("n_idx") >= 1, col("n_inc")).otherwise(0)))
+      .collect()(0).getLong(0)
+    Scratch.releaseAll()
+    val recallGate = nonBlobGate.toDouble / expectedGate
+    println(f"EMBEDVERIFY q97 nonblob_matches=$nonBlobGate%,d expected=$expectedGate%,d " +
+      f"(${recallGate * 100}%.2f%%) unsound=$badGate blob_matches=${nGate - nonBlobGate}%,d")
+    require(badGate == 0, s"$badGate q97 matches bridge unrelated vectors")
+    require(recallGate >= 0.98, f"q97 ingest recall $recallGate%.4f below 0.98")
     println("EMBEDVERIFY OK")
     spark.stop()
   }
