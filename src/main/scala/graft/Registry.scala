@@ -57,7 +57,9 @@ object Registry {
       // q96 (incremental ingest-gate dedup) — same tail-append rule.
       queries.DedupOps.q96 :+
       // q97 (embedding ingest gate) — same tail-append rule.
-      queries.DedupOps.q97
+      queries.DedupOps.q97 :+
+      // q98 (stream-static ingest gate) — same tail-append rule.
+      queries.StreamingOps.q98
 
   // ListMap: keep registry order. A HashMap would reshuffle the
   // bench's execution order whenever a query is added, which moves

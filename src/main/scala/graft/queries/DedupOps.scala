@@ -1508,6 +1508,50 @@ object DedupOps {
     * band. */
   private val Q96Cap = 3
 
+  /** MinHash parameters shared with the STREAMING ingest gate (q98,
+    * StreamingOps), whose per-row signature build must be
+    * hash-identical to the batch aggregation here. */
+  private[graft] def minhashParams: (Seq[(Long, Long)], Long, Int, Int) =
+    (AB, P, Bands, RowsPerBand)
+
+  /** q96's STATIC index side, standalone for the streaming gate
+    * (q98): capped band buckets (band, key, idx_doc) + the exact-
+    * verify hash sets (idx_doc, hs_b) for the 90 % index split. This
+    * is exactly what a standing dedup index persists between batches:
+    * recompute is per-REGISTRATION-run only; a production deployment
+    * writes both tables bucketed by their join keys. */
+  private[graft] def q96IndexSide(s: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    val base = t(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .where(h60(concat(lit("ingest:"), col("doc_id"))) % 10 =!= 0)
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .where(size(col("tk")) >= 3)
+    val hashed = base
+      .select(col("doc_id"), explode(shingleH60Udf(3)(col("tk"))).as("h0"))
+      .select(col("doc_id"), (col("h0") % P).as("h"))
+    val minAggs = AB.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("h") + lit(b)) % P).as(s"m$i") }
+    val sig = graft.Scratch.scoped(hashed.groupBy(col("doc_id"))
+      .agg(minAggs.head, minAggs.tail :+ sort_array(collect_set(col("h"))).as("hs"): _*))
+    val banded = sig.select(col("doc_id"), expr(
+      (0 until Bands).map { bnd =>
+        val key = (0 until RowsPerBand).map(r => s"m${bnd * RowsPerBand + r}")
+          .mkString("concat_ws(',', ", ", ", ")")
+        s"$bnd, $key"
+      }.mkString(s"stack($Bands, ", ", ", ") as (band, key)")))
+    val keptIdx = banded.groupBy(col("band"), col("key"))
+      .agg(graft.functions.BoundedCollect.boundedIdBag(Q96Cap)(col("doc_id")).as("ids"))
+      .where(size(col("ids")) >= 1)
+      .select(col("band"), col("key"), explode(col("ids")).as("idx_doc"))
+    (keptIdx, sig.select(col("doc_id").as("idx_doc"), col("hs").as("hs_b")))
+  }
+
+  /** q96's oracle SQL, exposed because the STREAMING gate (q98)
+    * computes the identical relation — one oracle text, two physical
+    * engines (batch band join vs stream-static probe). */
+  private[graft] def oIngestGateSql: String = q96.oracle.get
+
   /** INCREMENTAL (cross-corpus) dedup — the continuous-ingest gate: a
     * deterministic 10 % "incoming" batch is near-dup-matched against
     * the other 90 % ("index") through the q51 MinHash bands, with the

@@ -402,5 +402,68 @@ object StreamingOps {
         CAST(sum(1 - keep) AS BIGINT) AS n_reject
       FROM g GROUP BY source ORDER BY source"""))
 
+  /** STREAM-STATIC ingest gate: q96's incremental dedup with the
+    * incoming batch arriving as a STREAM — the missing canonical
+    * streaming join shape (q68 covers stream-stream; this is
+    * stream-static). The 90 % index side is the batch relation a
+    * standing dedup index persists ([[DedupOps.q96IndexSide]]: capped
+    * band buckets + verify hash sets); the streamed incoming docs
+    * compute their MinHash signatures PER ROW — `transform` folds
+    * over the shingle-hash array, so the stream side needs NO shuffle
+    * and no state to signature — probe the static buckets with a
+    * stateless equi-join, exact-verify, and aggregate per incoming
+    * doc (Complete mode; state is bounded by the number of MATCHED
+    * incoming docs in the batch, never the index). Output and oracle
+    * are exactly q96's — one truth relation, two physical engines.
+    *
+    * Per-row signatures here use interpreted `transform` lambdas
+    * (12 × ~100 element folds per doc) — right for a registration-
+    * scale instance; at volume the batch JIT kernels
+    * (`shingleH60Udf` + a fused min-fold) are the drop-in, same as
+    * every other regex-wall lesson. */
+  val q98 = Q(
+    "q98_stream_ingest_gate",
+    "stream-static ingest gate: streamed incoming docs probed against the static capped q96 index",
+    (s, dir) => {
+      val (keptIdx, idxHs) = DedupOps.q96IndexSide(s, dir)
+      val (ab, p, bands, rowsPerBand) = DedupOps.minhashParams
+      val incoming = documentsStream(s, dir)
+        .where(h60(concat(lit("ingest:"), col("doc_id"))) % 10 === 0)
+        .select(col("doc_id"), split(trim(col("text")), " +").as("tk"))
+        .where(size(col("tk")) >= 3)
+        .withColumn("grams", transform(shingleH60Udf(3)(col("tk")), h => h % p))
+        .withColumn("hs_a", sort_array(array_distinct(col("grams"))))
+      val withMins = ab.zipWithIndex.foldLeft(incoming) { case (df, ((a, b), i)) =>
+        df.withColumn(s"m$i", array_min(transform(col("grams"), h => (h * a + b) % p)))
+      }
+      val banded = withMins.select(col("doc_id"), col("hs_a"),
+        posexplode(array((0 until bands).map { bnd =>
+          concat_ws(",", (0 until rowsPerBand).map(r => col(s"m${bnd * rowsPerBand + r}")): _*)
+        }: _*)))
+        .select(col("doc_id"), col("hs_a"), col("pos").as("band"), col("col").as("key"))
+      val verified = banded
+        .join(keptIdx, Seq("band", "key")) // stream-static, stateless
+        .join(idxHs, Seq("idx_doc"))       // stream-static, stateless
+        .select(col("doc_id"), col("idx_doc"),
+          round(size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
+            size(array_union(col("hs_a"), col("hs_b"))).cast("double"), 4)
+            .as("jaccard"))
+        .where(col("jaccard") >= 0.8)
+      // A pair can surface through several bands: collect_set + the
+      // struct-max argmax absorb duplicates WITHOUT a second stateful
+      // operator (streaming distinct aggregation is unsupported, and
+      // chaining dropDuplicates into a Complete agg is restricted).
+      val gated = verified.groupBy(col("doc_id"))
+        .agg(collect_set(col("idx_doc")).as("mset"),
+          max(struct(col("jaccard"), (-col("idx_doc")).as("nid"))).as("best"))
+      val out = runBatchesToParquet(s, gated, OutputMode.Complete(), "overwrite")
+      out.select(col("doc_id"),
+          size(col("mset")).cast("long").as("n_matches"),
+          (-col("best.nid")).as("best_match"),
+          col("best.jaccard").as("best_jaccard"))
+        .orderBy(col("doc_id"))
+    },
+    Some(DedupOps.oIngestGateSql))
+
   def all: Seq[Q] = Seq(q65, q66, q67, q68, q86)
 }
