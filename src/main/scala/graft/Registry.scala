@@ -59,7 +59,11 @@ object Registry {
       // q97 (embedding ingest gate) — same tail-append rule.
       queries.DedupOps.q97 :+
       // q98 (stream-static ingest gate) — same tail-append rule.
-      queries.StreamingOps.q98
+      queries.StreamingOps.q98 :+
+      // q99 (context-window chunking) — same tail-append rule.
+      queries.TextOps.q99 :+
+      // q100 (quality-aware canonical selection) — same tail-append rule.
+      queries.DedupOps.q100
 
   // ListMap: keep registry order. A HashMap would reshuffle the
   // bench's execution order whenever a query is added, which moves

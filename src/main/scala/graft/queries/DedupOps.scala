@@ -1666,6 +1666,97 @@ object DedupOps {
         WHERE rn = 1 ORDER BY doc_id"""
     })
 
+  /** QUALITY-AWARE canonical selection — the survivor policy real
+    * curation pipelines run instead of q73's min-id: each near-dup
+    * cluster keeps its highest-QUALITY member (the q83 gate's four
+    * rule flags summed, 0–4; min doc_id breaks ties), so dedup
+    * removes the boilerplate-damaged copies rather than whichever id
+    * sorted first. Composes the shared [[minhashPairs]] → tiered CC
+    * closure with [[CurationOps.withGateFlags]] (the SAME rule
+    * columns the batch and streaming gates run — one definition of
+    * quality across the engine). The argmax is a struct-max inside
+    * the per-cluster aggregate: no window, no second shuffle beyond
+    * the closure's own. */
+  val q100 = Q(
+    "q100_quality_canonical",
+    "near-dup clusters keep the highest-quality member (gate-flag score, min-id tie)",
+    (s, dir) => {
+      import s.implicits._
+      val pairs = minhashPairs(s, dir)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .as[graft.etl.Pipeline.Edge]
+      val verts = pairs.select(col("src")).union(pairs.select(col("dst")))
+        .distinct().as[java.lang.Long]
+      val comps = graft.etl.Pipeline.connectedComponents(verts, pairs)
+      val qual = CurationOps.withGateFlags(
+          t(s, dir, "documents").select(col("doc_id"), col("text")))
+        .select(col("doc_id"),
+          (col("f_len") + col("f_mean") + col("f_stop") + col("f_alpha"))
+            .cast("long").as("q"))
+      comps.join(qual, comps("id") === qual("doc_id"))
+        .groupBy(col("comp"))
+        .agg(count(lit(1)).as("n_docs"),
+          concat_ws(",", transform(sort_array(collect_list(col("id"))),
+            x => x.cast("string"))).as("members"),
+          max(struct(col("q"), (-col("id")).as("nid"))).as("best"))
+        .select((-col("best.nid")).as("canonical_id"), col("best.q").as("best_q"),
+          col("n_docs"), col("members"))
+        .orderBy(col("canonical_id"))
+    },
+    Some {
+      val steps = (1 to 11).map { i =>
+        s"""l$i AS MATERIALIZED (
+        SELECT v.k, least(v.lab, coalesce(min(n.lab), v.lab)) AS lab
+        FROM l${i - 1} v
+        LEFT JOIN sym e ON e.a = v.k
+        LEFT JOIN l${i - 1} n ON n.k = e.b
+        GROUP BY v.k, v.lab)"""
+      }.mkString(",\n      ")
+      s"""$oMinhashPairsCtes,
+      sym AS MATERIALIZED (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs),
+      l0 AS MATERIALIZED (SELECT DISTINCT a AS k, a AS lab FROM sym),
+      $steps,
+      conv AS (
+        SELECT count(*) AS viol
+        FROM l11 n JOIN l10 p ON n.k = p.k WHERE n.lab <> p.lab),
+      tokq AS (
+        SELECT doc_id, string_split_regex(trim(text), ' +') AS toks FROM documents),
+      mq AS (
+        SELECT doc_id,
+          CAST(len(toks) AS BIGINT) AS n_tokens,
+          round(CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+            AS DOUBLE) / len(toks), 4) AS mean_tok_len,
+          CAST(len(list_filter(toks, x -> x IN ('the','and','of','to','a','in','is','it')))
+            AS BIGINT) AS stop_hits,
+          CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+            AS BIGINT) AS alpha_toks
+        FROM tokq),
+      qual AS (
+        SELECT doc_id,
+          CAST(CAST(n_tokens BETWEEN 50 AND 100000 AS INTEGER) +
+               CAST(mean_tok_len BETWEEN 3.0 AND 10.0 AS INTEGER) +
+               CAST(stop_hits >= 2 AS INTEGER) +
+               CAST(alpha_toks * 10 >= n_tokens * 8 AS INTEGER) AS BIGINT) AS q
+        FROM mq),
+      g AS (
+        SELECT lab, count(*) AS n_docs,
+          string_agg(CAST(k AS VARCHAR), ',' ORDER BY k) AS members
+        FROM l11 GROUP BY lab),
+      b AS (
+        SELECT lab, k AS canonical_id, q AS best_q FROM (
+          SELECT l.lab, l.k, qual.q,
+            row_number() OVER (PARTITION BY l.lab ORDER BY qual.q DESC, l.k) AS rn
+          FROM l11 l JOIN qual ON l.k = qual.doc_id)
+        WHERE rn = 1)
+      SELECT CASE WHEN (SELECT viol FROM conv) > 0
+               THEN error('q100 oracle: label propagation not converged in 10 rounds')
+               ELSE canonical_id END AS canonical_id,
+        best_q, n_docs, members
+      FROM g JOIN b USING (lab) ORDER BY canonical_id"""
+    })
+
   /** Mid-list registrations only. q88/q90/q91/q92/q93/q94 (and later
     * tail entries) are NOT missing: they register via tail-appends in
     * Registry (order stability — the driver's per-query bench history

@@ -701,6 +701,51 @@ object TextOps {
         coalesce(fp, '') AS fp
       FROM tot LEFT JOIN re USING (doc_id) ORDER BY doc_id"""))
 
+  private val ChunkLen = 64
+  private val ChunkOverlap = 16
+  private val ChunkStride = ChunkLen - ChunkOverlap // 48
+
+  /** Context-window CHUNKING — the training/RAG preprocessor that
+    * q75's packing assumes already ran: each document splits into
+    * [[ChunkLen]]-token windows advancing by [[ChunkStride]] (so
+    * consecutive chunks share [[ChunkOverlap]] tokens and no token is
+    * orphaned at a window boundary), the final window clamping to the
+    * document tail. One output row per chunk with its exact token
+    * count and a cross-engine md5 fingerprint — the manifest a
+    * tokenize-and-pack stage consumes. Pure scan shape: a per-row
+    * transform + posexplode, no shuffle anywhere until the output
+    * sort; at 100 TB this runs at scan speed and partitions by input
+    * file exactly like q30's token stats. */
+  val q99 = Q(
+    "q99_context_chunks",
+    s"$ChunkLen-token context chunks, stride $ChunkStride (overlap $ChunkOverlap), per-chunk fingerprints",
+    (s, dir) => {
+      val tk = t(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("tk"))
+        .where(size(col("tk")) >= 1)
+      tk.select(col("doc_id"), size(col("tk")).as("n"), posexplode(expr(
+          s"""transform(
+             |  sequence(0, cast(greatest(0, ceil((size(tk) - $ChunkLen) / ${ChunkStride}.0)) as int)),
+             |  i -> concat_ws(' ', slice(tk, i * $ChunkStride + 1, $ChunkLen)))""".stripMargin)))
+        .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+          least(lit(ChunkLen), col("n") - col("pos") * ChunkStride).cast("long").as("n_tokens"),
+          md5(col("col")).as("fp"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    },
+    Some(s"""WITH tok AS (
+        SELECT doc_id, string_split_regex(trim(text), ' +') AS tk FROM documents),
+      ch AS (
+        SELECT doc_id, i AS chunk_id,
+          least($ChunkLen, len(tk) - i * $ChunkStride) AS n_tokens,
+          md5(array_to_string(
+            list_slice(tk, i * $ChunkStride + 1, i * $ChunkStride + $ChunkLen), ' ')) AS fp
+        FROM (SELECT doc_id, tk,
+                unnest(range(0, 1 + CAST(greatest(0,
+                  ceil((len(tk) - $ChunkLen) / ${ChunkStride}.0)) AS BIGINT))) AS i
+              FROM tok WHERE len(tk) >= 1))
+      SELECT doc_id, chunk_id, CAST(n_tokens AS BIGINT) AS n_tokens, fp
+      FROM ch ORDER BY doc_id, chunk_id"""))
+
   /** The 16-entry demo dictionary for q78. A production run broadcasts
     * a 100k-name census list the same way — the plan is identical, only
     * the broadcast payload (a few MB) grows. */
