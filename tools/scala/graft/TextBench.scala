@@ -25,7 +25,7 @@ object TextBench {
     spark.sparkContext.setLogLevel("ERROR")
     def exec(q: Q, d: String): Long = q.run(spark, d).queryExecution.toRdd.count()
     // q89/q95 register at the Registry tail, not in TextOps.all.
-    val qs = queries.TextOps.all :+ queries.TextOps.q89 :+ queries.TextOps.q95
+    val qs = queries.TextOps.all :+ queries.TextOps.q89 :+ queries.TextOps.q95 :+ queries.TextOps.q99
     for (q <- qs if sel(q)) {
       exec(q, "/root/testdata/sf0.001"); Scratch.releaseAll()
     }
