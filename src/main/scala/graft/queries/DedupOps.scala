@@ -1502,10 +1502,12 @@ object DedupOps {
       .orderBy(col("doc_a"), col("doc_b")),
     Some(oNgramMinhashSql(Q94Cap)))
 
-  /** Band-bucket cap for q96's INDEX side — same q88 device, sized so
-    * the sf corpora exercise the drop path (hot template buckets on
-    * the 90 % index exceed it) while real matches keep a surviving
-    * band. */
+  /** Band-bucket cap for q96's INDEX side — same q88 device. Measured
+    * index-bucket occupancy: sf0.001 and sf0.1 each hold 4 over-cap
+    * buckets (max size 4 > 3), so the drop path runs at those scales;
+    * sf0.01 (the driver's oracle scale) tops out at exactly 3, where
+    * the cap is declared by both engines but inert — the same
+    * declare-vs-fire split q91/q92 document. */
   private val Q96Cap = 3
 
   /** MinHash parameters shared with the STREAMING ingest gate (q98,
