@@ -658,12 +658,16 @@ object TextOps {
     "q95_span_boilerplate",
     s"C4-style boilerplate pass: drop $SpanLen-token spans with corpus count > $Q95DfCap, reassemble",
     (s, dir) => {
-      val tk = t(s, dir, "documents")
+      // ONE corpus scan: the cached span relation feeds all three
+      // consumers (df counts, the keep join, per-doc totals) — the
+      // uncached form re-scanned + re-shingled the corpus three
+      // times (Plans audit, round-9 continuation).
+      val spans = graft.Scratch.scoped(t(s, dir, "documents")
         .select(col("doc_id"), tokens(col("text")).as("tk"))
-      val spans = tk.select(col("doc_id"), posexplode(expr(
-        s"""transform(sequence(0, cast(ceil(size(tk) / ${SpanLen}.0) as int) - 1),
-           |  i -> concat_ws(' ', slice(tk, i * $SpanLen + 1, $SpanLen)))""".stripMargin)))
-        .toDF("doc_id", "pos", "span")
+        .select(col("doc_id"), posexplode(expr(
+          s"""transform(sequence(0, cast(ceil(size(tk) / ${SpanLen}.0) as int) - 1),
+             |  i -> concat_ws(' ', slice(tk, i * $SpanLen + 1, $SpanLen)))""".stripMargin)))
+        .toDF("doc_id", "pos", "span"))
       val keepable = spans.groupBy(col("span")).agg(count(lit(1)).as("n"))
         .where(col("n") <= Q95DfCap)
       val re = spans.join(keepable, "span")
@@ -672,8 +676,8 @@ object TextOps {
           md5(concat_ws(" ", expr(
             "transform(array_sort(collect_list(struct(pos, span))), x -> x.span)")))
             .as("fp"))
-      val totals = tk.select(col("doc_id"),
-        ceil(size(col("tk")) / lit(SpanLen.toDouble)).cast("long").as("n_spans"))
+      val totals = spans.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"))
       totals.join(re, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_spans"),
           coalesce(col("n_kept"), lit(0L)).as("n_kept"),
