@@ -1428,24 +1428,36 @@ object DedupOps {
     * band-S-curve miss vs cap miss): banded(doc_id, band, key), one
     * row per (doc, band). Duplicates the signature construction of
     * [[ngramMinhashPairs]] minus the collect_set — the hs aggregation
-    * is the expensive half and attribution never reads it. */
+    * is the expensive half and attribution never reads it.
+    *
+    * `bands`/`rowsPerBand` default to the registered 8×2 layout;
+    * other values SIMULATE a re-parameterized sketch (the extra hash
+    * functions extend the same universal-hash family AB94 draws
+    * from), which is how the bands-vs-cap what-if in THROUGHPUT.md
+    * was measured without registering a second instance. */
   private[graft] def q94Banded(s: org.apache.spark.sql.SparkSession,
-      dir: String): DataFrame = {
+      dir: String, bands: Int = Bands94,
+      rowsPerBand: Int = RowsPerBand94): DataFrame = {
+    val nHashes = bands * rowsPerBand
+    val ab = (0 until nHashes).map { i =>
+      ((2654435761L * (2 * i + 1)) % P,
+        (40503L * (i + 7) * (i + 7) + 2654435769L * i) % P)
+    }
     val hashed = t(s, dir, "documents")
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), alnumSpaceLowerUdf(col("text")).as("t"))
       .where(length(col("t")) >= 4)
       .select(col("doc_id"), explode(gram4H60Udf(col("t"))).as("h0"))
       .select(col("doc_id"), (col("h0") % P).as("h"))
-    val minAggs = AB94.zipWithIndex.map { case ((a, b), i) =>
+    val minAggs = ab.zipWithIndex.map { case ((a, b), i) =>
       min((lit(a) * col("h") + lit(b)) % P).as(s"m$i") }
     val sig = hashed.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
     sig.select(col("doc_id"), expr(
-      (0 until Bands94).map { bnd =>
-        val key = (0 until RowsPerBand94).map(r => s"m${bnd * RowsPerBand94 + r}")
+      (0 until bands).map { bnd =>
+        val key = (0 until rowsPerBand).map(r => s"m${bnd * rowsPerBand + r}")
           .mkString("concat_ws(',', ", ", ", ")")
         s"$bnd, $key"
-      }.mkString(s"stack($Bands94, ", ", ", ") as (band, key)")))
+      }.mkString(s"stack($bands, ", ", ", ") as (band, key)")))
   }
 
   // Registered q94 cap: sized so the sf corpora exercise the drop

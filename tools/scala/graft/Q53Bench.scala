@@ -38,9 +38,15 @@ object Q53Bench {
     // S-curve miss (no shared band) — the linear-cost recall
     // attribution (a full cap=64 pair run at 1M docs fills the
     // scratch disk; see THROUGHPUT.md).
+    // "bands=<n>x<m>" makes attrib SIMULATE a re-parameterized band
+    // layout (extra hashes from the same universal-hash family) — the
+    // measured answer to "would more bands beat a bigger cap".
     val flags = args.toSeq.filter(a =>
-      a == "q94" || a == "noexact" || a == "attrib" || a.startsWith("cap=")).toSet
+      a == "q94" || a == "noexact" || a == "attrib" ||
+        a.startsWith("cap=") || a.startsWith("bands=")).toSet
     val q94Cap = flags.collectFirst { case f if f.startsWith("cap=") => f.drop(4).toInt }
+    val q94Bands = flags.collectFirst { case f if f.startsWith("bands=") =>
+      val Array(b, r) = f.drop(6).split("x").map(_.toInt); (b, r) }
     val dirArgs = args.toSeq.filterNot(flags)
     val dirs = if (dirArgs.nonEmpty) dirArgs else Seq("/tmp/jacc50000")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -145,8 +151,9 @@ object Q53Bench {
       // the columnar cache build competes with the signature
       // aggregation for execution memory at 1M docs (measured: the
       // cached form AGGREGATE_OOMs even at 28g/16 threads).
+      val (nb, nr) = q94Bands.getOrElse((8, 2))
       val bandedPath = java.nio.file.Files.createTempDirectory("q94attrib_").toString
-      queries.DedupOps.q94Banded(spark, dir)
+      queries.DedupOps.q94Banded(spark, dir, nb, nr)
         .write.mode("overwrite").parquet(bandedPath)
       val banded = spark.read.parquet(bandedPath)
       val dbg = sys.env.contains("GRAFT_ATTRIB_DEBUG")
@@ -178,7 +185,7 @@ object Q53Bench {
       Scratch.releaseAll()
       val dt = (System.nanoTime() - t0) / 1e9
       val total = cls.values.sum
-      println(f"Q94ATTRIB $dir%-18s cap=$cap truthPairs=$total%,d  " +
+      println(f"Q94ATTRIB $dir%-18s cap=$cap bands=${nb}x$nr truthPairs=$total%,d  " +
         f"captured=${cls.getOrElse("captured", 0L)}%,d  " +
         f"scurve_miss=${cls.getOrElse("scurve_miss", 0L)}%,d  " +
         f"cap_miss=${cls.getOrElse("cap_miss", 0L)}%,d  ($dt%.1f s)")
