@@ -63,7 +63,9 @@ object Registry {
       // q99 (context-window chunking) — same tail-append rule.
       queries.TextOps.q99 :+
       // q100 (quality-aware canonical selection) — same tail-append rule.
-      queries.DedupOps.q100
+      queries.DedupOps.q100 :+
+      // q101 (ingest-index maintenance merge) — same tail-append rule.
+      queries.DedupOps.q101
 
   // ListMap: keep registry order. A HashMap would reshuffle the
   // bench's execution order whenever a query is added, which moves

@@ -176,8 +176,22 @@ object DedupOps {
     * metadata-only job (~ms), the same probe-then-pick pattern as
     * q53's vocabulary gate. */
   private def minhashPairs(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    if (t(s, dir, "documents").count() < DeferredMinDocs) minhashPairsOnePass(s, dir)
+    if (documentsCount(s, dir) < DeferredMinDocs) minhashPairsOnePass(s, dir)
     else minhashPairsAdaptive(s, dir, DeferredBroadcastIdCap)
+
+  /** Memoized per-dir `documents` row count for plan gates. The count
+    * is metadata-only today (Tables.load applies no transform to
+    * documents, so parquet footers answer it in ~ms), but q51, q73,
+    * and q100 all pass through [[minhashPairs]] and a future
+    * Tables.load shim — the way `events` gets one — would silently
+    * turn every gate evaluation into a full scan (r9 ADVICE). One
+    * count per directory keeps the gate O(1) regardless; the key is
+    * the data directory, so distinct corpora never share a count. */
+  private val docCountMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def documentsCount(s: org.apache.spark.sql.SparkSession, dir: String): Long =
+    docCountMemo.computeIfAbsent(dir,
+      d => java.lang.Long.valueOf(t(s, d, "documents").count())).longValue()
 
   /** Corpus size below which the single-shuffle one-pass verify beats
     * the deferred plan's extra jobs. Measured endpoints: 60k docs →
@@ -455,7 +469,7 @@ object DedupOps {
     * per document, then a self-join on the 16-bit band. */
   val q52 = Q(
     "q52_simhash",
-    "32-bit simhash; pairs blocked on top-16-bit band with hamming <= 6",
+    "32-bit simhash, top-16-bit band, hamming <= 6 (fixed-instance demo - production instance is q92)",
     (s, dir) => {
       // explode distinct tokens → one hash per (doc, token) → 32
       // codegen'd conditional-sum aggregates (majority vote per bit)
@@ -610,9 +624,13 @@ object DedupOps {
         array_distinct(transform(sequence(lit(1), length(col("t")) - 3),
           i => col("t").substr(i, lit(4)))).as("grams"))) // see q51 sig note
     val dict = docGrams.select(explode(col("grams")).as("tok")).distinct()
-    val probe = dict.limit(maxVocab.toInt + 1).collect().map(_.getString(0))
+    // toIntExact: a maxVocab >= Int.MaxValue would wrap `.toInt + 1`
+    // into a wrong/negative limit and silently break the probe (the
+    // test-reachable private[graft] overload accepts any Long).
+    val probe = dict.limit(math.toIntExact(maxVocab + 1)).collect().map(_.getString(0))
     val pairs = if (probe.length <= maxVocab) bitsetPath(docGrams, probe)
-      else if (docGrams.count() <= maxBroadcastDocs) prefixBroadcastPath(docGrams)
+      else if (docGrams.count() <=
+          math.min(maxBroadcastDocs, broadcastDocsCeiling())) prefixBroadcastPath(docGrams)
       else prefixPath(docGrams.select(col("doc_id"),
         explode(col("grams")).as("tok")))
     pairs
@@ -671,6 +689,19 @@ object DedupOps {
     * ~8 B/gram ≈ 7 KB/doc, so 250k docs ≈ 1.8 GB of broadcast — the
     * largest corpus whose verify side comfortably broadcasts. */
   private[graft] val DenseVerifyMaxDocs = 250000L
+
+  /** HEAP-derived companion to [[DenseVerifyMaxDocs]] (r9 ADVICE: the
+    * 250k constant alone is not tied to any memory configuration, so
+    * a default-sized driver could OOM right at the gate boundary):
+    * the collected packed-gram Map (~7.5 KB/doc) lives on the driver
+    * twice transiently (collect + broadcast serialization), and at
+    * most half the heap may go to it. At the measured 28 GB volume
+    * heap this yields ~900k docs (the 250k constant stays binding);
+    * on an 8 GB default it yields ~270k; on a small test JVM the
+    * gate falls through to [[prefixPath]], which computes the same
+    * pairs (DedupPathsSpec pins all three paths equal). */
+  private[graft] def broadcastDocsCeiling(): Long =
+    Runtime.getRuntime.maxMemory / 2 / (2 * 7500L)
 
   /** Pack a 4-char gram into one long (16 bits/char, bijective on the
     * normalized [a-z0-9 ] alphabet — and on any BMP text), sorted for
@@ -854,7 +885,7 @@ object DedupOps {
 
   val q54 = Q(
     "q54_embedding_neardup",
-    "sign-LSH-bucketed embedding pairs with cosine >= 0.35",
+    "sign-LSH-bucketed embedding pairs, cosine >= 0.35 (fixed-instance demo - production instance is q91)",
     (s, dir) => cosinePairs(s, dir).orderBy(col("vec_a"), col("vec_b")),
     Some(s"""$oCosinePairsCtes
       SELECT vec_a, vec_b, cosine FROM pairs ORDER BY vec_a, vec_b"""))
@@ -870,7 +901,7 @@ object DedupOps {
     * unchanged. */
   val q90 = Q(
     "q90_embedding_neardup_clusters",
-    "cosine pairs -> connected components -> canonical vector per cluster",
+    "cosine pairs -> CC -> canonical vector per cluster (fixed-instance demo - production instance is q93)",
     (s, dir) => {
       import s.implicits._
       val pairs = cosinePairs(s, dir)
@@ -945,6 +976,14 @@ object DedupOps {
     val signs = rademacherSigns(bands * bits, EmbDim)
     udf { (v: Seq[Float]) =>
       val a = v.toArray // LinearSeq guard: indexed access below
+      // Dimension contract: the hyperplanes are drawn for exactly
+      // EmbDim components and the generated oracle SQL always sums
+      // exactly EmbDim CAST(v[i]) terms (DuckDB yields NULL -> sign
+      // bit 0 past the end of a short vector). A truncated projection
+      // here would therefore DIVERGE silently between engines on a
+      // non-64-dim corpus — fail loudly instead (r9 ADVICE).
+      require(a.length == EmbDim,
+        s"sign-LSH expects $EmbDim-dim embeddings, got ${a.length}")
       val keys = new Array[Int](bands)
       var b = 0
       while (b < bands) {
@@ -952,10 +991,9 @@ object DedupOps {
         var r = 0
         while (r < bits) {
           val s = signs(b * bits + r)
-          val n = math.min(a.length, s.length)
           var acc = 0.0
           var i = 0
-          while (i < n) { acc += s(i) * a(i).toDouble; i += 1 }
+          while (i < EmbDim) { acc += s(i) * a(i).toDouble; i += 1 }
           if (acc >= 0) key |= 1 << r
           r += 1
         }
@@ -1362,14 +1400,27 @@ object DedupOps {
 
   // ---- char-4-gram MinHash (q94): the sketch relaxation of q53 ------
 
-  // 16 hashes = 8 bands x 2 rows: at the q53 threshold t = 0.5 the
-  // S-curve needs SHALLOW bands (j^2 per band, 1-(1-j^2)^8 = 0.90 at
+  // 32 hashes = 16 bands x 2 rows: at the q53 threshold t = 0.5 the
+  // S-curve needs SHALLOW bands (j^2 per band, 1-(1-j^2)^16 = 0.99 at
   // j = 0.5, ~1.0 at j >= 0.7) — q51's 4x3 shape is tuned for t = 0.8
   // and would recall only 41% of borderline 0.5-pairs. Same universal-
   // hash family and prime as q51 (shared i -> identical constants).
-  private val NumHashes94 = 16
-  private val Bands94 = 8
-  private val RowsPerBand94 = 2
+  //
+  // Band count is the REGISTERED production layout, re-registered
+  // from 8x2 in round 10: the round-9 attribution ladder measured the
+  // 8x2 layout's cap-miss recall loss growing SUPERLINEARLY with
+  // corpus size (0/1/207 missed truth pairs at 100k/200k/1M docs —
+  // hot template buckets saturate, so progressively more pairs find
+  // ALL their shared bands over cap), while 16x2 at the SAME cap
+  // restores 100% recall at 1M docs for linear signature cost. The
+  // alternative lever — raising the cap 8x — DNF'd on candidate
+  // volume (quadratic per hot bucket; THROUGHPUT.md round 9). More
+  // bands widen the per-pair band lottery past the hot buckets; a
+  // bigger cap multiplies every hot bucket's pair count. That
+  // asymmetry is the banded-LSH design argument, measured.
+  private[graft] val NumHashes94 = 32
+  private[graft] val Bands94 = 16
+  private[graft] val RowsPerBand94 = 2
   private val AB94: Seq[(Long, Long)] = (0 until NumHashes94).map { i =>
     ((2654435761L * (2 * i + 1)) % P, (40503L * (i + 7) * (i + 7) + 2654435769L * i) % P)
   }
@@ -1386,8 +1437,10 @@ object DedupOps {
     * ride the q88 one-exchange bounded-bag shape; verify is exact
     * Jaccard over the per-doc gram-hash sets (collisions map both
     * engines identically). Probabilistic recall at the 0.5 boundary
-    * (0.90 per the band S-curve), ~1.0 for real near-dups (J ≥ 0.7)
-    * — measured against ground truth at volume in Q53Bench. */
+    * (0.99 per the 16-band S-curve), ~1.0 for real near-dups
+    * (J ≥ 0.7) — measured against ground truth at volume in Q53Bench
+    * (100 % at 1M docs with the 16×2 layout; the superseded 8×2
+    * layout's 99.905 % and its attribution are in THROUGHPUT.md). */
   private[graft] def ngramMinhashPairs(s: org.apache.spark.sql.SparkSession,
       dir: String, cap: Int): DataFrame = {
     val hashed = t(s, dir, "documents")
@@ -1430,11 +1483,11 @@ object DedupOps {
     * [[ngramMinhashPairs]] minus the collect_set — the hs aggregation
     * is the expensive half and attribution never reads it.
     *
-    * `bands`/`rowsPerBand` default to the registered 8×2 layout;
-    * other values SIMULATE a re-parameterized sketch (the extra hash
+    * `bands`/`rowsPerBand` default to the registered 16×2 layout;
+    * other values SIMULATE a re-parameterized sketch (the hash
     * functions extend the same universal-hash family AB94 draws
     * from), which is how the bands-vs-cap what-if in THROUGHPUT.md
-    * was measured without registering a second instance. */
+    * was measured before round 10 re-registered the winner. */
   private[graft] def q94Banded(s: org.apache.spark.sql.SparkSession,
       dir: String, bands: Int = Bands94,
       rowsPerBand: Int = RowsPerBand94): DataFrame = {
@@ -1678,6 +1731,145 @@ object DedupOps {
               ORDER BY jaccard DESC, idx_doc) AS rn
           FROM ver)
         WHERE rn = 1 ORDER BY doc_id"""
+    })
+
+  // ---- q101: index MAINTENANCE (the update half of the ingest gate) --
+
+  /** Capped band-bucket index over a banded(doc_id, band, key)
+    * relation, KEEPING over-cap tombstones: one row per (band, key)
+    * with ids = the bucket's doc_ids sorted when it holds ≤ cap docs,
+    * or an EMPTY array (tombstone) when over cap. This is the
+    * persistable form of [[q96IndexSide]]'s bucket table — the probe
+    * view is `where size(ids) >= 1`, but MAINTENANCE must retain the
+    * tombstones: a bucket that ever went hot has lost members to the
+    * map-side truncation, so an incremental merge that forgot it
+    * would resurrect the bucket with a partial id set that a batch
+    * recompute over the same corpus drops. */
+  private[graft] def cappedIndexBuckets(banded: DataFrame, cap: Int): DataFrame =
+    banded.groupBy(col("band"), col("key"))
+      .agg(graft.functions.BoundedCollect.boundedIdBag(cap)(col("doc_id")).as("ids"))
+
+  /** INDEX-UPDATE operator — the maintenance half of the continuous-
+    * ingest gate. q96/q97/q98 PROBE a standing capped index but never
+    * maintain it (r9 VERDICT task 2); this MERGES an accepted batch's
+    * banded rows into the standing buckets under the same cap. Per
+    * (band, key):
+    *
+    *   - key only in the batch → the batch's own capped bucket;
+    *   - key only in the index → unchanged;
+    *   - tombstone on either side → tombstone (bucket counts only
+    *     grow, so a bucket that ever exceeded the cap stays rejected);
+    *   - both alive → union if |old| + |new| ≤ cap, else tombstone.
+    *     The ids are distinct across sides (a doc enters the index
+    *     exactly once), so the size sum IS the recomputed count and
+    *     the keep/reject decision at the cap boundary is
+    *     DETERMINISTIC — equal, bucket for bucket, to recomputing the
+    *     capped index over old ∪ batch from scratch. IndexMergeSpec
+    *     pins that equality (plus the boundary cases) in Spark; the
+    *     registered q101 oracle re-derives the full recompute in
+    *     DuckDB, so the driver's hash gate re-proves
+    *     incremental == batch on every round.
+    *
+    * Scale shape: the standing index lives bucketed by (band, key) —
+    * a storage-partitioned table at 100 TB — so this full-outer join
+    * co-locates on the bucket key and shuffles ONLY the batch's
+    * banded rows; per-merge cost is the batch's banding plus one
+    * co-partitioned index pass, flat from batch to batch (two-batch
+    * 2M-doc curve in THROUGHPUT.md). Tombstones make the merge
+    * monotone and replay-safe: batches applied in any grouping
+    * converge to the recomputed index. The per-doc verify-hash-set
+    * side of the index ([[q96IndexSide]]'s second relation) needs no
+    * operator: it is keyed by doc_id alone, so a batch appends
+    * blindly. */
+  private[graft] def mergeIndexBuckets(standing: DataFrame,
+      batchBanded: DataFrame, cap: Int): DataFrame = {
+    val batch = cappedIndexBuckets(batchBanded, cap)
+    val tombstone = array().cast("array<bigint>")
+    standing.select(col("band"), col("key"), col("ids").as("old_ids"))
+      .join(batch.select(col("band"), col("key"), col("ids").as("new_ids")),
+        Seq("band", "key"), "full")
+      .select(col("band"), col("key"),
+        when(col("old_ids").isNull, col("new_ids"))
+          .when(col("new_ids").isNull, col("old_ids"))
+          .when(size(col("old_ids")) === 0 || size(col("new_ids")) === 0, tombstone)
+          .when(size(col("old_ids")) + size(col("new_ids")) > cap, tombstone)
+          .otherwise(sort_array(concat(col("old_ids"), col("new_ids"))))
+          .as("ids"))
+  }
+
+  /** banded(doc_id, band, key) over the documents matching `pred`,
+    * through q51's signature family — the banding the standing ingest
+    * index (q96/q98) is keyed by. */
+  private[graft] def bandedFor(s: org.apache.spark.sql.SparkSession,
+      dir: String, pred: Column): DataFrame = {
+    val hashed = t(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .where(pred)
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .where(size(col("tk")) >= 3)
+      .select(col("doc_id"), explode(shingleH60Udf(3)(col("tk"))).as("h0"))
+      .select(col("doc_id"), (col("h0") % P).as("h"))
+    val minAggs = AB.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("h") + lit(b)) % P).as(s"m$i") }
+    val sig = hashed.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+    sig.select(col("doc_id"), expr(
+      (0 until Bands).map { bnd =>
+        val key = (0 until RowsPerBand).map(r => s"m${bnd * RowsPerBand + r}")
+          .mkString("concat_ws(',', ", ", ", ")")
+        s"$bnd, $key"
+      }.mkString(s"stack($Bands, ", ", ", ") as (band, key)")))
+  }
+
+  /** The registered instance: q96's standing index (the 90 % split,
+    * same deterministic h60 ingest split) absorbs the 10 % incoming
+    * batch. The ORACLE recomputes the capped index over the full
+    * corpus from scratch — so the cross-engine hash compare is itself
+    * the incremental-equals-batch proof, not just a fixture check.
+    *
+    * Cap declare-vs-fire at the sf scales (the q91/q92 split): the
+    * full-corpus recompute tombstones at sf0.001 and sf0.1 (max
+    * bucket 4 > 3) while sf0.01 — the driver's oracle scale — tops
+    * out at exactly the cap, where both engines declare the branch
+    * but neither fires it; IndexMergeSpec keeps the tombstone branch
+    * exercised at sf0.01 with a tightened cap, and the 2M-doc volume
+    * run fires it at production density (THROUGHPUT.md round 10). */
+  val q101 = Q(
+    "q101_index_merge",
+    s"ingest-index maintenance: merge the 10% batch into the standing capped index (cap $Q96Cap), tombstones persist",
+    (s, dir) => {
+      val inc = h60(concat(lit("ingest:"), col("doc_id"))) % 10 === 0
+      val standing = cappedIndexBuckets(bandedFor(s, dir, !inc), Q96Cap)
+      val merged = mergeIndexBuckets(standing, bandedFor(s, dir, inc), Q96Cap)
+      merged.select(col("band"), col("key"),
+        (size(col("ids")) === 0).as("dropped"),
+        size(col("ids")).cast("long").as("n_kept"),
+        concat_ws(",", transform(col("ids"), x => x.cast("string"))).as("ids"))
+        .orderBy(col("band"), col("key"))
+    },
+    Some {
+      val mins = oMins
+      val bandRows = (0 until Bands).map { bnd =>
+        val key = (0 until RowsPerBand).map(r => s"CAST(m${bnd * RowsPerBand + r} AS VARCHAR)")
+          .mkString(" || ',' || ")
+        s"SELECT doc_id, $bnd AS band, $key AS key FROM sig"
+      }.mkString("\n        UNION ALL ")
+      s"""WITH sh AS ($oShingles3),
+        hashed AS (
+          SELECT doc_id, ${oH60("shingle")} % $P AS h
+          FROM (SELECT doc_id, unnest(sh) AS shingle FROM sh)),
+        sig AS (
+          SELECT doc_id, $mins
+          FROM hashed GROUP BY doc_id),
+        banded AS (
+          $bandRows),
+        g AS (
+          SELECT band, key, count(*) AS n,
+            string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS allids
+          FROM banded GROUP BY band, key)
+        SELECT band, key, n > $Q96Cap AS dropped,
+          CASE WHEN n > $Q96Cap THEN CAST(0 AS BIGINT) ELSE n END AS n_kept,
+          CASE WHEN n > $Q96Cap THEN '' ELSE allids END AS ids
+        FROM g ORDER BY band, key"""
     })
 
   /** QUALITY-AWARE canonical selection — the survivor policy real

@@ -151,7 +151,8 @@ object Q53Bench {
       // the columnar cache build competes with the signature
       // aggregation for execution memory at 1M docs (measured: the
       // cached form AGGREGATE_OOMs even at 28g/16 threads).
-      val (nb, nr) = q94Bands.getOrElse((8, 2))
+      val (nb, nr) = q94Bands.getOrElse(
+        (queries.DedupOps.Bands94, queries.DedupOps.RowsPerBand94))
       val bandedPath = java.nio.file.Files.createTempDirectory("q94attrib_").toString
       queries.DedupOps.q94Banded(spark, dir, nb, nr)
         .write.mode("overwrite").parquet(bandedPath)
