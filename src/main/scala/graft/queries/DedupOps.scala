@@ -186,12 +186,25 @@ object DedupOps {
     * Tables.load shim — the way `events` gets one — would silently
     * turn every gate evaluation into a full scan (r9 ADVICE). One
     * count per directory keeps the gate O(1) regardless; the key is
-    * the data directory, so distinct corpora never share a count. */
+    * the NORMALIZED data directory (`Paths.normalize`, so `/x` and
+    * `/x/` share one entry), so distinct corpora never share a count.
+    *
+    * ASSUMPTION (r10 ADVICE): a directory's corpus is immutable for
+    * the JVM's lifetime. Both plan branches compute the same result,
+    * so a stale count after an in-process rewrite costs plan choice
+    * only, never correctness — but tools that regenerate a corpus
+    * in-process (bench ladders reusing a temp dir) should call
+    * [[clearDocCountMemo]] between generations. */
   private val docCountMemo =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   private def documentsCount(s: org.apache.spark.sql.SparkSession, dir: String): Long =
-    docCountMemo.computeIfAbsent(dir,
+    docCountMemo.computeIfAbsent(
+      java.nio.file.Paths.get(dir).normalize.toString,
       d => java.lang.Long.valueOf(t(s, d, "documents").count())).longValue()
+
+  /** Drop all memoized corpus counts — for tools that rewrite a
+    * corpus directory within one JVM (see [[docCountMemo]]). */
+  private[graft] def clearDocCountMemo(): Unit = docCountMemo.clear()
 
   /** Corpus size below which the single-shuffle one-pass verify beats
     * the deferred plan's extra jobs. Measured endpoints: 60k docs →
@@ -609,9 +622,15 @@ object DedupOps {
   /** As above with the broadcast-verify doc ceiling exposed, so
     * DedupPathsSpec can force each of the three physical plans
     * (bitset / prefix+broadcast / prefix+shuffle) onto one corpus and
-    * prove they compute the same pairs. */
+    * prove they compute the same pairs. `broadcastCeiling` defaults to
+    * the registered heap-derived gate but is overridable (r10 ADVICE:
+    * on a small-heap test JVM the heap gate could silently demote the
+    * forced broadcast path to [[prefixPath]], making the spec's
+    * broadcast-plan parity assertion vacuous — the spec pins the path
+    * by passing `Long.MaxValue`). */
   private[graft] def ngramJaccardPairs(s: org.apache.spark.sql.SparkSession,
-      dir: String, maxVocab: Long, maxBroadcastDocs: Long): DataFrame = {
+      dir: String, maxVocab: Long, maxBroadcastDocs: Long,
+      broadcastCeiling: Long = broadcastDocsCeiling()): DataFrame = {
     val norm = lower(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""))
     // Per-doc distinct gram ARRAYS in one narrow projection: gram
     // extraction is per-row work, so an explode → groupBy round-trip
@@ -630,7 +649,7 @@ object DedupOps {
     val probe = dict.limit(math.toIntExact(maxVocab + 1)).collect().map(_.getString(0))
     val pairs = if (probe.length <= maxVocab) bitsetPath(docGrams, probe)
       else if (docGrams.count() <=
-          math.min(maxBroadcastDocs, broadcastDocsCeiling())) prefixBroadcastPath(docGrams)
+          math.min(maxBroadcastDocs, broadcastCeiling)) prefixBroadcastPath(docGrams)
       else prefixPath(docGrams.select(col("doc_id"),
         explode(col("grams")).as("tok")))
     pairs
@@ -699,7 +718,18 @@ object DedupOps {
     * heap this yields ~900k docs (the 250k constant stays binding);
     * on an 8 GB default it yields ~270k; on a small test JVM the
     * gate falls through to [[prefixPath]], which computes the same
-    * pairs (DedupPathsSpec pins all three paths equal). */
+    * pairs (DedupPathsSpec pins all three paths equal — and pins the
+    * broadcast plan itself by overriding this ceiling, so the parity
+    * check cannot go vacuous on a small heap).
+    *
+    * ASSUMPTION (r10 ADVICE): this reads the LOCAL JVM's heap, which
+    * in local mode is both driver and executor. On a real cluster
+    * [[prefixBroadcastPath]] also materializes the packed-gram map on
+    * every EXECUTOR via `bc.value`, so a deployment whose executors
+    * have less than half the driver's heap should bound this by the
+    * executor size too (`spark.executor.memory`-derived) — the gate
+    * as written protects the driver's collect, not a smaller
+    * executor's expansion. */
   private[graft] def broadcastDocsCeiling(): Long =
     Runtime.getRuntime.maxMemory / 2 / (2 * 7500L)
 
@@ -1759,9 +1789,8 @@ object DedupOps {
     *   - key only in the index → unchanged;
     *   - tombstone on either side → tombstone (bucket counts only
     *     grow, so a bucket that ever exceeded the cap stays rejected);
-    *   - both alive → union if |old| + |new| ≤ cap, else tombstone.
-    *     The ids are distinct across sides (a doc enters the index
-    *     exactly once), so the size sum IS the recomputed count and
+    *   - both alive → DISTINCT union if its size ≤ cap, else
+    *     tombstone. The distinct count IS the recomputed count, so
     *     the keep/reject decision at the cap boundary is
     *     DETERMINISTIC — equal, bucket for bucket, to recomputing the
     *     capped index over old ∪ batch from scratch. IndexMergeSpec
@@ -1774,13 +1803,22 @@ object DedupOps {
     * a storage-partitioned table at 100 TB — so this full-outer join
     * co-locates on the bucket key and shuffles ONLY the batch's
     * banded rows; per-merge cost is the batch's banding plus one
-    * co-partitioned index pass, flat from batch to batch (two-batch
-    * 2M-doc curve in THROUGHPUT.md). Tombstones make the merge
-    * monotone and replay-safe: batches applied in any grouping
-    * converge to the recomputed index. The per-doc verify-hash-set
-    * side of the index ([[q96IndexSide]]'s second relation) needs no
-    * operator: it is keyed by doc_id alone, so a batch appends
-    * blindly. */
+    * co-partitioned index pass, flat from batch to batch (measured:
+    * THROUGHPUT.md round 11, two-batch 2M-doc run). Tombstones make
+    * the merge monotone and GROUPING-INVARIANT: disjoint batches
+    * applied in any grouping converge to the recomputed index. The
+    * `array_distinct` in the union additionally makes at-least-once
+    * REDELIVERY of a batch idempotent (r10 ADVICE: a raw concat would
+    * double-count redelivered ids toward the cap and keep duplicates
+    * in surviving buckets) — re-merging ids the index already holds
+    * changes nothing, at the cost of one codegen'd dedup over ≤ cap
+    * elements per live bucket. The one case neither property covers:
+    * a doc REBANDED differently across deliveries (content changed
+    * between crawls) is a delete + insert, which a tombstoning index
+    * cannot express — that needs a full rebuild of the affected
+    * buckets. The per-doc verify-hash-set side of the index
+    * ([[q96IndexSide]]'s second relation) needs no operator: it is
+    * keyed by doc_id alone, so a batch appends blindly. */
   private[graft] def mergeIndexBuckets(standing: DataFrame,
       batchBanded: DataFrame, cap: Int): DataFrame = {
     val batch = cappedIndexBuckets(batchBanded, cap)
@@ -1792,9 +1830,10 @@ object DedupOps {
         when(col("old_ids").isNull, col("new_ids"))
           .when(col("new_ids").isNull, col("old_ids"))
           .when(size(col("old_ids")) === 0 || size(col("new_ids")) === 0, tombstone)
-          .when(size(col("old_ids")) + size(col("new_ids")) > cap, tombstone)
-          .otherwise(sort_array(concat(col("old_ids"), col("new_ids"))))
-          .as("ids"))
+          .otherwise(sort_array(array_distinct(concat(col("old_ids"), col("new_ids")))))
+          .as("u"))
+      .select(col("band"), col("key"),
+        when(size(col("u")) > cap, tombstone).otherwise(col("u")).as("ids"))
   }
 
   /** banded(doc_id, band, key) over the documents matching `pred`,

@@ -19,9 +19,17 @@ class DedupPathsSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  // broadcastCeiling = Long.MaxValue pins the PATH, not just the
+  // inputs (r10 ADVICE): the registered heap-derived ceiling could,
+  // on a small-heap test JVM, silently demote the "forced broadcast"
+  // cases below to prefixPath and make their parity assertions
+  // vacuous. With the ceiling pinned open, maxBroadcastDocs alone
+  // decides broadcast-vs-shuffle, so each case runs the plan its
+  // comment claims.
   private def pairs(dir: String, maxVocab: Long,
       maxBroadcastDocs: Long = DedupOps.DenseVerifyMaxDocs): Seq[(Long, Long, Double)] = {
-    val rows = DedupOps.ngramJaccardPairs(spark, dir, maxVocab, maxBroadcastDocs)
+    val rows = DedupOps.ngramJaccardPairs(spark, dir, maxVocab, maxBroadcastDocs,
+      broadcastCeiling = Long.MaxValue)
       .collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
         r.getAs[Double]("jaccard")))

@@ -58,6 +58,27 @@ class IndexMergeSpec extends AnyFunSuite {
     assert(merged.size == 6)
   }
 
+  test("redelivered / overlapping ids merge idempotently (r10 ADVICE)") {
+    // At-least-once redelivery: the batch repeats ids the index
+    // already holds. The distinct union must (a) not double-count the
+    // repeats toward the cap, (b) not keep duplicate ids, and (c) be
+    // idempotent — re-merging the same batch changes nothing.
+    val standing = queries.DedupOps.cappedIndexBuckets(banded(
+      (1L, 0, "redeliver"), (2L, 0, "redeliver"),  // 2 of 3
+      (4L, 0, "overlap"), (5L, 0, "overlap")), Cap)
+    val batch = banded(
+      (1L, 0, "redeliver"), (2L, 0, "redeliver"),  // pure redelivery
+      (5L, 0, "overlap"), (6L, 0, "overlap"))      // one repeat + one new
+    val once = queries.DedupOps.mergeIndexBuckets(standing, batch, Cap)
+    val onceB = buckets(once)
+    assert(onceB((0, "redeliver")) == Seq(1L, 2L),
+      "pure redelivery must not change the bucket (a raw size-sum would tombstone it)")
+    assert(onceB((0, "overlap")) == Seq(4L, 5L, 6L),
+      "overlapping id must count once toward the cap and appear once")
+    val twice = buckets(queries.DedupOps.mergeIndexBuckets(once, batch, Cap))
+    assert(twice == onceB, "re-merging the same batch must be a no-op")
+  }
+
   // cap per sf: the registered cap (3) already tombstones at sf0.001
   // (full-corpus max bucket 4); sf0.01's buckets top out at EXACTLY 3
   // (the q91/q92 declare-vs-fire split, documented on q101), so that
