@@ -65,7 +65,9 @@ object Registry {
       // q100 (quality-aware canonical selection) — same tail-append rule.
       queries.DedupOps.q100 :+
       // q101 (ingest-index maintenance merge) — same tail-append rule.
-      queries.DedupOps.q101
+      queries.DedupOps.q101 :+
+      // q102 (embedding-index maintenance merge) — same tail-append rule.
+      queries.DedupOps.q102
 
   // ListMap: keep registry order. A HashMap would reshuffle the
   // bench's execution order whenever a query is added, which moves

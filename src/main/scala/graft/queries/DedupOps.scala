@@ -1911,6 +1911,72 @@ object DedupOps {
         FROM g ORDER BY band, key"""
     })
 
+  /** banded(doc_id, band, key) over the embeddings matching `pred`,
+    * through the q91/q97 sign-LSH family — the banding the standing
+    * embedding ingest index (q97) is keyed by. The vec_id is emitted
+    * AS doc_id so [[cappedIndexBuckets]]/[[mergeIndexBuckets]] apply
+    * unchanged: the maintenance operator is generic over (band, key)
+    * bucket tables, and this is its second registered instance. */
+  private[graft] def embBandedFor(s: org.apache.spark.sql.SparkSession,
+      dir: String, pred: Column): DataFrame =
+    t(s, dir, "embeddings")
+      .where(pred)
+      .select(col("vec_id").as("doc_id"),
+        posexplode(bandKeysUdf(Q91Bands, Q91Bits)(col("embedding"))))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("key"))
+
+  /** EMBEDDING-index maintenance — [[mergeIndexBuckets]] applied to
+    * q97's standing sign-LSH index (r10 VERDICT task 4: both ingest
+    * gates need their update half; the text MinHash instance is
+    * [[q101]]). Same contract, same proof shape: the oracle recomputes
+    * the capped index over the FULL embeddings corpus from scratch, so
+    * the driver's cross-engine hash gate re-proves incremental ==
+    * batch for the embedding banding every round.
+    *
+    * Cap declare-vs-fire at the sf scales (the q101 split, embedding
+    * edition): the q97 production cap (56) is far above the sf
+    * bucket occupancies (sf0.01 tops out at 19 across the 4×64
+    * (band, key) space), so the registered oracle proves the merge +
+    * cap ARITHMETIC cross-engine while the tombstone branch stays
+    * declared-not-fired; IndexMergeSpec fires it on the SAME banding
+    * at a tightened cap on sf0.01 AND at the production cap on sf0.1
+    * (max bucket 75 > 56 — real parameters, real tombstones,
+    * merged == recomputed). */
+  val q102 = Q(
+    "q102_embedding_index_merge",
+    s"embedding-index maintenance: merge the 10% vector batch into the standing sign-LSH index (cap $Q91Cap)",
+    (s, dir) => {
+      val inc = h60(concat(lit("ingest:"), col("vec_id"))) % 10 === 0
+      val standing = cappedIndexBuckets(embBandedFor(s, dir, !inc), Q91Cap)
+      val merged = mergeIndexBuckets(standing, embBandedFor(s, dir, inc), Q91Cap)
+      merged.select(col("band"), col("key"),
+        (size(col("ids")) === 0).as("dropped"),
+        size(col("ids")).cast("long").as("n_kept"),
+        concat_ws(",", transform(col("ids"), x => x.cast("string"))).as("ids"))
+        .orderBy(col("band"), col("key"))
+    },
+    Some {
+      val signs = rademacherSigns(Q91Bands * Q91Bits, EmbDim)
+      val bandRows = (0 until Q91Bands).map { b =>
+        val key = (0 until Q91Bits).map { r =>
+          s"CASE WHEN (${oProj(signs(b * Q91Bits + r))}) >= 0 THEN ${1 << r} ELSE 0 END"
+        }.mkString(" + ")
+        s"SELECT vec_id, $b AS band, $key AS key FROM e"
+      }.mkString("\n        UNION ALL ")
+      s"""WITH e AS (
+        SELECT vec_id, embedding AS v FROM embeddings),
+      banded AS (
+        $bandRows),
+      g AS (
+        SELECT band, key, count(*) AS n,
+          string_agg(CAST(vec_id AS VARCHAR), ',' ORDER BY vec_id) AS allids
+        FROM banded GROUP BY band, key)
+      SELECT band, key, n > $Q91Cap AS dropped,
+        CASE WHEN n > $Q91Cap THEN CAST(0 AS BIGINT) ELSE n END AS n_kept,
+        CASE WHEN n > $Q91Cap THEN '' ELSE allids END AS ids
+      FROM g ORDER BY band, key"""
+    })
+
   /** QUALITY-AWARE canonical selection — the survivor policy real
     * curation pipelines run instead of q73's min-id: each near-dup
     * cluster keeps its highest-QUALITY member (the q83 gate's four

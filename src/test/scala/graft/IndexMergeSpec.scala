@@ -99,6 +99,36 @@ class IndexMergeSpec extends AnyFunSuite {
     }
   }
 
+  // The EMBEDDING instance (q102): same operator over the q97
+  // sign-LSH banding. The registered q102 cap (56, q97's production
+  // index cap) is above the sf bucket occupancies, so these cases
+  // fire the tombstone branch where the registered oracle cannot:
+  // sf0.01 at a tightened cap, and sf0.1 at the PRODUCTION cap
+  // itself (max bucket 75 > 56 there — real parameters, real
+  // tombstones, merged == recomputed).
+  for ((sf, cap) <- Seq(("sf0.01", 12), ("sf0.1", 56))) {
+    test(s"embedding-index merge equals batch recompute on $sf (cap $cap)") {
+      val dir = s"/root/testdata/$sf"
+      // pred runs over `embeddings` BEFORE the vec_id -> doc_id rename,
+      // so it references vec_id (same split expression as q102's).
+      val inc = queries.h60(concat(lit("ingest:"), col("vec_id"))) % 10 === 0
+      val standing = queries.DedupOps.cappedIndexBuckets(
+        queries.DedupOps.embBandedFor(spark, dir, !inc), cap)
+      val merged = bucketsI(queries.DedupOps.mergeIndexBuckets(
+        standing, queries.DedupOps.embBandedFor(spark, dir, inc), cap))
+      val recomputed = bucketsI(queries.DedupOps.cappedIndexBuckets(
+        queries.DedupOps.embBandedFor(spark, dir, lit(true)), cap))
+      Scratch.releaseAll()
+      assert(merged.exists(_._2.isEmpty), "no tombstone exercised; test is vacuous")
+      assert(merged == recomputed)
+    }
+  }
+
+  /** [[buckets]] for the embedding banding's Int keys. */
+  private def bucketsI(df: org.apache.spark.sql.DataFrame): Map[(Int, Int), Seq[Long]] =
+    df.collect().map(r => (r.getAs[Int]("band"), r.getAs[Int]("key")) ->
+      r.getAs[scala.collection.Seq[Long]]("ids").toSeq).toMap
+
   test("two-batch replay converges to the recomputed index (sf0.001)") {
     val dir = "/root/testdata/sf0.001"
     val cap = 2 // tighter cap: more boundary crossings across the two merges
