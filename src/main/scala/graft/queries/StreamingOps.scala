@@ -416,29 +416,30 @@ object StreamingOps {
     * incoming docs in the batch, never the index). Output and oracle
     * are exactly q96's — one truth relation, two physical engines.
     *
-    * Per-row signatures here use interpreted `transform` lambdas
-    * (12 × ~100 element folds per doc) — right for a registration-
-    * scale instance; at volume the batch JIT kernels
-    * (`shingleH60Udf` + a fused min-fold) are the drop-in, same as
-    * every other regex-wall lesson. */
+    * Per-row signatures run through the FUSED JIT kernel
+    * [[graft.queries.minhashSigUdf]] (r9 VERDICT task 3): one kernel
+    * pass per doc computes the distinct shingle-hash set AND all
+    * minhash minima, replacing the |AB| + 2 interpreted `transform`
+    * folds the first registration used — bit-identical output
+    * (IngestGateSpec re-proves q98 == q96 relation equality, and the
+    * registered oracle hash stays byte-stable), still zero stream-side
+    * shuffle. */
   val q98 = Q(
     "q98_stream_ingest_gate",
     "stream-static ingest gate: streamed incoming docs probed against the static capped q96 index",
     (s, dir) => {
       val (keptIdx, idxHs) = DedupOps.q96IndexSide(s, dir)
       val (ab, p, bands, rowsPerBand) = DedupOps.minhashParams
-      val incoming = documentsStream(s, dir)
+      val sigd = documentsStream(s, dir)
         .where(h60(concat(lit("ingest:"), col("doc_id"))) % 10 === 0)
         .select(col("doc_id"), split(trim(col("text")), " +").as("tk"))
         .where(size(col("tk")) >= 3)
-        .withColumn("grams", transform(shingleH60Udf(3)(col("tk")), h => h % p))
-        .withColumn("hs_a", sort_array(array_distinct(col("grams"))))
-      val withMins = ab.zipWithIndex.foldLeft(incoming) { case (df, ((a, b), i)) =>
-        df.withColumn(s"m$i", array_min(transform(col("grams"), h => (h * a + b) % p)))
-      }
-      val banded = withMins.select(col("doc_id"), col("hs_a"),
+        .select(col("doc_id"), minhashSigUdf(3, ab, p)(col("tk")).as("sig"))
+        .select(col("doc_id"), col("sig.hs").as("hs_a"), col("sig.mins").as("mins"))
+      val banded = sigd.select(col("doc_id"), col("hs_a"),
         posexplode(array((0 until bands).map { bnd =>
-          concat_ws(",", (0 until rowsPerBand).map(r => col(s"m${bnd * rowsPerBand + r}")): _*)
+          concat_ws(",", (0 until rowsPerBand).map(r =>
+            element_at(col("mins"), bnd * rowsPerBand + r + 1)): _*)
         }: _*)))
         .select(col("doc_id"), col("hs_a"), col("pos").as("band"), col("col").as("key"))
       val verified = banded

@@ -14,6 +14,13 @@ import org.apache.spark.sql.types.DecimalType
   *     promotes integer sums to HUGEINT, Spark to LONG).
   *   - every query output is totally ordered.
   */
+/** Struct returned by [[queries.minhashSigUdf]]: the per-doc sorted
+  * distinct shingle-hash set (the exact-verify side) and the minhash
+  * minima (the banding side), computed in one kernel pass. Top-level
+  * (not inside the package object) so Spark's Product encoder derives
+  * its schema without a package-object owner in the TypeTag path. */
+final case class MinhashSig(hs: Seq[Long], mins: Seq[Long])
+
 package object queries {
   /** Stable unique per-session memo key (JVM-lifetime unique), unlike
     * System.identityHashCode which can be reused by a new session after
@@ -119,6 +126,63 @@ package object queries {
       }
       seen.toSeq
     }
+
+  /** Fused PER-ROW MinHash signature kernel for the stream-side
+    * ingest gate (q98): one pass over a token array computes the
+    * distinct shingle-hash set AND every minhash minimum —
+    * bit-identical to the chained Catalyst form it replaces
+    *   grams = transform(shingleH60Udf(n)(tk), h -> h % p)
+    *   hs    = sort_array(array_distinct(grams))
+    *   m_i   = array_min(transform(grams, h -> (h * a_i + b_i) % p))
+    * (same md5 → 60-bit fold as [[shingleH60Udf]]; Long overflow and
+    * `%` follow identical Java semantics in the kernel and in
+    * Catalyst's Multiply/Add/Remainder, so every m_i agrees even
+    * past 63-bit products). Exists for the regex-wall reason
+    * (r9 VERDICT task 3): the interpreted `transform` folds ran
+    * |AB| + 2 lambda passes per row on the stream side, where this
+    * is one JIT pass — and unlike the batch path's explode → groupBy
+    * aggregation it keeps the stream side SHUFFLE-FREE. */
+  def minhashSigUdf(n: Int, ab: Seq[(Long, Long)], p: Long):
+      org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val as = ab.map(_._1).toArray
+    val bs = ab.map(_._2).toArray
+    udf { (toks: Seq[String]) =>
+      val arr = toks.toArray // LinearSeq guard: indexed access below
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val seen = scala.collection.mutable.LinkedHashSet.empty[Long]
+      var i = 0
+      while (i + n - 1 < arr.length) {
+        val sb = new java.lang.StringBuilder(arr(i))
+        var k = 1
+        while (k < n) { sb.append(' ').append(arr(i + k)); k += 1 }
+        md.reset()
+        val d = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var h = 0L
+        var b = 0
+        while (b < 7) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+        h = (h << 4) | ((d(7) & 0xf0L) >> 4)
+        seen.add(h)
+        i += 1
+      }
+      val mins = Array.fill(as.length)(Long.MaxValue)
+      val gs = new java.util.TreeSet[java.lang.Long]()
+      seen.foreach { h0 =>
+        val g = h0 % p // h0 >= 0, so g >= 0
+        gs.add(g)
+        var k = 0
+        while (k < as.length) {
+          val v = (g * as(k) + bs(k)) % p // may overflow+wrap: same as Catalyst
+          if (v < mins(k)) mins(k) = v
+          k += 1
+        }
+      }
+      val hs = new Array[Long](gs.size)
+      val it = gs.iterator()
+      var j = 0
+      while (it.hasNext) { hs(j) = it.next().longValue(); j += 1 }
+      MinhashSig(hs.toSeq, mins.toSeq)
+    }
+  }
 
   /** JIT distinct char-4-gram [[h60]] hashes over a (pre-normalized)
     * string — bit-identical per position to
