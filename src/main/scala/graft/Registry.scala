@@ -67,7 +67,9 @@ object Registry {
       // q101 (ingest-index maintenance merge) — same tail-append rule.
       queries.DedupOps.q101 :+
       // q102 (embedding-index maintenance merge) — same tail-append rule.
-      queries.DedupOps.q102
+      queries.DedupOps.q102 :+
+      // q103 (ExactSubstr-style sliding-window dedup) — same tail-append rule.
+      queries.TextOps.q103
 
   // ListMap: keep registry order. A HashMap would reshuffle the
   // bench's execution order whenever a query is added, which moves

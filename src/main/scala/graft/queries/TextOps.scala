@@ -831,6 +831,95 @@ object TextOps {
       FROM composed ORDER BY doc_id"""
     })
 
+  private val SubStride = SpanLen / 2 // 5: windows OVERLAP, unlike q95's grid
+
+  /** ExactSubstr-style SLIDING-window repeated-substring removal
+    * (Lee et al. 2022 "Deduplicating Training Data Makes Language
+    * Models Better" §4.1 removes every repeated ≥50-token substring;
+    * restated here over [[SpanLen]]-token windows at stride
+    * [[SubStride]]): q95's fixed 10-token grid misses any repeated
+    * span that STRADDLES a grid boundary — its two grid fragments
+    * each carry unrelated neighbor tokens, so neither repeats (r9
+    * VERDICT task 4, measured: 21 of sf0.01's 42 hot window
+    * instances are off-grid). Overlapping windows at stride L/2
+    * guarantee every repeated 2L-token run contains a fully-repeated
+    * window, so its core tokens are caught regardless of alignment;
+    * a window whose corpus-wide count exceeds [[Q95DfCap]] (q95's
+    * threshold — one boilerplate definition) marks ALL its token
+    * positions covered, covered tokens drop, survivors reassemble in
+    * document order with q95's (n_kept, md5 fp) output shape.
+    *
+    * Scale shape: window-df is ONE exchange with map-side partial
+    * counts (2× q95's row volume — the stride trade is explicit);
+    * the df relation filters to hot windows BEFORE joining back, so
+    * only boilerplate instances ship; per-doc hot START LISTS (not
+    * exploded token positions) come back in one small aggregate, and
+    * the drop itself is a PER-ROW interval filter over the token
+    * array — no token-level shuffle anywhere, the q99 scan-shape
+    * argument. Higher-order-function lambdas here are per-element
+    * comparisons (no regex/md5 in the loop), below the regex-wall
+    * threshold the JIT kernels exist for. */
+  val q103 = Q(
+    "q103_substr_dedup",
+    s"ExactSubstr-style pass: $SpanLen-token windows at stride $SubStride, tokens covered by a window with corpus count > $Q95DfCap drop, reassemble",
+    (s, dir) => {
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("tk"))
+      val wins = graft.Scratch.scoped(tok
+        .select(col("doc_id"), posexplode(expr(
+          s"""transform(
+             |  sequence(0, cast(greatest(0, ceil((size(tk) - $SpanLen) / ${SubStride}.0)) as int)),
+             |  i -> concat_ws(' ', slice(tk, i * $SubStride + 1, $SpanLen)))""".stripMargin)))
+        .select(col("doc_id"), (col("pos") * SubStride).cast("long").as("start"),
+          col("col").as("win")))
+      val hot = wins.groupBy(col("win")).agg(count(lit(1)).as("df"))
+        .where(col("df") > Q95DfCap)
+      val hotStarts = wins.join(hot, "win")
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("start"))).as("hs"))
+      tok.join(hotStarts, Seq("doc_id"), "left")
+        .select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"),
+          expr(s"""transform(
+             |  filter(transform(tk, (x, i) -> named_struct('t', x, 'p', cast(i as bigint))),
+             |    s -> hs IS NULL OR NOT exists(hs, st -> s.p >= st AND s.p < st + $SpanLen)),
+             |  y -> y.t)""".stripMargin).as("kept"))
+        .select(col("doc_id"), col("n_tokens"),
+          size(col("kept")).cast("long").as("n_kept"),
+          when(size(col("kept")) === 0, lit(""))
+            .otherwise(md5(concat_ws(" ", col("kept")))).as("fp"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH tok AS (
+        SELECT doc_id, string_split_regex(trim(text), ' +') AS tk FROM documents),
+      w AS (
+        SELECT doc_id, len(tk) AS n, i * $SubStride AS start,
+          array_to_string(list_slice(tk, i * $SubStride + 1, i * $SubStride + $SpanLen), ' ') AS win
+        FROM (SELECT doc_id, tk,
+                unnest(range(0, 1 + CAST(greatest(0,
+                  ceil((len(tk) - $SpanLen) / ${SubStride}.0)) AS BIGINT))) AS i
+              FROM tok)),
+      hot AS (
+        SELECT win FROM w GROUP BY win HAVING count(*) > $Q95DfCap),
+      cov AS (
+        SELECT DISTINCT doc_id, pos FROM (
+          SELECT doc_id, unnest(range(start, least(start + $SpanLen, n))) AS pos
+          FROM w JOIN hot USING (win))),
+      tt AS (
+        SELECT doc_id, i - 1 AS pos, tk[i] AS tok
+        FROM (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i FROM tok)),
+      kept AS (
+        SELECT tt.doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+          md5(string_agg(tok, ' ' ORDER BY tt.pos)) AS fp
+        FROM tt LEFT JOIN cov ON tt.doc_id = cov.doc_id AND tt.pos = cov.pos
+        WHERE cov.doc_id IS NULL
+        GROUP BY tt.doc_id),
+      tot AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens FROM tok)
+      SELECT tot.doc_id AS doc_id, n_tokens,
+        coalesce(n_kept, CAST(0 AS BIGINT)) AS n_kept,
+        coalesce(fp, '') AS fp
+      FROM tot LEFT JOIN kept ON tot.doc_id = kept.doc_id
+      ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38,
     q74, q75, q76, q77, q78)
 }
