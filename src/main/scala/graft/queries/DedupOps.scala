@@ -1468,9 +1468,17 @@ object DedupOps {
     * Jaccard over the per-doc gram-hash sets (collisions map both
     * engines identically). Probabilistic recall at the 0.5 boundary
     * (0.99 per the 16-band S-curve), ~1.0 for real near-dups
-    * (J ≥ 0.7) — measured against ground truth at volume in Q53Bench
-    * (100 % at 1M docs with the 16×2 layout; the superseded 8×2
-    * layout's 99.905 % and its attribution are in THROUGHPUT.md). */
+    * (J ≥ 0.7) — measured against ground truth at volume by a FULL
+    * Q53Bench pipeline run of this registered instance (round 11:
+    * 218,750 of 218,750 truth pairs at 1M docs — 100 % recall, 0
+    * unsound, 1040 s; the superseded 8×2 layout's 99.905 % / 351 s
+    * row and the attribution ladder that motivated the 16×2
+    * re-registration are in THROUGHPUT.md). The recall-for-wall
+    * trade is explicit: doubling the bands tripled the 1M wall at
+    * the measurement heap (spill-bound) and bought back the last
+    * 0.095 % — the right default for a training-data dedup, where
+    * a missed template cluster is repeated boilerplate in the
+    * training set; a latency-bound deployment re-registers 8×2. */
   private[graft] def ngramMinhashPairs(s: org.apache.spark.sql.SparkSession,
       dir: String, cap: Int): DataFrame = {
     val hashed = t(s, dir, "documents")
@@ -1871,7 +1879,8 @@ object DedupOps {
     * out at exactly the cap, where both engines declare the branch
     * but neither fires it; IndexMergeSpec keeps the tombstone branch
     * exercised at sf0.01 with a tightened cap, and the 2M-doc volume
-    * run fires it at production density (THROUGHPUT.md round 10). */
+    * run fires it at production density — ~90k tombstone decisions
+    * across the two 2M-doc merges (THROUGHPUT.md round 11). */
   val q101 = Q(
     "q101_index_merge",
     s"ingest-index maintenance: merge the 10% batch into the standing capped index (cap $Q96Cap), tombstones persist",

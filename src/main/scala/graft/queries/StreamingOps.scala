@@ -424,45 +424,61 @@ object StreamingOps {
     * (IngestGateSpec re-proves q98 == q96 relation equality, and the
     * registered oracle hash stays byte-stable), still zero stream-side
     * shuffle. */
+  /** q98's STREAMING dataflow from an arbitrary documents-schema
+    * stream: incoming filter → fused per-row signatures → stateless
+    * static probe → Complete-mode per-doc aggregate. Factored out so
+    * the volume bench (StreamIngestVolBench) runs the IDENTICAL
+    * relation through real micro-batches (maxFilesPerTrigger over a
+    * multi-part copy) while the registered instance streams the sf
+    * corpus directly — one dataflow, two drivers. Returns the
+    * pre-sink aggregate; the caller runs it to completion. */
+  private[graft] def ingestGateStream(s: SparkSession, dir: String,
+      docs: DataFrame): DataFrame = {
+    val (keptIdx, idxHs) = DedupOps.q96IndexSide(s, dir)
+    val (ab, p, bands, rowsPerBand) = DedupOps.minhashParams
+    val sigd = docs
+      .where(h60(concat(lit("ingest:"), col("doc_id"))) % 10 === 0)
+      .select(col("doc_id"), split(trim(col("text")), " +").as("tk"))
+      .where(size(col("tk")) >= 3)
+      .select(col("doc_id"), minhashSigUdf(3, ab, p)(col("tk")).as("sig"))
+      .select(col("doc_id"), col("sig.hs").as("hs_a"), col("sig.mins").as("mins"))
+    val banded = sigd.select(col("doc_id"), col("hs_a"),
+      posexplode(array((0 until bands).map { bnd =>
+        concat_ws(",", (0 until rowsPerBand).map(r =>
+          element_at(col("mins"), bnd * rowsPerBand + r + 1)): _*)
+      }: _*)))
+      .select(col("doc_id"), col("hs_a"), col("pos").as("band"), col("col").as("key"))
+    val verified = banded
+      .join(keptIdx, Seq("band", "key")) // stream-static, stateless
+      .join(idxHs, Seq("idx_doc"))       // stream-static, stateless
+      .select(col("doc_id"), col("idx_doc"),
+        round(size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
+          size(array_union(col("hs_a"), col("hs_b"))).cast("double"), 4)
+          .as("jaccard"))
+      .where(col("jaccard") >= 0.8)
+    // A pair can surface through several bands: collect_set + the
+    // struct-max argmax absorb duplicates WITHOUT a second stateful
+    // operator (streaming distinct aggregation is unsupported, and
+    // chaining dropDuplicates into a Complete agg is restricted).
+    verified.groupBy(col("doc_id"))
+      .agg(collect_set(col("idx_doc")).as("mset"),
+        max(struct(col("jaccard"), (-col("idx_doc")).as("nid"))).as("best"))
+  }
+
+  /** Project [[ingestGateStream]]'s aggregate to q96's output shape. */
+  private[graft] def ingestGateOutput(out: DataFrame): DataFrame =
+    out.select(col("doc_id"),
+        size(col("mset")).cast("long").as("n_matches"),
+        (-col("best.nid")).as("best_match"),
+        col("best.jaccard").as("best_jaccard"))
+      .orderBy(col("doc_id"))
+
   val q98 = Q(
     "q98_stream_ingest_gate",
     "stream-static ingest gate: streamed incoming docs probed against the static capped q96 index",
     (s, dir) => {
-      val (keptIdx, idxHs) = DedupOps.q96IndexSide(s, dir)
-      val (ab, p, bands, rowsPerBand) = DedupOps.minhashParams
-      val sigd = documentsStream(s, dir)
-        .where(h60(concat(lit("ingest:"), col("doc_id"))) % 10 === 0)
-        .select(col("doc_id"), split(trim(col("text")), " +").as("tk"))
-        .where(size(col("tk")) >= 3)
-        .select(col("doc_id"), minhashSigUdf(3, ab, p)(col("tk")).as("sig"))
-        .select(col("doc_id"), col("sig.hs").as("hs_a"), col("sig.mins").as("mins"))
-      val banded = sigd.select(col("doc_id"), col("hs_a"),
-        posexplode(array((0 until bands).map { bnd =>
-          concat_ws(",", (0 until rowsPerBand).map(r =>
-            element_at(col("mins"), bnd * rowsPerBand + r + 1)): _*)
-        }: _*)))
-        .select(col("doc_id"), col("hs_a"), col("pos").as("band"), col("col").as("key"))
-      val verified = banded
-        .join(keptIdx, Seq("band", "key")) // stream-static, stateless
-        .join(idxHs, Seq("idx_doc"))       // stream-static, stateless
-        .select(col("doc_id"), col("idx_doc"),
-          round(size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
-            size(array_union(col("hs_a"), col("hs_b"))).cast("double"), 4)
-            .as("jaccard"))
-        .where(col("jaccard") >= 0.8)
-      // A pair can surface through several bands: collect_set + the
-      // struct-max argmax absorb duplicates WITHOUT a second stateful
-      // operator (streaming distinct aggregation is unsupported, and
-      // chaining dropDuplicates into a Complete agg is restricted).
-      val gated = verified.groupBy(col("doc_id"))
-        .agg(collect_set(col("idx_doc")).as("mset"),
-          max(struct(col("jaccard"), (-col("idx_doc")).as("nid"))).as("best"))
-      val out = runBatchesToParquet(s, gated, OutputMode.Complete(), "overwrite")
-      out.select(col("doc_id"),
-          size(col("mset")).cast("long").as("n_matches"),
-          (-col("best.nid")).as("best_match"),
-          col("best.jaccard").as("best_jaccard"))
-        .orderBy(col("doc_id"))
+      val gated = ingestGateStream(s, dir, documentsStream(s, dir))
+      ingestGateOutput(runBatchesToParquet(s, gated, OutputMode.Complete(), "overwrite"))
     },
     Some(DedupOps.oIngestGateSql))
 
