@@ -24,6 +24,16 @@ object Bench {
       // case down to defaultParallelism while keeping core occupancy.
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Fixed-instance DEMOS stay registered (and oracle-checked by the
+    // driver's correctness gate) but are excluded from the timed loop
+    // (r10 VERDICT task 7): their own descriptions mark them as
+    // pedagogical fixed instances of the scaled operators (q52→q92,
+    // q54→q91, q90→q93), so suite wall-clock tracks production shapes
+    // only. THROUGHPUT.md round 11 records the exclusion for
+    // round-over-round comparability.
+    val demos = Set("q52_simhash", "q54_embedding_neardup",
+      "q90_embedding_neardup_clusters")
+    val benched = SparkEntry.queries.filter { case (n, _) => !demos(n) }
     // Untimed warmup pass (standard benchmark methodology, cf. JMH):
     // run every query once at the smallest scale factor so Catalyst
     // planning and Janino whole-stage-codegen compilation are warm —
@@ -33,7 +43,7 @@ object Bench {
     spark.range(1000).selectExpr("sum(id) s").groupBy("s").count().count()
     val warmDir = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
     if (warmDir.isDirectory && warmDir.getPath != sfDir)
-      SparkEntry.queries.foreach { case (_, fn) =>
+      benched.foreach { case (_, fn) =>
         try fn(spark, warmDir.getPath).count() catch { case _: Throwable => () }
         Scratch.releaseAll()
       }
@@ -44,7 +54,7 @@ object Bench {
     // session-scoped stage memos are evicted between passes so pass 2
     // re-pays exactly what pass 1 did (otherwise the stage query that
     // funds the shared dedupe+merge would report a near-zero min).
-    def timedPass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
+    def timedPass(): Map[String, Double] = benched.map { case (name, fn) =>
       // One-time layout setup (bucketed tables etc.) runs untimed: a
       // deployment pays it once and amortizes it over every subsequent
       // query, so timing it per-run would misrepresent the device.

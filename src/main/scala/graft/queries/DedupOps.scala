@@ -1925,13 +1925,17 @@ object DedupOps {
     * embedding ingest index (q97) is keyed by. The vec_id is emitted
     * AS doc_id so [[cappedIndexBuckets]]/[[mergeIndexBuckets]] apply
     * unchanged: the maintenance operator is generic over (band, key)
-    * bucket tables, and this is its second registered instance. */
+    * bucket tables, and this is its second registered instance.
+    * `bands`/`bits` default to the registered sf-scale point; the
+    * volume tool (EmbIndexVolBench) passes EmbedDedupBench's
+    * production 6×20 parameters through the SAME path. */
   private[graft] def embBandedFor(s: org.apache.spark.sql.SparkSession,
-      dir: String, pred: Column): DataFrame =
+      dir: String, pred: Column,
+      bands: Int = Q91Bands, bits: Int = Q91Bits): DataFrame =
     t(s, dir, "embeddings")
       .where(pred)
       .select(col("vec_id").as("doc_id"),
-        posexplode(bandKeysUdf(Q91Bands, Q91Bits)(col("embedding"))))
+        posexplode(bandKeysUdf(bands, bits)(col("embedding"))))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("key"))
 
   /** EMBEDDING-index maintenance — [[mergeIndexBuckets]] applied to
@@ -1950,7 +1954,12 @@ object DedupOps {
     * declared-not-fired; IndexMergeSpec fires it on the SAME banding
     * at a tightened cap on sf0.01 AND at the production cap on sf0.1
     * (max bucket 75 > 56 — real parameters, real tombstones,
-    * merged == recomputed). */
+    * merged == recomputed). At volume: EmbIndexVolBench's 2M-vector
+    * two-batch run at the 6×20/cap-64 production point (THROUGHPUT.md
+    * round 11) measures per-batch cost flat (5.6 s / 4.3 s per
+    * 200k-vector batch, ~0.1 GB shuffle each — only the batch's
+    * banding shuffles), the tombstone branch firing (47→87→153),
+    * and merged == recomputed bucket for bucket over all 2M. */
   val q102 = Q(
     "q102_embedding_index_merge",
     s"embedding-index maintenance: merge the 10% vector batch into the standing sign-LSH index (cap $Q91Cap)",
