@@ -69,7 +69,9 @@ object Registry {
       // q102 (embedding-index maintenance merge) — same tail-append rule.
       queries.DedupOps.q102 :+
       // q103 (ExactSubstr-style sliding-window dedup) — same tail-append rule.
-      queries.TextOps.q103
+      queries.TextOps.q103 :+
+      // q104 (Bloom-gate decontamination) — same tail-append rule.
+      queries.TextOps.q104
 
   // ListMap: keep registry order. A HashMap would reshuffle the
   // bench's execution order whenever a query is added, which moves

@@ -920,6 +920,156 @@ object TextOps {
       FROM tot LEFT JOIN kept ON tot.doc_id = kept.doc_id
       ORDER BY doc_id"""))
 
+  /** Bloom-filter bit count for the REGISTERED q104 instance: 2^18
+    * bits / k=2 positions per shingle. Sized so the FALSE-POSITIVE
+    * path fires at the ORACLE scales (eval carries ~2.2k distinct
+    * 8-gram shingles at sf0.001/sf0.01 → set-bit fraction ~1.7 %,
+    * per-shingle FP ~2.9e-4, ~6 expected FP docs among ~456 train
+    * docs of ~47 shingles each) — the FP arithmetic is exactly what
+    * makes a Bloom gate nontrivial, so the driver's cross-engine
+    * hash compare must exercise it, the q89-cap registration logic.
+    * At sf0.1 the same m is deliberately PAST its design load (25k
+    * eval shingles → fraction ~0.19, most train docs flag) — the
+    * overload regime the production sizing formula exists to avoid:
+    * a deployment sizes m ≈ 20 bits per eval shingle with k ≈ 14
+    * (per-shingle FP ~7e-5, per-doc ~0.3 %), and both m and k are
+    * plain parameters of [[bloomGateFor]]. */
+  private val Q104M = 1L << 18
+  private val Q104K = 2
+
+  /** Distinct k-fold Bloom bit positions of a 60-bit shingle hash,
+    * by double hashing (Kirsch–Mitzenmacher 2006: pos_j = (h1 + j·h2)
+    * mod m): h1 = h mod m, h2 = 1 + (h >> 30) mod (m-1) — the high
+    * 30 bits drive the stride, so h1/h2 are independent for m ≤ 2^30,
+    * and h2 ≥ 1 keeps the k probes distinct mod m for k ≤ 2. All
+    * non-negative integer arithmetic, so the DuckDB oracle recomputes
+    * the SAME positions with `%` and `//`. */
+  private[graft] def bloomPositions(h: Long, m: Long, k: Int): Array[Long] = {
+    val h1 = h % m
+    val h2 = 1L + ((h >> 30) % (m - 1))
+    Array.tabulate(k)(j => (h1 + j * h2) % m)
+  }
+
+  /** Driver-side Bloom bitset over a single-column `h` relation of
+    * 60-bit hashes: one word-grouped `bit_or` aggregation, collected
+    * into a dense long array. The collect is bounded by the FILTER
+    * SIZE m/64 words (a registration constant — 4 KiB·longs at the
+    * registered 2^18), never by data volume: the bitset is the
+    * device, and it must exist as one in-memory array to broadcast. */
+  private[graft] def bloomBitset(evalHashes: org.apache.spark.sql.DataFrame,
+      m: Long, k: Int): Array[Long] = {
+    val words = new Array[Long]((m / 64).toInt)
+    val posCols = (0 until k).map { j =>
+      (col("h") % m + lit(j) * ((shiftright(col("h"), 30) % (m - 1)) + 1L)) % m
+    }
+    evalHashes
+      .select(explode(array(posCols: _*)).as("pos"))
+      .select(shiftright(col("pos"), 6).as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos & 63 AS INT))").as("bit"))
+      .groupBy(col("w")).agg(expr("bit_or(bit)").as("mask"))
+      .collect()
+      .foreach(r => words(r.getLong(0).toInt) |= r.getLong(1))
+    words
+  }
+
+  /** JIT Bloom probe over a doc's distinct shingle-hash array: returns
+    * the subset whose k positions are all set in the broadcast bitset.
+    * Zero shuffle — the 100 TB side of the gate is this narrow map. */
+  private def bloomProbeUdf(
+      bc: org.apache.spark.broadcast.Broadcast[Array[Long]], m: Long, k: Int) =
+    udf { (hs: Seq[Long]) =>
+      val words = bc.value
+      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+      hs.foreach { h =>
+        val ps = bloomPositions(h, m, k)
+        var j = 0
+        var hit = true
+        while (hit && j < ps.length) {
+          hit = ((words((ps(j) >> 6).toInt) >> (ps(j) & 63).toInt) & 1L) != 0L
+          j += 1
+        }
+        if (hit) out += h
+      }
+      out.toSeq
+    }
+
+  /** BLOOM-GATE decontamination — the broadcast-membership answer to
+    * q77/q89's distinct-hash JOIN, flagging the TRAIN docs that carry
+    * an eval 8-gram (the docs a benchmark-honest pipeline DROPS; q77
+    * reports the eval side). The eval split's distinct shingle hashes
+    * fold into an m-bit Bloom bitset (driver-built, broadcast —
+    * m/8 bytes regardless of corpus size); every train doc probes the
+    * bitset in one narrow JIT pass, so the 100-TB train side incurs
+    * ZERO shuffle — only bloom-HIT hashes (truth plus the measured FP
+    * tail) enter the exact verify join, and exact ⊆ bloom-hit means
+    * nothing else ever could. Output exposes BOTH stages per flagged
+    * doc — n_bloom (filter hits), n_exact (true shared shingles),
+    * bloom_fp — so the oracle's recomputation of the same bit
+    * positions proves the FP arithmetic cross-engine, not just the
+    * exact trim. No false negatives by construction (every position
+    * of a present hash is set); BloomGateSpec pins the subset
+    * invariants and a forced-FP instance. */
+  def bloomGateFor(s: org.apache.spark.sql.SparkSession, dir: String,
+      m: Long, k: Int): org.apache.spark.sql.DataFrame = {
+    val base = t(s, dir, "documents")
+      .select(col("doc_id"),
+        (h60(concat(lit("split:"), col("doc_id"))) % 100).as("b"),
+        tokens(col("text")).as("toks"))
+      .where(size(col("toks")) >= 8)
+    val evalSh = base.where(col("b") >= 90)
+      .select(explode(shingleHashes8(col("toks"))).as("h")).distinct()
+    val bc = s.sparkContext.broadcast(bloomBitset(evalSh, m, k))
+    base.where(col("b") < 90)
+      .select(col("doc_id"),
+        bloomProbeUdf(bc, m, k)(shingleHashes8(col("toks"))).as("hits"))
+      .where(size(col("hits")) > 0)
+      .select(col("doc_id"), size(col("hits")).cast("long").as("n_bloom"),
+        explode(col("hits")).as("h"))
+      .join(evalSh.withColumn("em", lit(1)), Seq("h"), "left")
+      .groupBy(col("doc_id"), col("n_bloom"))
+      .agg(count(col("em")).as("n_exact"))
+      .select(col("doc_id"), col("n_bloom"), col("n_exact"),
+        (col("n_exact") === 0).as("bloom_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q104 = Q(
+    "q104_bloom_decontam",
+    s"train docs flagged by a broadcast Bloom bitset (m=2^18, k=$Q104K) of eval 8-gram shingles; bloom hits exact-verified, FPs exposed",
+    (s, dir) => bloomGateFor(s, dir, Q104M, Q104K),
+    Some {
+      val m = Q104M
+      val posSql = (0 until Q104K).map { j =>
+        s"SELECT (h % $m + $j * (1 + (h // 1073741824) % ${m - 1})) % $m AS pos FROM evalsh"
+      }.mkString("\n          UNION ALL ")
+      val joins = (0 until Q104K).map { j =>
+        s"JOIN bits b$j ON b$j.pos = (tr.h % $m + $j * (1 + (tr.h // 1073741824) % ${m - 1})) % $m"
+      }.mkString("\n          ")
+      s"""WITH sh AS (
+        SELECT doc_id, b,
+          unnest(list_distinct(list_transform(range(1, len(toks) - 6),
+            i -> ${oH60("toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7]")}))) AS h
+        FROM (SELECT doc_id, ${oH60("'split:' || CAST(doc_id AS VARCHAR)")} % 100 AS b,
+                string_split_regex(trim(text), ' +') AS toks
+              FROM documents)
+        WHERE len(toks) >= 8),
+      evalsh AS (SELECT DISTINCT h FROM sh WHERE b >= 90),
+      bits AS (SELECT DISTINCT pos FROM (
+          $posSql)),
+      tr AS (SELECT doc_id, h FROM sh WHERE b < 90),
+      hits AS (
+        SELECT tr.doc_id, tr.h FROM tr
+          $joins),
+      bloom AS (SELECT doc_id, count(*) AS n_bloom FROM hits GROUP BY doc_id),
+      ex AS (SELECT hits.doc_id, count(*) AS n_exact
+             FROM hits JOIN evalsh e ON hits.h = e.h GROUP BY hits.doc_id)
+      SELECT bloom.doc_id, n_bloom,
+        coalesce(n_exact, CAST(0 AS BIGINT)) AS n_exact,
+        coalesce(n_exact, 0) = 0 AS bloom_fp
+      FROM bloom LEFT JOIN ex ON bloom.doc_id = ex.doc_id
+      ORDER BY bloom.doc_id"""
+    })
+
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38,
     q74, q75, q76, q77, q78)
 }
