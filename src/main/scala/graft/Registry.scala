@@ -71,7 +71,9 @@ object Registry {
       // q103 (ExactSubstr-style sliding-window dedup) — same tail-append rule.
       queries.TextOps.q103 :+
       // q104 (Bloom-gate decontamination) — same tail-append rule.
-      queries.TextOps.q104
+      queries.TextOps.q104 :+
+      // q105 (cluster maintenance merge) — same tail-append rule.
+      queries.DedupOps.q105
 
   // ListMap: keep registry order. A HashMap would reshuffle the
   // bench's execution order whenever a query is added, which moves

@@ -1995,6 +1995,244 @@ object DedupOps {
       FROM g ORDER BY band, key"""
     })
 
+  // ---- q105: cluster MAINTENANCE (the merge half of near-dup clustering) --
+
+  /** Merge a batch of accepted match EDGES into a standing component
+    * ASSIGNMENT without recomputing the standing closure — the cluster
+    * half of the maintenance triad (q101 text index, q102 embedding
+    * index, this). `standing` is (id, comp) with labels drawn from
+    * member ids ([[graft.etl.Pipeline.connectedComponents]]'s
+    * contract — union-find roots and min-hooks are always vertices),
+    * `edges` is (src, dst) in any mix of assigned and new ids.
+    *
+    * Both endpoints CONTRACT through their standing label where one
+    * exists (else stand as themselves), self-loops drop — an edge
+    * INSIDE one standing component is a no-op by construction — and
+    * connected components run on the contracted graph, whose size is
+    * bounded by the BATCH's edge count, never the corpus: this is
+    * where two standing components bridged by one new doc merge. The
+    * result relabels standing rows through a broadcast remap join
+    * (the standing table itself never shuffles) and assigns every new
+    * id its contracted component. Label collisions cannot occur:
+    * contracted-CC labels are contracted vertices (touched comps' own
+    * labels and new ids), and an UNTOUCHED comp's label is neither —
+    * new ids are disjoint from standing ids, and a touched comp's
+    * label is one of its own members.
+    *
+    * Scale shape: per batch this costs the edge contraction (one join
+    * against the vertex-sized assignment), a CC over the contracted
+    * remainder (edge-bounded; driver union-find at any realistic
+    * batch), and one broadcast-remap pass — flat in corpus size. The
+    * oracle (q105) recomputes the FULL closure over standing pairs ∪
+    * batch edges from scratch, so the driver's cross-engine hash gate
+    * re-proves incremental == batch for the cluster state every
+    * round, the q101/q102 proof shape. */
+  private[graft] def mergeComponents(standing: DataFrame,
+      edges: DataFrame): DataFrame = {
+    val s = standing.sparkSession
+    import s.implicits._
+    val contracted = edges
+      .join(standing.select(col("id").as("src"), col("comp").as("sc")),
+        Seq("src"), "left")
+      .join(standing.select(col("id").as("dst"), col("comp").as("dc")),
+        Seq("dst"), "left")
+      .select(coalesce(col("sc"), col("src")).as("src"),
+        coalesce(col("dc"), col("dst")).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+    val verts = contracted.select(col("src")).union(contracted.select(col("dst")))
+      .distinct().as[java.lang.Long]
+    val remap = graft.etl.Pipeline.connectedComponents(
+      verts, contracted.as[graft.etl.Pipeline.Edge])
+    val standingFinal = standing
+      .join(remap.select(col("id").as("comp"), col("comp").as("fc")),
+        Seq("comp"), "left")
+      .select(col("id"), coalesce(col("fc"), col("comp")).as("comp"))
+    val newFinal = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct()
+      .join(standing.select(col("id")), Seq("id"), "left_anti")
+      .join(remap, Seq("id"))
+      .select(col("id"), col("comp"))
+    standingFinal.union(newFinal)
+  }
+
+  /** The registered instance: the STANDING near-dup components over
+    * the 90 % index split (q51's verified pairs restricted to index
+    * docs — production stores this assignment and would cap the bands
+    * per q88) absorb the ingest gate's accepted matches for the 10 %
+    * batch (q96's verified relation, ALL matches, capped index side).
+    * Unmatched incoming docs stay singletons and are not clusters.
+    * Output is the post-merge cluster table: canonical (min) id,
+    * size, how many members arrived in this batch, members.
+    *
+    * The interesting branch — one incoming doc BRIDGING two standing
+    * components into one — doesn't occur on the sf corpora (standing
+    * clusters there are near-cliques matched singly); ClusterMergeSpec
+    * fires it on a crafted corpus and pins merged == recomputed, the
+    * q101 declare-vs-fire split. */
+  /** The registered q105 instance's two inputs, exposed for
+    * ClusterMergeSpec's same-engine replay (merged == from-scratch
+    * closure over the same relations): the STANDING (id, comp)
+    * assignment over the 90 % index split and the gate's accepted
+    * (src = incoming, dst = index) match edges. Both Scratch-scoped —
+    * callers run inside one query's action window. */
+  private[graft] def q105Relations(s: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val base = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          (h60(concat(lit("ingest:"), col("doc_id"))) % 10 === 0).as("incoming"),
+          toks(col("text")).as("tk"))
+        .where(size(col("tk")) >= 3)
+      val hashed = base
+        .select(col("doc_id"), col("incoming"),
+          explode(shingleH60Udf(3)(col("tk"))).as("h0"))
+        .select(col("doc_id"), col("incoming"), (col("h0") % P).as("h"))
+      val minAggs = AB.zipWithIndex.map { case ((a, b), i) =>
+        min((lit(a) * col("h") + lit(b)) % P).as(s"m$i") }
+      val sig = graft.Scratch.scoped(hashed.groupBy(col("doc_id"), col("incoming"))
+        .agg(minAggs.head, minAggs.tail :+ sort_array(collect_set(col("h"))).as("hs"): _*))
+      val banded = sig.select(col("doc_id"), col("incoming"), expr(
+        (0 until Bands).map { bnd =>
+          val key = (0 until RowsPerBand).map(r => s"m${bnd * RowsPerBand + r}")
+            .mkString("concat_ws(',', ", ", ", ")")
+          s"$bnd, $key"
+        }.mkString(s"stack($Bands, ", ", ", ") as (band, key)")))
+      def verify(cand: DataFrame, aCol: String, bCol: String) = cand
+        .join(sig.select(col("doc_id").as(aCol), col("hs").as("hs_a")), aCol)
+        .join(sig.select(col("doc_id").as(bCol), col("hs").as("hs_b")), bCol)
+        .select(col(aCol), col(bCol),
+          round(size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
+            size(array_union(col("hs_a"), col("hs_b"))).cast("double"), 4)
+            .as("jaccard"))
+        .where(col("jaccard") >= 0.8)
+      // STANDING side: verified pairs among index docs -> components.
+      // Registration-instance cost only; a deployment stores (id, comp).
+      val idx = banded.where(!col("incoming"))
+      val idxCand = idx.select(col("doc_id").as("doc_a"), col("band"), col("key"))
+        .join(idx.select(col("doc_id").as("doc_b"), col("band"), col("key")),
+          Seq("band", "key"))
+        .where(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+      val idxPairs = verify(idxCand, "doc_a", "doc_b")
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      val idxVerts = idxPairs.select(col("src")).union(idxPairs.select(col("dst")))
+        .distinct().as[java.lang.Long]
+      val standing = graft.Scratch.scoped(graft.etl.Pipeline.connectedComponents(
+        idxVerts, idxPairs.as[graft.etl.Pipeline.Edge]))
+      // BATCH side: the gate's accepted matches (q96's relation, all
+      // matches), as (src = incoming, dst = index) edges.
+      val keptIdx = idx.groupBy(col("band"), col("key"))
+        .agg(graft.functions.BoundedCollect.boundedIdBag(Q96Cap)(col("doc_id")).as("ids"))
+        .where(size(col("ids")) >= 1)
+        .select(col("band"), col("key"), explode(col("ids")).as("idx_doc"))
+      val cand = banded.where(col("incoming"))
+        .select(col("doc_id").as("inc_doc"), col("band"), col("key"))
+        .join(keptIdx, Seq("band", "key"))
+        .select(col("inc_doc"), col("idx_doc")).distinct()
+      val matches = graft.Scratch.scoped(verify(cand, "inc_doc", "idx_doc")
+        .select(col("inc_doc").as("src"), col("idx_doc").as("dst")))
+      (standing, matches)
+  }
+
+  val q105 = Q(
+    "q105_cluster_merge",
+    s"cluster maintenance: standing 90%-split near-dup components absorb the ingest gate's accepted matches (index cap $Q96Cap, J >= 0.8)",
+    (s, dir) => {
+      val (standing, matches) = q105Relations(s, dir)
+      val merged = mergeComponents(standing, matches)
+      merged.groupBy(col("comp"))
+        .agg(min(col("id")).as("canonical_id"),
+          count(lit(1)).as("n_docs"),
+          sum((h60(concat(lit("ingest:"), col("id"))) % 10 === 0)
+            .cast("long")).as("n_incoming"),
+          concat_ws(",", transform(sort_array(collect_list(col("id"))),
+            x => x.cast("string"))).as("members"))
+        .select(col("canonical_id"), col("n_docs"), col("n_incoming"),
+          col("members"))
+        .orderBy(col("canonical_id"))
+    },
+    Some {
+      val mins = oMins
+      val bandRows = (0 until Bands).map { bnd =>
+        val key = (0 until RowsPerBand).map(r => s"CAST(m${bnd * RowsPerBand + r} AS VARCHAR)")
+          .mkString(" || ',' || ")
+        s"SELECT doc_id, incoming, $bnd AS band, $key AS key FROM sig"
+      }.mkString("\n        UNION ALL ")
+      // q73's chained-MATERIALIZED min-label closure with the round-11
+      // convergence assert, over standing pairs ∪ gate matches.
+      val steps = (1 to 11).map { i =>
+        s"""l$i AS MATERIALIZED (
+        SELECT v.k, least(v.lab, coalesce(min(n.lab), v.lab)) AS lab
+        FROM l${i - 1} v
+        LEFT JOIN sym e ON e.a = v.k
+        LEFT JOIN l${i - 1} n ON n.k = e.b
+        GROUP BY v.k, v.lab)"""
+      }.mkString(",\n      ")
+      s"""WITH sh AS ($oShingles3),
+        spl AS (
+          SELECT doc_id, ${oH60("'ingest:' || CAST(doc_id AS VARCHAR)")} % 10 = 0 AS incoming
+          FROM documents),
+        hashed AS (
+          SELECT s.doc_id, incoming, ${oH60("shingle")} % $P AS h
+          FROM (SELECT doc_id, unnest(sh) AS shingle FROM sh) s
+          JOIN spl ON s.doc_id = spl.doc_id),
+        sig AS (
+          SELECT doc_id, incoming,
+            $mins,
+            list_sort(list(DISTINCT h)) AS hs
+          FROM hashed GROUP BY doc_id, incoming),
+        banded AS (
+          $bandRows),
+        icand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+          WHERE NOT a.incoming AND NOT b.incoming),
+        ipairs AS (
+          SELECT doc_a, doc_b FROM (
+            SELECT doc_a, doc_b,
+              round(CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) /
+                    CAST(len(list_distinct(sa.hs || sb.hs)) AS DOUBLE), 4) AS jaccard
+            FROM icand JOIN sig sa ON icand.doc_a = sa.doc_id
+                       JOIN sig sb ON icand.doc_b = sb.doc_id)
+          WHERE jaccard >= 0.8),
+        keptidx AS (
+          SELECT doc_id, band, key FROM banded WHERE NOT incoming
+          QUALIFY count(*) OVER (PARTITION BY band, key) <= $Q96Cap),
+        cand AS (
+          SELECT DISTINCT i.doc_id AS inc_doc, x.doc_id AS idx_doc
+          FROM banded i JOIN keptidx x ON i.band = x.band AND i.key = x.key
+          WHERE i.incoming),
+        ver AS (
+          SELECT inc_doc, idx_doc FROM (
+            SELECT inc_doc, idx_doc,
+              round(CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) /
+                    CAST(len(list_distinct(sa.hs || sb.hs)) AS DOUBLE), 4) AS jaccard
+            FROM cand JOIN sig sa ON cand.inc_doc = sa.doc_id
+                      JOIN sig sb ON cand.idx_doc = sb.doc_id)
+          WHERE jaccard >= 0.8),
+        sym AS MATERIALIZED (
+          SELECT doc_a AS a, doc_b AS b FROM ipairs
+          UNION ALL SELECT doc_b AS a, doc_a AS b FROM ipairs
+          UNION ALL SELECT inc_doc AS a, idx_doc AS b FROM ver
+          UNION ALL SELECT idx_doc AS a, inc_doc AS b FROM ver),
+        l0 AS MATERIALIZED (SELECT DISTINCT a AS k, a AS lab FROM sym),
+        $steps,
+        conv AS (
+          SELECT count(*) AS viol
+          FROM l11 n JOIN l10 p ON n.k = p.k WHERE n.lab <> p.lab)
+        SELECT CASE WHEN (SELECT viol FROM conv) > 0
+                 THEN error('q105 oracle: label propagation not converged in 10 rounds')
+                 ELSE min(k) END AS canonical_id,
+          count(*) AS n_docs,
+          CAST(sum(CASE WHEN spl.incoming THEN 1 ELSE 0 END) AS BIGINT) AS n_incoming,
+          string_agg(CAST(k AS VARCHAR), ',' ORDER BY k) AS members
+        FROM l11 JOIN spl ON l11.k = spl.doc_id
+        GROUP BY lab ORDER BY canonical_id"""
+    })
+
   /** QUALITY-AWARE canonical selection — the survivor policy real
     * curation pipelines run instead of q73's min-id: each near-dup
     * cluster keeps its highest-QUALITY member (the q83 gate's four
