@@ -73,7 +73,9 @@ object Registry {
       // q104 (Bloom-gate decontamination) — same tail-append rule.
       queries.TextOps.q104 :+
       // q105 (cluster maintenance merge) — same tail-append rule.
-      queries.DedupOps.q105
+      queries.DedupOps.q105 :+
+      // q106 (Misra-Gries heavy-hitter shingles) — same tail-append rule.
+      queries.CurationOps.q106
 
   // ListMap: keep registry order. A HashMap would reshuffle the
   // bench's execution order whenever a query is added, which moves

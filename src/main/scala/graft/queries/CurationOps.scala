@@ -376,5 +376,114 @@ object CurationOps {
         FROM documents)
       GROUP BY shard ORDER BY shard"""))
 
+  /** Misra-Gries capacity for the REGISTERED q106 instance, and with
+    * it the heavy-hitter threshold: a shingle is heavy when its
+    * occurrence count n satisfies n·(cap+1) > N (N = total shingle
+    * occurrences) — integer arithmetic, identical in both engines.
+    * 4095 puts the threshold at N/4096: the sf corpora yield 12
+    * (sf0.001) / 5 (sf0.01) heavy shingles, and per-partition
+    * distinct counts (~6k at the Verify parallelism) exceed the
+    * capacity, so the EVICTION path runs at oracle scale rather than
+    * the summaries degenerating into exact maps. */
+  private val Q106Cap = 4095
+
+  /** Pass 1 of the heavy-hitter sketch: per-partition Misra-Gries
+    * summaries (Misra & Gries 1982; the `cap`-counter frequent-items
+    * sketch). Returns (candidates, N). The guarantee that makes the
+    * operator EXACT end-to-end: within a partition, an item's counter
+    * undercounts its true local count by at most n_p/(cap+1) — each
+    * decrement event cancels cap+1 occurrences and there are at most
+    * n_p/(cap+1) of them — so any item with local count > n_p/(cap+1)
+    * survives. Globally, n_x > N/(cap+1) = Σ n_p/(cap+1) forces
+    * n_{p,x} > n_p/(cap+1) in at least one partition (pigeonhole), so
+    * the union of partition summaries is a SUPERSET of the true heavy
+    * hitters no matter how rows are partitioned. The driver collect is
+    * bounded by (cap+1)·numPartitions rows — a registration constant,
+    * never data volume. */
+  private[graft] def mgCandidates(shingles: org.apache.spark.sql.Dataset[String],
+      cap: Int): (Array[String], Long) = {
+    val s = shingles.sparkSession
+    import s.implicits._
+    val summaries = shingles.mapPartitions { it =>
+      val counts = new java.util.HashMap[String, Array[Long]](cap * 2)
+      var np = 0L
+      it.foreach { x =>
+        np += 1
+        val cell = counts.get(x)
+        if (cell != null) cell(0) += 1
+        else if (counts.size < cap) counts.put(x, Array(1L))
+        else {
+          val iter = counts.entrySet().iterator()
+          while (iter.hasNext) {
+            val e = iter.next()
+            e.getValue()(0) -= 1
+            if (e.getValue()(0) == 0L) iter.remove()
+          }
+        }
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      out += ((null, np)) // per-partition total (null key = sentinel)
+      counts.keySet.forEach(k => out += ((k, 0L)))
+      out.iterator
+    }.collect()
+    // DISTINCT across partitions: a shingle surviving in several
+    // partition summaries must enter the pass-2 join exactly once, or
+    // the join would multiply its occurrence rows (HeavyHittersSpec's
+    // partitioning-invariance case pins this).
+    (summaries.collect { case (t, _) if t != null => t }.distinct,
+      summaries.collect { case (null, np) => np }.sum)
+  }
+
+  /** Pass 2: exact counts for the candidates only, trimmed to the true
+    * threshold — output is EXACT (the sketch can only over-candidate,
+    * never miss), so the DuckDB oracle is the plain full groupBy. */
+  private[graft] def heavyFromShingles(shingles: org.apache.spark.sql.Dataset[String],
+      cap: Int): DataFrame = {
+    val s = shingles.sparkSession
+    import s.implicits._
+    val (cands, nTotal) = mgCandidates(shingles, cap)
+    shingles.toDF("shingle")
+      .join(broadcast(cands.toSeq.toDF("shingle")), "shingle")
+      .groupBy(col("shingle")).agg(count(lit(1)).as("n"))
+      .where(col("n") * (cap + 1) > nTotal)
+      .orderBy(col("shingle"))
+  }
+
+  /** SKETCH-accelerated heavy hitters — q80's corpus-frequency idea at
+    * the scale where the full shingle groupBy is the bottleneck. The
+    * canonical plan (one exchange keyed by shingle) shuffles the
+    * entire occurrence stream; at 100 TB that exchange IS the job. The
+    * two-pass sketch form shuffles almost nothing: pass 1 scans and
+    * builds per-partition Misra-Gries summaries (zero shuffle, driver
+    * collect bounded by cap·partitions), pass 2 re-scans and counts
+    * ONLY candidate shingles behind a broadcast semi-join (map-side
+    * combine over ≤ cap·partitions keys). Because the summary union
+    * provably over-approximates (see [[mgCandidates]]) and the trim
+    * re-tests the exact threshold, the output equals the full groupBy
+    * answer — which is exactly what the oracle computes, so the
+    * driver's hash gate re-proves sketch == exact cross-engine every
+    * round. The trade: two scans instead of one shuffle — the 100 TB
+    * corpus-scan economics q89/q95 already bank on. */
+  val q106 = Q(
+    "q106_heavy_shingles",
+    s"exact heavy-hitter 3-gram shingles (n > N/${Q106Cap + 1}) via per-partition Misra-Gries candidates + exact trim",
+    (s, dir) => {
+      import s.implicits._
+      val shingles = t(s, dir, "documents")
+        .select(split(trim(col("text")), " +").as("toks"))
+        .where(size(col("toks")) >= 3)
+        .select(explode(shingleStringsUdf(3)(col("toks"))).as("s"))
+        .as[String]
+      heavyFromShingles(shingles, Q106Cap)
+    },
+    Some(s"""WITH sh AS (
+        SELECT unnest(list_transform(range(1, len(toks) - 1),
+          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+        FROM (SELECT string_split_regex(trim(text), ' +') AS toks FROM documents)
+        WHERE len(toks) >= 3)
+      SELECT s AS shingle, count(*) AS n FROM sh
+      GROUP BY s HAVING count(*) * ${Q106Cap + 1} > (SELECT count(*) FROM sh)
+      ORDER BY shingle"""))
+
   val all: Seq[Q] = Seq(q80, q81, q82, q83, q84)
 }
