@@ -2070,20 +2070,19 @@ object DedupOps {
     * clusters there are near-cliques matched singly); ClusterMergeSpec
     * fires it on a crafted corpus and pins merged == recomputed, the
     * q101 declare-vs-fire split. */
-  /** The registered q105 instance's two inputs, exposed for
-    * ClusterMergeSpec's same-engine replay (merged == from-scratch
-    * closure over the same relations): the STANDING (id, comp)
-    * assignment over the 90 % index split and the gate's accepted
-    * (src = incoming, dst = index) match edges. Both Scratch-scoped —
-    * callers run inside one query's action window. */
-  private[graft] def q105Relations(s: org.apache.spark.sql.SparkSession,
-      dir: String): (DataFrame, DataFrame) = {
-    import s.implicits._
+  /** q105's two LAZY edge relations over caller-chosen splits: the
+    * index side's verified pairs (the standing graph) and the gate's
+    * accepted (src = incoming, dst = index) matches — q51 signatures
+    * Scratch-scoped and shared by both. `idxPred`/`incPred` are
+    * doc_id predicates; the registered instance uses the h60 90/10
+    * ingest split, and ClusterVolBench drives the SAME path with the
+    * 80/10/10 residue splits at 2M docs. */
+  private[graft] def q105Pairs(s: org.apache.spark.sql.SparkSession,
+      dir: String, idxPred: Column, incPred: Column): (DataFrame, DataFrame) = {
     val base = t(s, dir, "documents")
+        .where(idxPred || incPred)
         .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"),
-          (h60(concat(lit("ingest:"), col("doc_id"))) % 10 === 0).as("incoming"),
-          toks(col("text")).as("tk"))
+        .select(col("doc_id"), incPred.as("incoming"), toks(col("text")).as("tk"))
         .where(size(col("tk")) >= 3)
       val hashed = base
         .select(col("doc_id"), col("incoming"),
@@ -2117,10 +2116,6 @@ object DedupOps {
         .select(col("doc_a"), col("doc_b")).distinct()
       val idxPairs = verify(idxCand, "doc_a", "doc_b")
         .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      val idxVerts = idxPairs.select(col("src")).union(idxPairs.select(col("dst")))
-        .distinct().as[java.lang.Long]
-      val standing = graft.Scratch.scoped(graft.etl.Pipeline.connectedComponents(
-        idxVerts, idxPairs.as[graft.etl.Pipeline.Edge]))
       // BATCH side: the gate's accepted matches (q96's relation, all
       // matches), as (src = incoming, dst = index) edges.
       val keptIdx = idx.groupBy(col("band"), col("key"))
@@ -2133,7 +2128,30 @@ object DedupOps {
         .select(col("inc_doc"), col("idx_doc")).distinct()
       val matches = graft.Scratch.scoped(verify(cand, "inc_doc", "idx_doc")
         .select(col("inc_doc").as("src"), col("idx_doc").as("dst")))
-      (standing, matches)
+      (idxPairs, matches)
+  }
+
+  /** Eager connected components over a (src, dst) pair relation →
+    * (id, comp) assignment. */
+  private[graft] def componentsOf(pairs: DataFrame): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    val verts = pairs.select(col("src")).union(pairs.select(col("dst")))
+      .distinct().as[java.lang.Long]
+    graft.etl.Pipeline.connectedComponents(verts, pairs.as[graft.etl.Pipeline.Edge])
+  }
+
+  /** The registered q105 instance's two inputs, exposed for
+    * ClusterMergeSpec's same-engine replay (merged == from-scratch
+    * closure over the same relations): the STANDING (id, comp)
+    * assignment over the 90 % index split and the gate's accepted
+    * match edges. Scratch-scoped — callers run inside one query's
+    * action window. */
+  private[graft] def q105Relations(s: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    val inc = h60(concat(lit("ingest:"), col("doc_id"))) % 10 === 0
+    val (idxPairs, matches) = q105Pairs(s, dir, !inc, inc)
+    (graft.Scratch.scoped(componentsOf(idxPairs)), matches)
   }
 
   val q105 = Q(

@@ -1010,16 +1010,18 @@ object TextOps {
     * of a present hash is set); BloomGateSpec pins the subset
     * invariants and a forced-FP instance. */
   def bloomGateFor(s: org.apache.spark.sql.SparkSession, dir: String,
-      m: Long, k: Int): org.apache.spark.sql.DataFrame = {
+      m: Long, k: Int,
+      evalPred: Column = h60(concat(lit("split:"), col("doc_id"))) % 100 >= 90,
+      trainPred: Column = h60(concat(lit("split:"), col("doc_id"))) % 100 < 90)
+      : org.apache.spark.sql.DataFrame = {
     val base = t(s, dir, "documents")
-      .select(col("doc_id"),
-        (h60(concat(lit("split:"), col("doc_id"))) % 100).as("b"),
+      .select(col("doc_id"), evalPred.as("ev"), trainPred.as("tr"),
         tokens(col("text")).as("toks"))
       .where(size(col("toks")) >= 8)
-    val evalSh = base.where(col("b") >= 90)
+    val evalSh = base.where(col("ev"))
       .select(explode(shingleHashes8(col("toks"))).as("h")).distinct()
     val bc = s.sparkContext.broadcast(bloomBitset(evalSh, m, k))
-    base.where(col("b") < 90)
+    base.where(col("tr"))
       .select(col("doc_id"),
         bloomProbeUdf(bc, m, k)(shingleHashes8(col("toks"))).as("hits"))
       .where(size(col("hits")) > 0)
