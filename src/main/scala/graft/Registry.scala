@@ -75,7 +75,13 @@ object Registry {
       // q105 (cluster maintenance merge) — same tail-append rule.
       queries.DedupOps.q105 :+
       // q106 (Misra-Gries heavy-hitter shingles) — same tail-append rule.
-      queries.CurationOps.q106
+      queries.CurationOps.q106 :+
+      // q107 (bounded-domain exact quantiles) — same tail-append rule.
+      queries.CurationOps.q107 :+
+      // q108 (DSIR hashed-bigram importance weights) — same tail-append rule.
+      queries.CurationOps.q108 :+
+      // q109 (contrastive pair mining) — same tail-append rule.
+      queries.SimilarityOps.q109
 
   // ListMap: keep registry order. A HashMap would reshuffle the
   // bench's execution order whenever a query is added, which moves

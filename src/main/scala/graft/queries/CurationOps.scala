@@ -485,5 +485,139 @@ object CurationOps {
       GROUP BY s HAVING count(*) * ${Q106Cap + 1} > (SELECT count(*) FROM sh)
       ORDER BY shingle"""))
 
+  /** EXACT distribution quantiles without a sort and without a sketch.
+    * The canonical exact plan (global sort, pick positions) funnels
+    * the corpus through a range exchange; the usual scale answer
+    * (percentile_approx, t-digest, GK) gives up exactness. For
+    * length-like measures the domain is BOUNDED — a token count is a
+    * small integer — so the histogram groupBy(lang, n) IS the exact
+    * CDF: shuffle size is the distinct-(lang, n) relation (domain-
+    * bounded, independent of corpus size; map-side combine collapses
+    * the rest), and the cumulative-count window runs per language over
+    * that bounded relation, never over rows. The quantile test is pure
+    * integer arithmetic (cum·100 ≥ p·tot ⇔ cum ≥ ⌈p/100·tot⌉ for
+    * integer cum — the type-1 / discrete definition), so the oracle
+    * mirrors it with no floating-point anywhere. */
+  val q107 = Q(
+    "q107_exact_quantiles",
+    "exact per-language token-count p50/p90/p99 via bounded-domain histogram (no sort, no sketch)",
+    (s, dir) => {
+      val h = t(s, dir, "documents")
+        .select(col("lang"), size(tokens(col("text"))).cast("long").as("n"))
+        .groupBy(col("lang"), col("n")).agg(count(lit(1)).as("c"))
+      val cum = h
+        .withColumn("cum", sum(col("c")).over(
+          Window.partitionBy(col("lang")).orderBy(col("n"))))
+        .withColumn("tot", sum(col("c")).over(Window.partitionBy(col("lang"))))
+      cum.groupBy(col("lang")).agg(
+          min(when(col("cum") * 100 >= col("tot") * 50, col("n"))).as("p50"),
+          min(when(col("cum") * 100 >= col("tot") * 90, col("n"))).as("p90"),
+          min(when(col("cum") * 100 >= col("tot") * 99, col("n"))).as("p99"),
+          sum(col("c")).as("n_docs"))
+        .orderBy(col("lang"))
+    },
+    Some("""WITH h AS (
+        SELECT lang, CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS c
+        FROM documents GROUP BY 1, 2),
+      w AS (SELECT lang, n, c,
+              sum(c) OVER (PARTITION BY lang ORDER BY n) AS cum,
+              sum(c) OVER (PARTITION BY lang) AS tot
+            FROM h)
+      SELECT lang,
+        min(CASE WHEN cum * 100 >= tot * 50 THEN n END) AS p50,
+        min(CASE WHEN cum * 100 >= tot * 90 THEN n END) AS p90,
+        min(CASE WHEN cum * 100 >= tot * 99 THEN n END) AS p99,
+        CAST(sum(c) AS BIGINT) AS n_docs
+      FROM w GROUP BY lang ORDER BY lang"""))
+
+  /** Number of hashed-bigram feature buckets for q108 (DSIR's hashed
+    * n-gram model size; the bucket-weight table broadcast to
+    * executors is exactly this many rows regardless of corpus). */
+  private val DsirBuckets = 8192
+  private val DsirTopK = 100
+
+  /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling" — public): score every
+    * RAW document by how much a hashed-bigram unigram-bag model of the
+    * TARGET distribution prefers it over the raw model, i.e. the
+    * log-likelihood ratio Σ_g [ln p̂_tgt(g) − ln p̂_raw(g)] over the
+    * doc's bigram occurrences, with Laplace (+1) smoothing over the
+    * 8192 hash buckets. Scale shape: the two count tables and the
+    * per-bucket weight table are ≤ [[DsirBuckets]] rows no matter the
+    * corpus — built by one map-side-combined groupBy each, then
+    * BROADCAST; per-doc scoring is a map-side join + groupBy(doc_id)
+    * partial sum, so the only corpus-sized exchange carries one row
+    * per doc. Cross-engine determinism: per-bucket weights are rounded
+    * to 6 dp and cast DECIMAL(18,6) BEFORE the per-doc sum, so the
+    * cross-row aggregation is exact integer-scaled arithmetic in both
+    * engines (the package-header decimal rule); the only FP step left
+    * is ln() of identical doubles, whose ≤1-ulp libm variance is 10
+    * orders below the rounding grid. Output: top 100 raw docs by
+    * (score desc, doc_id) via TakeOrdered — no global sort. */
+  val q108 = Q(
+    "q108_dsir_weights",
+    s"DSIR hashed-bigram importance weights: top $DsirTopK raw docs by target-vs-raw log-likelihood ratio",
+    (s, dir) => {
+      val g = t(s, dir, "documents")
+        .select(col("doc_id"),
+          (h60(concat(lit("dsir:"), col("doc_id"))) % 100 >= 97).as("tgt"),
+          tokens(col("text")).as("toks"))
+        .where(size(col("toks")) >= 2)
+        .select(col("doc_id"), col("tgt"),
+          explode(shingleH60AllUdf(2)(col("toks"))).as("gh"))
+        .select(col("doc_id"), col("tgt"), (col("gh") % DsirBuckets).as("g"))
+      val tc = g.where(col("tgt")).groupBy(col("g")).agg(count(lit(1)).as("tc"))
+      val rc = g.where(!col("tgt")).groupBy(col("g")).agg(count(lit(1)).as("rc"))
+      val tot = g.agg(
+        sum(when(col("tgt"), 1L).otherwise(0L)).as("tt"),
+        sum(when(col("tgt"), 0L).otherwise(1L)).as("rt"))
+      val w = tc.join(rc, Seq("g"), "full_outer")
+        .crossJoin(broadcast(tot))
+        .select(col("g"),
+          round(log((coalesce(col("tc"), lit(0L)) + lit(1.0)) /
+                  (col("tt") + lit(DsirBuckets.toDouble))) -
+                log((coalesce(col("rc"), lit(0L)) + lit(1.0)) /
+                  (col("rt") + lit(DsirBuckets.toDouble))), 6)
+            .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("w"))
+      val scored = g.where(!col("tgt"))
+        .join(broadcast(w), "g")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(sum(col("w")).cast("double"), 4).as("dsir_score"))
+      scored.orderBy(col("dsir_score").desc, col("doc_id")).limit(DsirTopK)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("dsir_score").desc, col("doc_id"))).cast("int"))
+        .orderBy(col("rank"))
+    },
+    Some(s"""WITH d AS (
+        SELECT doc_id, ${oH60("'dsir:' || CAST(doc_id AS VARCHAR)")} % 100 >= 97 AS tgt,
+               string_split_regex(trim(text), ' +') AS toks
+        FROM documents),
+      g AS (
+        SELECT doc_id, tgt,
+          unnest(list_transform(range(1, len(toks)),
+            i -> ${oH60("toks[i] || ' ' || toks[i+1]")} % $DsirBuckets)) AS g
+        FROM d WHERE len(toks) >= 2),
+      tc AS (SELECT g, CAST(count(*) AS BIGINT) AS tc FROM g WHERE tgt GROUP BY g),
+      rc AS (SELECT g, CAST(count(*) AS BIGINT) AS rc FROM g WHERE NOT tgt GROUP BY g),
+      tot AS (SELECT
+          (SELECT count(*) FROM g WHERE tgt) AS tt,
+          (SELECT count(*) FROM g WHERE NOT tgt) AS rt),
+      w AS (
+        SELECT COALESCE(tc.g, rc.g) AS g,
+          CAST(round(ln((COALESCE(tc, 0) + 1.0) / (tt + $DsirBuckets)) -
+                     ln((COALESCE(rc, 0) + 1.0) / (rt + $DsirBuckets)), 6)
+            AS DECIMAL(18,6)) AS w
+        FROM tc FULL OUTER JOIN rc ON tc.g = rc.g CROSS JOIN tot),
+      s AS (
+        SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+          round(CAST(sum(w.w) AS DOUBLE), 4) AS dsir_score
+        FROM g JOIN w USING (g) WHERE NOT g.tgt
+        GROUP BY g.doc_id)
+      SELECT doc_id, n_bigrams, dsir_score,
+        CAST(row_number() OVER (ORDER BY dsir_score DESC, doc_id) AS INTEGER) AS rank
+      FROM s QUALIFY rank <= $DsirTopK ORDER BY rank"""))
+
   val all: Seq[Q] = Seq(q80, q81, q82, q83, q84)
 }

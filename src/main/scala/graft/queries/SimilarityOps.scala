@@ -469,5 +469,89 @@ object SimilarityOps {
         CAST(n_cell AS BIGINT) AS n_cell
       FROM samp WHERE rk <= 3 ORDER BY cell, rk"""))
 
+  /** Anchor set and margin thresholds for q109. PosMin/NegMax are
+    * compared against the 6-dp-rounded cosine, so the literals are
+    * the SAME doubles in both engines. */
+  private val PairAnchorsMod = 10
+  private val PosMin = 0.25
+  private val NegMax = 0.10
+
+  /** Contrastive training-pair mining — the selection a retrieval /
+    * embedding-training data pipeline runs over a corpus: for each
+    * ANCHOR, emit its nearest in-bucket neighbor above a positive
+    * floor (the pair to pull together) and its HARDEST in-bucket
+    * negative — the highest-cosine candidate still under the negative
+    * margin (the pair to push apart; easy negatives teach nothing, so
+    * the miner wants the closest one that is still a non-match).
+    * Anchors with no candidate on either side emit nothing.
+    *
+    * Scale shape is q56's: candidates come from the anchor's sign-LSH
+    * bucket (never all-pairs), anchors broadcast against the
+    * partition-parallel corpus scan, and both selections are
+    * rank-1-per-anchor windows over the narrow (anchor, cand, cos)
+    * relation. At production scale the bucketing swaps to q91's
+    * banded log-n-bit scheme — the selection layer is unchanged.
+    * Ties break on cand_id; thresholds test the 6-dp-rounded cosine
+    * so both engines compare identical doubles. */
+  val q109 = Q(
+    "q109_pair_mining",
+    s"contrastive pair mining: per anchor, nearest positive (cos >= $PosMin) + hardest in-bucket negative (cos < $NegMax)",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").as("v"))
+        .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+        .withColumn("bucket", concat(
+          when(element_at(col("v"), 1) >= 0, "1").otherwise("0"),
+          when(element_at(col("v"), 17) >= 0, "1").otherwise("0"),
+          when(element_at(col("v"), 33) >= 0, "1").otherwise("0"),
+          when(element_at(col("v"), 49) >= 0, "1").otherwise("0")))
+      val a = e.where(col("vec_id") % PairAnchorsMod === 0)
+        .select(col("vec_id").as("anchor_id"), col("v").as("av"),
+          col("norm").as("an"), col("bucket").as("abucket"))
+      val scored = e.join(broadcast(a),
+          col("bucket") === col("abucket") && col("vec_id") =!= col("anchor_id"))
+        .select(col("anchor_id"), col("vec_id").as("cand_id"),
+          round(dot(col("av"), col("v")) / (col("an") * col("norm")), 6).as("cos6"))
+      val w = Window.partitionBy(col("anchor_id"))
+        .orderBy(col("cos6").desc, col("cand_id").asc)
+      val pos = scored.where(col("cos6") >= PosMin)
+        .withColumn("r", row_number().over(w)).where(col("r") === 1)
+        .select(col("anchor_id"), col("cand_id").as("pos_id"),
+          round(col("cos6"), 4).as("pos_cos"))
+      val neg = scored.where(col("cos6") < NegMax)
+        .withColumn("r", row_number().over(w)).where(col("r") === 1)
+        .select(col("anchor_id"), col("cand_id").as("neg_id"),
+          round(col("cos6"), 4).as("neg_cos"))
+      pos.join(neg, "anchor_id").orderBy(col("anchor_id"))
+    },
+    Some(s"""WITH e AS (
+        SELECT vec_id, embedding AS v,
+          sqrt(${oDot("embedding", "embedding")}) AS norm,
+          (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END ||
+           CASE WHEN embedding[17] >= 0 THEN '1' ELSE '0' END ||
+           CASE WHEN embedding[33] >= 0 THEN '1' ELSE '0' END ||
+           CASE WHEN embedding[49] >= 0 THEN '1' ELSE '0' END) AS bucket
+        FROM embeddings),
+      a AS (SELECT vec_id AS anchor_id, v AS av, norm AS an, bucket
+            FROM e WHERE vec_id % $PairAnchorsMod = 0),
+      scored AS (
+        SELECT a.anchor_id, e.vec_id AS cand_id,
+          round(${oDot("a.av", "e.v")} / (a.an * e.norm), 6) AS cos6
+        FROM a JOIN e ON a.bucket = e.bucket AND e.vec_id <> a.anchor_id),
+      pos AS (
+        SELECT anchor_id, cand_id AS pos_id, round(cos6, 4) AS pos_cos,
+          row_number() OVER (PARTITION BY anchor_id
+            ORDER BY cos6 DESC, cand_id ASC) AS r
+        FROM scored WHERE cos6 >= $PosMin),
+      neg AS (
+        SELECT anchor_id, cand_id AS neg_id, round(cos6, 4) AS neg_cos,
+          row_number() OVER (PARTITION BY anchor_id
+            ORDER BY cos6 DESC, cand_id ASC) AS r
+        FROM scored WHERE cos6 < $NegMax)
+      SELECT p.anchor_id, p.pos_id, p.pos_cos, n.neg_id, n.neg_cos
+      FROM pos p JOIN neg n ON p.anchor_id = n.anchor_id
+      WHERE p.r = 1 AND n.r = 1
+      ORDER BY p.anchor_id"""))
+
   val all: Seq[Q] = Seq(q55, q56, q59, q79, q85)
 }

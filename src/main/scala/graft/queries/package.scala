@@ -127,6 +127,34 @@ package object queries {
       seen.toSeq
     }
 
+  /** [[shingleH60Udf]] WITHOUT the distinct: every position's n-gram
+    * [[h60]] hash, in order, WITH multiplicity — the occurrence bag a
+    * bag-of-ngrams model (q108's DSIR feature counts) needs, where the
+    * distinct set would undercount repeated n-grams. Bit-identical per
+    * position to `h60(concat_ws(" ", tok_i, …, tok_{i+n-1}))` (same
+    * md5 → 60-bit fold), so [[oH60]]-built oracles mirror it exactly. */
+  def shingleH60AllUdf(n: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (toks: Seq[String]) =>
+      val arr = toks.toArray // LinearSeq guard: indexed access below
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val out = new Array[Long](math.max(0, arr.length - n + 1))
+      var i = 0
+      while (i + n - 1 < arr.length) {
+        val sb = new java.lang.StringBuilder(arr(i))
+        var k = 1
+        while (k < n) { sb.append(' ').append(arr(i + k)); k += 1 }
+        md.reset()
+        val d = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var h = 0L
+        var b = 0
+        while (b < 7) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+        h = (h << 4) | ((d(7) & 0xf0L) >> 4)
+        out(i) = h
+        i += 1
+      }
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+    }
+
   /** Fused PER-ROW MinHash signature kernel for the stream-side
     * ingest gate (q98): one pass over a token array computes the
     * distinct shingle-hash set AND every minhash minimum —
