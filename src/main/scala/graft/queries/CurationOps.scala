@@ -555,13 +555,16 @@ object CurationOps {
     * is ln() of identical doubles, whose ≤1-ulp libm variance is 10
     * orders below the rounding grid. Output: top 100 raw docs by
     * (score desc, doc_id) via TakeOrdered — no global sort. */
-  val q108 = Q(
-    "q108_dsir_weights",
-    s"DSIR hashed-bigram importance weights: top $DsirTopK raw docs by target-vs-raw log-likelihood ratio",
-    (s, dir) => {
+  /** q108's full dataflow over a caller-chosen target predicate: the
+    * registered instance targets the deterministic h60 3 % split (so
+    * the oracle mirrors it); DsirVolBench drives the SAME path with a
+    * semantic target (a language) over a 2M-doc corpus whose
+    * in-domain raw docs are planted — the selection ground truth the
+    * hash split can't provide. */
+  private[graft] def dsirScoredAll(s: SparkSession, dir: String,
+      tgtPred: Column): DataFrame = {
       val g = t(s, dir, "documents")
-        .select(col("doc_id"),
-          (h60(concat(lit("dsir:"), col("doc_id"))) % 100 >= 97).as("tgt"),
+        .select(col("doc_id"), tgtPred.as("tgt"),
           tokens(col("text")).as("toks"))
         .where(size(col("toks")) >= 2)
         .select(col("doc_id"), col("tgt"),
@@ -580,16 +583,28 @@ object CurationOps {
                 log((coalesce(col("rc"), lit(0L)) + lit(1.0)) /
                   (col("rt") + lit(DsirBuckets.toDouble))), 6)
             .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("w"))
-      val scored = g.where(!col("tgt"))
+      g.where(!col("tgt"))
         .join(broadcast(w), "g")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_bigrams"),
           round(sum(col("w")).cast("double"), 4).as("dsir_score"))
-      scored.orderBy(col("dsir_score").desc, col("doc_id")).limit(DsirTopK)
-        .withColumn("rank", row_number().over(
-          Window.orderBy(col("dsir_score").desc, col("doc_id"))).cast("int"))
-        .orderBy(col("rank"))
-    },
+  }
+
+  /** [[dsirScoredAll]] trimmed to the top-k manifest (TakeOrdered —
+    * no global sort; the rank window runs over k rows only). */
+  private[graft] def dsirScores(s: SparkSession, dir: String,
+      tgtPred: Column, topK: Int): DataFrame =
+    dsirScoredAll(s, dir, tgtPred)
+      .orderBy(col("dsir_score").desc, col("doc_id")).limit(topK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("dsir_score").desc, col("doc_id"))).cast("int"))
+      .orderBy(col("rank"))
+
+  val q108 = Q(
+    "q108_dsir_weights",
+    s"DSIR hashed-bigram importance weights: top $DsirTopK raw docs by target-vs-raw log-likelihood ratio",
+    (s, dir) => dsirScores(s, dir,
+      h60(concat(lit("dsir:"), col("doc_id"))) % 100 >= 97, DsirTopK),
     Some(s"""WITH d AS (
         SELECT doc_id, ${oH60("'dsir:' || CAST(doc_id AS VARCHAR)")} % 100 >= 97 AS tgt,
                string_split_regex(trim(text), ' +') AS toks

@@ -476,6 +476,28 @@ object SimilarityOps {
   private val PosMin = 0.25
   private val NegMax = 0.10
 
+  /** q109's two-sided selection over a scored candidate relation
+    * (anchor_id, cand_id, cos6): rank-1 positive at or above `posMin`,
+    * rank-1 (hardest) negative strictly under `negMax`, inner-joined
+    * so an anchor missing either side emits nothing. Shared by the
+    * registered q109 (q56-bucketed candidates) and PairVolBench
+    * (q91-banded candidates at 2M vectors) — the candidate generator
+    * is a parameter of the deployment, the selection is the operator. */
+  private[graft] def minePairs(scored: org.apache.spark.sql.DataFrame,
+      posMin: Double, negMax: Double): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cos6").desc, col("cand_id").asc)
+    val pos = scored.where(col("cos6") >= posMin)
+      .withColumn("r", row_number().over(w)).where(col("r") === 1)
+      .select(col("anchor_id"), col("cand_id").as("pos_id"),
+        round(col("cos6"), 4).as("pos_cos"))
+    val neg = scored.where(col("cos6") < negMax)
+      .withColumn("r", row_number().over(w)).where(col("r") === 1)
+      .select(col("anchor_id"), col("cand_id").as("neg_id"),
+        round(col("cos6"), 4).as("neg_cos"))
+    pos.join(neg, "anchor_id").orderBy(col("anchor_id"))
+  }
+
   /** Contrastive training-pair mining — the selection a retrieval /
     * embedding-training data pipeline runs over a corpus: for each
     * ANCHOR, emit its nearest in-bucket neighbor above a positive
@@ -512,17 +534,7 @@ object SimilarityOps {
           col("bucket") === col("abucket") && col("vec_id") =!= col("anchor_id"))
         .select(col("anchor_id"), col("vec_id").as("cand_id"),
           round(dot(col("av"), col("v")) / (col("an") * col("norm")), 6).as("cos6"))
-      val w = Window.partitionBy(col("anchor_id"))
-        .orderBy(col("cos6").desc, col("cand_id").asc)
-      val pos = scored.where(col("cos6") >= PosMin)
-        .withColumn("r", row_number().over(w)).where(col("r") === 1)
-        .select(col("anchor_id"), col("cand_id").as("pos_id"),
-          round(col("cos6"), 4).as("pos_cos"))
-      val neg = scored.where(col("cos6") < NegMax)
-        .withColumn("r", row_number().over(w)).where(col("r") === 1)
-        .select(col("anchor_id"), col("cand_id").as("neg_id"),
-          round(col("cos6"), 4).as("neg_cos"))
-      pos.join(neg, "anchor_id").orderBy(col("anchor_id"))
+      minePairs(scored, PosMin, NegMax)
     },
     Some(s"""WITH e AS (
         SELECT vec_id, embedding AS v,
