@@ -563,13 +563,17 @@ object CurationOps {
     * hash split can't provide. */
   private[graft] def dsirScoredAll(s: SparkSession, dir: String,
       tgtPred: Column): DataFrame = {
-      val g = t(s, dir, "documents")
+      // Scratch-persisted: four consumers (target counts, raw counts,
+      // totals, per-doc scoring) would otherwise each re-scan the
+      // corpus and re-pay the md5 bigram kernel — 4 scans visible in
+      // the un-persisted plan, the dominant cost at 2M docs.
+      val g = graft.Scratch.scoped(t(s, dir, "documents")
         .select(col("doc_id"), tgtPred.as("tgt"),
           tokens(col("text")).as("toks"))
         .where(size(col("toks")) >= 2)
         .select(col("doc_id"), col("tgt"),
           explode(shingleH60AllUdf(2)(col("toks"))).as("gh"))
-        .select(col("doc_id"), col("tgt"), (col("gh") % DsirBuckets).as("g"))
+        .select(col("doc_id"), col("tgt"), (col("gh") % DsirBuckets).as("g")))
       val tc = g.where(col("tgt")).groupBy(col("g")).agg(count(lit(1)).as("tc"))
       val rc = g.where(!col("tgt")).groupBy(col("g")).agg(count(lit(1)).as("rc"))
       val tot = g.agg(

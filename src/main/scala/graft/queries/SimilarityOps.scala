@@ -483,8 +483,12 @@ object SimilarityOps {
     * registered q109 (q56-bucketed candidates) and PairVolBench
     * (q91-banded candidates at 2M vectors) — the candidate generator
     * is a parameter of the deployment, the selection is the operator. */
-  private[graft] def minePairs(scored: org.apache.spark.sql.DataFrame,
+  private[graft] def minePairs(scored0: org.apache.spark.sql.DataFrame,
       posMin: Double, negMax: Double): org.apache.spark.sql.DataFrame = {
+    // Scratch-persisted: the positive and negative selections are two
+    // consumers of the same scored relation — un-persisted, the whole
+    // candidate generation + cosine pass runs twice.
+    val scored = graft.Scratch.scoped(scored0)
     val w = Window.partitionBy(col("anchor_id"))
       .orderBy(col("cos6").desc, col("cand_id").asc)
     val pos = scored.where(col("cos6") >= posMin)
