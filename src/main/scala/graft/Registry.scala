@@ -81,7 +81,9 @@ object Registry {
       // q108 (DSIR hashed-bigram importance weights) — same tail-append rule.
       queries.CurationOps.q108 :+
       // q109 (contrastive pair mining) — same tail-append rule.
-      queries.SimilarityOps.q109
+      queries.SimilarityOps.q109 :+
+      // q110 (embedding centroids / drift matrix) — same tail-append rule.
+      queries.SimilarityOps.q110
 
   // ListMap: keep registry order. A HashMap would reshuffle the
   // bench's execution order whenever a query is added, which moves

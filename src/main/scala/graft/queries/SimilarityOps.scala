@@ -569,5 +569,68 @@ object SimilarityOps {
       WHERE p.r = 1 AND n.r = 1
       ORDER BY p.anchor_id"""))
 
+  /** Sequential left-fold dot product over DOUBLE arrays (the
+    * centroid vectors q110 derives) — same fold order as the DuckDB
+    * list_aggregate mirror, so scores agree bit-for-bit. Interpreted
+    * is fine here: it runs over the label×label matrix (≤ k² rows),
+    * never over the corpus. */
+  private def dotD(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+
+  /** Per-label embedding CENTROIDS + the pairwise centroid-cosine
+    * drift matrix — the domain-balance diagnostic a curation pipeline
+    * watches (two labels whose centroids drift together are merging
+    * domains; a centroid drifting from its history is distribution
+    * shift). The 100-TB shape is pure partial aggregation: posexplode
+    * feeds a map-side-combined groupBy(label, pos), so the exchange
+    * carries ≤ partitions × labels × 64 rows no matter the corpus,
+    * and the matrix itself is label² rows. Cross-engine determinism
+    * for the cross-row float sums follows the package decimal rule:
+    * each element is cast DECIMAL(18,8) BEFORE summation, so the
+    * per-dimension sums are exact in both engines; the cosine is then
+    * a fixed-order fold over 64 identical doubles. */
+  val q110 = Q(
+    "q110_embedding_centroids",
+    "per-label embedding centroids (decimal-exact dimension sums) + pairwise centroid-cosine drift matrix",
+    (s, dir) => {
+      val dims = t(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")))
+        .groupBy(col("label"), (col("pos") + 1).cast("int").as("pos"))
+        .agg(sum(col("col").cast("double")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 8)))
+          .cast("double").as("s"),
+          count(lit(1)).as("n"))
+      val cents = dims
+        .groupBy(col("label"))
+        .agg(max(col("n")).as("n"),
+          transform(
+            array_sort(collect_list(struct(col("pos"), (col("s") / col("n")).as("m")))),
+            x => x("m")).as("c"))
+      val a = cents.select(col("label").as("label_a"), col("n").as("n_a"), col("c").as("ca"))
+      val b = cents.select(col("label").as("label_b"), col("n").as("n_b"), col("c").as("cb"))
+      a.join(b, col("label_a") < col("label_b"))
+        .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+          round(dotD(col("ca"), col("cb")) /
+            (sqrt(dotD(col("ca"), col("ca"))) * sqrt(dotD(col("cb"), col("cb")))), 4)
+            .as("cent_cos"))
+        .orderBy(col("label_a"), col("label_b"))
+    },
+    Some(s"""WITH dims AS (
+        SELECT label, CAST(pos AS INTEGER) AS pos,
+          CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,8))) AS DOUBLE) AS s,
+          CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT label, unnest(embedding) AS v,
+                generate_subscripts(embedding, 1) AS pos
+              FROM embeddings)
+        GROUP BY label, pos),
+      cents AS (
+        SELECT label, max(n) AS n, list(s / n ORDER BY pos) AS c
+        FROM dims GROUP BY label)
+      SELECT a.label AS label_a, b.label AS label_b, a.n AS n_a, b.n AS n_b,
+        round(${oDot("a.c", "b.c")} /
+          (sqrt(${oDot("a.c", "a.c")}) * sqrt(${oDot("b.c", "b.c")})), 4) AS cent_cos
+      FROM cents a JOIN cents b ON a.label < b.label
+      ORDER BY label_a, label_b"""))
+
   val all: Seq[Q] = Seq(q55, q56, q59, q79, q85)
 }
