@@ -83,7 +83,9 @@ object Registry {
       // q109 (contrastive pair mining) — same tail-append rule.
       queries.SimilarityOps.q109 :+
       // q110 (embedding centroids / drift matrix) — same tail-append rule.
-      queries.SimilarityOps.q110
+      queries.SimilarityOps.q110 :+
+      // q111 (cross-source shingle overlap matrix) — same tail-append rule.
+      queries.CurationOps.q111
 
   // ListMap: keep registry order. A HashMap would reshuffle the
   // bench's execution order whenever a query is added, which moves

@@ -638,5 +638,62 @@ object CurationOps {
         CAST(row_number() OVER (ORDER BY dsir_score DESC, doc_id) AS INTEGER) AS rank
       FROM s QUALIFY rank <= $DsirTopK ORDER BY rank"""))
 
+  /** Cross-SOURCE shingle-overlap matrix — the provenance-governance
+    * diagnostic (which feeds are re-crawling each other, which "new"
+    * source is a mirror, where decontamination pressure concentrates).
+    * q77/q89 audit train-vs-eval overlap; this audits every source
+    * pair at once.
+    *
+    * Scale shape: one corpus scan → distinct (shingle, source)
+    * presence collapsed per shingle into its SOURCE SET (bounded by
+    * the source count, so collect_set partials stay tiny) → ordered
+    * pairs exploded from each set. The pair relation is emitted
+    * directly from the shingle groupBy — there is NO shingle
+    * self-join (the oracle's join formulation is the semantic spec;
+    * the set-explosion plan is the executable one, same relation).
+    * Everything after the one shingle-keyed exchange is
+    * sources²-bounded. */
+  val q111 = Q(
+    "q111_source_overlap",
+    "cross-source 8-gram shingle overlap matrix with Jaccard (provenance contamination diagnostic)",
+    (s, dir) => {
+      val srcSets = t(s, dir, "documents")
+        .select(col("source"), tokens(col("text")).as("toks"))
+        .where(size(col("toks")) >= 8)
+        .select(col("source"), explode(shingleH60Udf(8)(col("toks"))).as("h"))
+        .groupBy(col("h")).agg(collect_set(col("source")).as("ss"))
+      val tot = srcSets.select(explode(col("ss")).as("source"))
+        .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val pairs = srcSets.where(size(col("ss")) >= 2)
+        .select(col("ss"), explode(col("ss")).as("sa"))
+        .select(col("sa"), explode(filter(col("ss"), x => x > col("sa"))).as("sb"))
+        .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("shared"))
+      pairs
+        .join(broadcast(tot.select(col("source").as("sa"), col("n").as("n_a"))), "sa")
+        .join(broadcast(tot.select(col("source").as("sb"), col("n").as("n_b"))), "sb")
+        .select(col("sa").as("source_a"), col("sb").as("source_b"),
+          col("shared"), col("n_a"), col("n_b"),
+          round(col("shared").cast("double") /
+            (col("n_a") + col("n_b") - col("shared")), 6).as("jaccard"))
+        .orderBy(col("source_a"), col("source_b"))
+    },
+    Some(s"""WITH sh AS (
+        SELECT DISTINCT source,
+          unnest(list_distinct(list_transform(range(1, len(toks) - 6),
+            i -> ${oH60("toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7]")}))) AS h
+        FROM (SELECT source, string_split_regex(trim(text), ' +') AS toks FROM documents)
+        WHERE len(toks) >= 8),
+      tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY source),
+      pairs AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+          CAST(count(*) AS BIGINT) AS shared
+        FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+        GROUP BY 1, 2)
+      SELECT source_a, source_b, shared, ta.n AS n_a, tb.n AS n_b,
+        round(CAST(shared AS DOUBLE) / (ta.n + tb.n - shared), 6) AS jaccard
+      FROM pairs JOIN tot ta ON ta.source = source_a
+                 JOIN tot tb ON tb.source = source_b
+      ORDER BY source_a, source_b"""))
+
   val all: Seq[Q] = Seq(q80, q81, q82, q83, q84)
 }
