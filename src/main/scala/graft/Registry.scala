@@ -85,7 +85,9 @@ object Registry {
       // q110 (embedding centroids / drift matrix) — same tail-append rule.
       queries.SimilarityOps.q110 :+
       // q111 (cross-source shingle overlap matrix) — same tail-append rule.
-      queries.CurationOps.q111
+      queries.CurationOps.q111 :+
+      // q112 (incremental quantile maintenance) — same tail-append rule.
+      queries.CurationOps.q112
 
   // ListMap: keep registry order. A HashMap would reshuffle the
   // bench's execution order whenever a query is added, which moves

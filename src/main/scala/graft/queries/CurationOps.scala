@@ -485,6 +485,34 @@ object CurationOps {
       GROUP BY s HAVING count(*) * ${Q106Cap + 1} > (SELECT count(*) FROM sh)
       ORDER BY shingle"""))
 
+  /** The (lang, token-count) histogram over a doc_id-predicate slice
+    * of the corpus — q107's whole input, and the STANDING artifact
+    * q112 maintains (a histogram is mergeable by count addition, so
+    * the incremental shape is exact, unlike every sketch-based
+    * quantile). */
+  private[graft] def tokenHistFor(s: SparkSession, dir: String,
+      pred: Column): DataFrame =
+    t(s, dir, "documents")
+      .where(pred)
+      .select(col("lang"), size(tokens(col("text"))).cast("long").as("n"))
+      .groupBy(col("lang"), col("n")).agg(count(lit(1)).as("c"))
+
+  /** Type-1 p50/p90/p99 from a (lang, n, c) histogram: per-lang
+    * cumulative counts over the domain-bounded relation, integer
+    * quantile test (cum·100 ≥ p·tot ⇔ cum ≥ ⌈p/100·tot⌉). */
+  private[graft] def quantilesOf(h: DataFrame): DataFrame = {
+    val cum = h
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy(col("lang")).orderBy(col("n"))))
+      .withColumn("tot", sum(col("c")).over(Window.partitionBy(col("lang"))))
+    cum.groupBy(col("lang")).agg(
+        min(when(col("cum") * 100 >= col("tot") * 50, col("n"))).as("p50"),
+        min(when(col("cum") * 100 >= col("tot") * 90, col("n"))).as("p90"),
+        min(when(col("cum") * 100 >= col("tot") * 99, col("n"))).as("p99"),
+        sum(col("c")).as("n_docs"))
+      .orderBy(col("lang"))
+  }
+
   /** EXACT distribution quantiles without a sort and without a sketch.
     * The canonical exact plan (global sort, pick positions) funnels
     * the corpus through a range exchange; the usual scale answer
@@ -501,20 +529,53 @@ object CurationOps {
   val q107 = Q(
     "q107_exact_quantiles",
     "exact per-language token-count p50/p90/p99 via bounded-domain histogram (no sort, no sketch)",
+    (s, dir) => quantilesOf(tokenHistFor(s, dir, lit(true))),
+    Some("""WITH h AS (
+        SELECT lang, CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS c
+        FROM documents GROUP BY 1, 2),
+      w AS (SELECT lang, n, c,
+              sum(c) OVER (PARTITION BY lang ORDER BY n) AS cum,
+              sum(c) OVER (PARTITION BY lang) AS tot
+            FROM h)
+      SELECT lang,
+        min(CASE WHEN cum * 100 >= tot * 50 THEN n END) AS p50,
+        min(CASE WHEN cum * 100 >= tot * 90 THEN n END) AS p90,
+        min(CASE WHEN cum * 100 >= tot * 99 THEN n END) AS p99,
+        CAST(sum(c) AS BIGINT) AS n_docs
+      FROM w GROUP BY lang ORDER BY lang"""))
+
+  /** Merge a batch's (lang, n) histogram into the standing one —
+    * exact count addition per key (no tombstones, no caps: unlike the
+    * q101/q102 index buckets a histogram has nothing to reject, which
+    * is WHY the incremental quantile story is exact where sketches
+    * approximate). On a (lang, n)-partitioned standing table only the
+    * batch shuffles. */
+  private[graft] def mergeHist(standing: DataFrame, batch: DataFrame): DataFrame =
+    standing.select(col("lang"), col("n"), col("c").as("c_old"))
+      .join(batch.select(col("lang"), col("n"), col("c").as("c_new")),
+        Seq("lang", "n"), "full_outer")
+      .select(col("lang"), col("n"),
+        (coalesce(col("c_old"), lit(0L)) + coalesce(col("c_new"), lit(0L))).as("c"))
+
+  /** INCREMENTAL quantile maintenance — the histogram's update half,
+    * completing the standing-artifact family (q101/q102 maintain the
+    * ingest indexes, q105 the cluster assignment, this the
+    * length-distribution monitor q107 reads). The registered instance
+    * splits the corpus by the deterministic h60 90/10 ingest residue,
+    * merges the batch histogram into the standing one by count
+    * addition, and reports quantiles from the MERGED histogram; the
+    * oracle recomputes q107 over the FULL corpus from scratch, so the
+    * driver's hash gate re-proves incremental == batch cross-engine
+    * every round — the q101 proof shape, with exactness for free
+    * (counts add; there is no cap boundary to get wrong). */
+  val q112 = Q(
+    "q112_quantile_merge",
+    "incremental quantile maintenance: batch histogram merged into standing == full recompute",
     (s, dir) => {
-      val h = t(s, dir, "documents")
-        .select(col("lang"), size(tokens(col("text"))).cast("long").as("n"))
-        .groupBy(col("lang"), col("n")).agg(count(lit(1)).as("c"))
-      val cum = h
-        .withColumn("cum", sum(col("c")).over(
-          Window.partitionBy(col("lang")).orderBy(col("n"))))
-        .withColumn("tot", sum(col("c")).over(Window.partitionBy(col("lang"))))
-      cum.groupBy(col("lang")).agg(
-          min(when(col("cum") * 100 >= col("tot") * 50, col("n"))).as("p50"),
-          min(when(col("cum") * 100 >= col("tot") * 90, col("n"))).as("p90"),
-          min(when(col("cum") * 100 >= col("tot") * 99, col("n"))).as("p99"),
-          sum(col("c")).as("n_docs"))
-        .orderBy(col("lang"))
+      val inc = h60(concat(lit("qtile:"), col("doc_id"))) % 10 === 0
+      quantilesOf(mergeHist(
+        tokenHistFor(s, dir, !inc), tokenHistFor(s, dir, inc)))
     },
     Some("""WITH h AS (
         SELECT lang, CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n,
