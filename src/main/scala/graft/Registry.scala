@@ -87,7 +87,9 @@ object Registry {
       // q111 (cross-source shingle overlap matrix) — same tail-append rule.
       queries.CurationOps.q111 :+
       // q112 (incremental quantile maintenance) — same tail-append rule.
-      queries.CurationOps.q112
+      queries.CurationOps.q112 :+
+      // q113 (ordered funnel with exact step latencies) — same tail-append rule.
+      queries.Analytic.q113
 
   // ListMap: keep registry order. A HashMap would reshuffle the
   // bench's execution order whenever a query is added, which moves

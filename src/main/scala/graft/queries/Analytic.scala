@@ -403,6 +403,63 @@ object Analytic {
         FROM orders WHERE o_custkey < 20)
       ORDER BY o_custkey, day, o_orderkey"""))
 
+  /** Ordered-funnel analysis (view → click → purchase) with exact
+    * per-user step latencies — the behavioral-analytics shape the
+    * window/sessionize family (q15–q17, q26) doesn't cover: each
+    * step's timestamp must be STRICTLY AFTER the previous step's (a
+    * click before the first view is not funnel progress). The
+    * dataflow is three cascaded conditional-min aggregations, every
+    * exchange keyed on user_id (a deployment that bucketizes events
+    * by user pays zero shuffles); latencies are integer microsecond
+    * differences — exact in both engines, no rounding anywhere. */
+  val q113 = Q(
+    "q113_funnel",
+    "view->click->purchase funnel: per-user reached step + exact step latencies (micros)",
+    (s, dir) => {
+      // Deliberately NOT Scratch-persisted (unlike q108's bigram
+      // relation): each stage's source scan carries a PUSHED
+      // event_type filter into the parquet reader, which a shared
+      // cached projection would forfeit — measured at 24M events as
+      // equal wall and MORE shuffle for the persisted form
+      // (FunnelVolBench, THROUGHPUT round 11).
+      val e = t(s, dir, "events")
+      val v = e.where(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val c = e.where(col("event_type") === "click")
+        .join(v, "user_id").where(col("ts") > col("t1"))
+        .groupBy(col("user_id")).agg(max(col("t1")).as("t1c"), min(col("ts")).as("t2"))
+      val p = e.where(col("event_type") === "purchase")
+        .join(c, "user_id").where(col("ts") > col("t2"))
+        .groupBy(col("user_id")).agg(max(col("t2")).as("t2p"), min(col("ts")).as("t3"))
+      v.join(c.select(col("user_id"), col("t2")), Seq("user_id"), "left")
+        .join(p.select(col("user_id"), col("t3")), Seq("user_id"), "left")
+        .select(col("user_id"),
+          when(col("t3").isNotNull, 3).when(col("t2").isNotNull, 2)
+            .otherwise(1).cast("int").as("reached_step"),
+          (unix_micros(col("t2")) - unix_micros(col("t1"))).as("v2c_micros"),
+          (unix_micros(col("t3")) - unix_micros(col("t2"))).as("c2p_micros"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH v AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY 1),
+      c AS (
+        SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+      p AS (
+        SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
+      SELECT v.user_id,
+        CAST(CASE WHEN p.t3 IS NOT NULL THEN 3
+                  WHEN c.t2 IS NOT NULL THEN 2 ELSE 1 END AS INTEGER) AS reached_step,
+        date_diff('microsecond', v.t1, c.t2) AS v2c_micros,
+        date_diff('microsecond', c.t2, p.t3) AS c2p_micros
+      FROM v LEFT JOIN c ON v.user_id = c.user_id
+             LEFT JOIN p ON v.user_id = p.user_id
+      ORDER BY v.user_id"""))
+
   val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q29, q39, q70)
 }
