@@ -89,7 +89,9 @@ object Registry {
       // q112 (incremental quantile maintenance) — same tail-append rule.
       queries.CurationOps.q112 :+
       // q113 (ordered funnel with exact step latencies) — same tail-append rule.
-      queries.Analytic.q113
+      queries.Analytic.q113 :+
+      // q114 (daily cohort retention matrix) — same tail-append rule.
+      queries.Analytic.q114
 
   // ListMap: keep registry order. A HashMap would reshuffle the
   // bench's execution order whenever a query is added, which moves

@@ -460,6 +460,49 @@ object Analytic {
              LEFT JOIN p ON v.user_id = p.user_id
       ORDER BY v.user_id"""))
 
+  /** Cohort retention matrix — the second classic behavioral-analytics
+    * shape (q113's funnel is the first): users cohorted by first-seen
+    * day, each cell = distinct users from that cohort active
+    * `day_offset` days later, normalized by cohort size. Scale shape:
+    * the distinct (user, day) activity relation and the first-seen
+    * aggregation share the user_id key (one exchange each, fused on a
+    * user-bucketed layout); the cell/cohort-size relations are
+    * days²-bounded. Retention ratios are exact integer divisions
+    * rounded at 4 dp. */
+  val q114 = Q(
+    "q114_retention",
+    "daily cohort retention matrix: first-seen cohorts x day offset, distinct active users",
+    (s, dir) => {
+      val d = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val f = d.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+      val cells = d.join(f, "user_id")
+        .select(col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).as("day_offset"), col("user_id"))
+        .groupBy(col("cohort_day"), col("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+      val sz = cells.where(col("day_offset") === 0)
+        .select(col("cohort_day"), col("n_users").as("cohort_size"))
+      cells.join(sz, "cohort_day")
+        .select(col("cohort_day"), col("day_offset").cast("int").as("day_offset"),
+          col("n_users"),
+          round(col("n_users").cast("double") / col("cohort_size"), 4).as("retention"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    },
+    Some("""WITH d AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      f AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1),
+      cells AS (
+        SELECT f.cohort_day, date_diff('day', f.cohort_day, d.day) AS day_offset,
+          CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users
+        FROM d JOIN f ON d.user_id = f.user_id
+        GROUP BY 1, 2),
+      sz AS (SELECT cohort_day, n_users AS cohort_size FROM cells WHERE day_offset = 0)
+      SELECT c.cohort_day, CAST(c.day_offset AS INTEGER) AS day_offset, c.n_users,
+        round(CAST(c.n_users AS DOUBLE) / sz.cohort_size, 4) AS retention
+      FROM cells c JOIN sz ON c.cohort_day = sz.cohort_day
+      ORDER BY c.cohort_day, c.day_offset"""))
+
   val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q29, q39, q70)
 }
