@@ -91,7 +91,9 @@ object Registry {
       // q113 (ordered funnel with exact step latencies) — same tail-append rule.
       queries.Analytic.q113 :+
       // q114 (daily cohort retention matrix) — same tail-append rule.
-      queries.Analytic.q114
+      queries.Analytic.q114 :+
+      // q115 (streaming funnel, q113's stream twin) — same tail-append rule.
+      queries.StreamingOps.q115
 
   // ListMap: keep registry order. A HashMap would reshuffle the
   // bench's execution order whenever a query is added, which moves

@@ -482,5 +482,106 @@ object StreamingOps {
     },
     Some(DedupOps.oIngestGateSql))
 
+  final case class FunnelEvent(user_id: Long, ts_us: Long, event_type: String)
+  final case class FunnelState(t1: Long, t2: Long, t3: Long)
+  final case class FunnelOut(user_id: Long, reached_step: Int,
+      v2c_micros: java.lang.Long, c2p_micros: java.lang.Long)
+
+  /** Funnel state transition (q115): events sorted within the group,
+    * then a single in-order walk — t1 = first view, t2 = first click
+    * STRICTLY after t1, t3 = first purchase strictly after t2. Under
+    * time-ordered arrival (event time advances across micro-batches,
+    * which is how the file replay and any watermarked deployment feed
+    * it) this incremental walk equals q113's batch conditional-min
+    * cascade exactly: t1 can only be discovered in time order, so the
+    * pre-view events a batch recompute would exclude have already
+    * streamed past, and t2/t3 are first-past-the-mark in both
+    * formulations. Same-timestamp ties are order-independent because
+    * the after-tests are STRICT (a click at exactly t1 is excluded
+    * whichever side of the sort it lands on). Emits only on state
+    * change, so the Update-mode output carries one row per
+    * reached-step transition and the final row per user is the
+    * max-reached one. */
+  private[graft] def funnelStep(user: Long, rows: Iterator[FunnelEvent],
+      state: GroupState[FunnelState]): Iterator[FunnelOut] = {
+    val evs = rows.toArray.sortBy(_.ts_us)
+    var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+    val before = st
+    evs.foreach { e =>
+      if (st.t1 < 0) {
+        if (e.event_type == "view") st = st.copy(t1 = e.ts_us)
+      } else if (st.t2 < 0) {
+        if (e.event_type == "click" && e.ts_us > st.t1) st = st.copy(t2 = e.ts_us)
+      } else if (st.t3 < 0) {
+        if (e.event_type == "purchase" && e.ts_us > st.t2) st = st.copy(t3 = e.ts_us)
+      }
+    }
+    if (st.t1 < 0) Iterator.empty
+    else {
+      state.update(st)
+      if (st == before) Iterator.empty
+      else Iterator.single(FunnelOut(user,
+        if (st.t3 >= 0) 3 else if (st.t2 >= 0) 2 else 1,
+        if (st.t2 >= 0) java.lang.Long.valueOf(st.t2 - st.t1) else null,
+        if (st.t3 >= 0) java.lang.Long.valueOf(st.t3 - st.t2) else null))
+    }
+  }
+
+  /** The final per-user funnel rows from an Update-mode emission log:
+    * reached_step only grows and the latency columns are fixed once
+    * set, so the max-reached row per user IS the final state. */
+  private[graft] def funnelFinal(raw: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("reached_step").desc)
+    raw.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("user_id"), col("reached_step"),
+        col("v2c_micros"), col("c2p_micros"))
+      .orderBy(col("user_id"))
+  }
+
+  /** STREAMING funnel — q113's view→click→purchase analysis as
+    * per-user `flatMapGroupsWithState` over the live event stream
+    * (the q96/q98 pattern: the batch operator and its streaming twin
+    * share one oracle, so the driver's hash gate re-proves
+    * stream == batch cross-engine every round). State per user is
+    * three longs — bounded by USERS, not events — and a live
+    * deployment would add a state timeout to retire completed
+    * funnels. StreamFunnelVolBench replays 28.7M events through 8
+    * real micro-batches and matches q113's batch relation
+    * row-for-row. */
+  val q115 = Q(
+    "q115_stream_funnel",
+    "streaming view->click->purchase funnel via flatMapGroupsWithState (stream == q113 batch)",
+    (s, dir) => {
+      import s.implicits._
+      val events = eventsStream(s, dir)
+        .where(col("event_type").isin("view", "click", "purchase"))
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_type"))
+        .as[FunnelEvent]
+      val out = events.groupByKey(_.user_id)
+        .flatMapGroupsWithState(
+          OutputMode.Update(), GroupStateTimeout.NoTimeout)(funnelStep)
+      funnelFinal(runBatchesToParquet(s, out, OutputMode.Update(), "append"))
+    },
+    Some("""WITH v AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY 1),
+      c AS (
+        SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+      p AS (
+        SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
+      SELECT v.user_id,
+        CAST(CASE WHEN p.t3 IS NOT NULL THEN 3
+                  WHEN c.t2 IS NOT NULL THEN 2 ELSE 1 END AS INTEGER) AS reached_step,
+        date_diff('microsecond', v.t1, c.t2) AS v2c_micros,
+        date_diff('microsecond', c.t2, p.t3) AS c2p_micros
+      FROM v LEFT JOIN c ON v.user_id = c.user_id
+             LEFT JOIN p ON v.user_id = p.user_id
+      ORDER BY v.user_id"""))
+
   def all: Seq[Q] = Seq(q65, q66, q67, q68, q86)
 }

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+/** Volume run for q115's streaming funnel: 28.7M events replayed
+  * through REAL micro-batches (the 64 time-ordered `events_gen` part
+  * files, 8 files per trigger → 8 batches whose event time advances
+  * like a live feed), per-user funnel state via the registered
+  * `funnelStep`, final relation asserted equal to q113's batch
+  * cascade over the same files — the q96==q98 proof, funnel edition.
+  * Also reports the emission log's size: reached_step transitions
+  * only, so state-change traffic is bounded by 3 × users, not by
+  * events.
+  *
+  * Usage: sbt "Test/runMain graft.StreamFunnelVolBench /tmp/events24m"
+  */
+object StreamFunnelVolBench {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/events24m")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = org.apache.spark.sql.SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.session.timeZone", "UTC")
+      // Same as Tables.load: plain parquet timestamps are instants
+      // (NTZ-inferred ts would fail unix_micros' type check).
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val parts = s"$dir/events_parts"
+    val schema = spark.read.parquet(parts).schema
+    val scratch = java.nio.file.Files.createTempDirectory("sfunnel").toString
+    val (data, chk) = (s"$scratch/data", s"$scratch/chk")
+
+    val t1 = System.nanoTime()
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val events = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 8)
+      .parquet(parts)
+      .where(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      .as[queries.StreamingOps.FunnelEvent]
+    val out = events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)(
+        queries.StreamingOps.funnelStep)
+    val q = out.writeStream.outputMode(OutputMode.Update())
+      .option("checkpointLocation", chk)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[queries.StreamingOps.FunnelOut], id: Long) =>
+        val n = b.count()
+        batches.incrementAndGet()
+        println(f"SFVBATCH  batch=$id%2d emissions=$n%,d")
+        b.toDF().write.mode("append").parquet(data); ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val raw = spark.read.parquet(data)
+    val stream = queries.StreamingOps.funnelFinal(raw)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    val wallS = (System.nanoTime() - t1) / 1e9
+    println(f"SFVRUN    ${stream.size}%,d funnel users streamed through " +
+      f"${batches.get()}%d micro-batches in $wallS%5.1f s  " +
+      f"emission log=${raw.count()}%,d rows (state-change transitions only)")
+
+    // Batch reference over the same files.
+    val batch = Registry.queriesMap("q113_funnel")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    require(stream == batch, {
+      val diff = (stream.keySet ++ batch.keySet)
+        .filter(k => stream.get(k) != batch.get(k)).take(3)
+      s"stream != batch for ${diff.size}+ users, e.g. " +
+        diff.map(k => s"$k: ${stream.get(k)} vs ${batch.get(k)}").mkString("; ")
+    })
+    println(f"SFVVERIFY stream == q113 batch relation, all ${stream.size}%,d users")
+    spark.stop()
+  }
+}
