@@ -2048,11 +2048,19 @@ object DedupOps {
       .join(remap.select(col("id").as("comp"), col("comp").as("fc")),
         Seq("comp"), "left")
       .select(col("id"), coalesce(col("fc"), col("comp")).as("comp"))
+    // LEFT join + coalesce (r11 ADVICE): a NEW vertex whose only batch
+    // edge is a reflexive (src == dst) self-loop never reaches the
+    // contracted graph — the inner join silently dropped it, where a
+    // from-scratch closure over the same edges emits it as a
+    // singleton. Contracted self-loops of STANDING vertices stay
+    // no-ops (the standing row keeps its comp), and a new id can only
+    // self-loop raw (standing labels are disjoint from new ids), so
+    // the coalesce-to-self is exactly the missing singleton case.
     val newFinal = edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id"))).distinct()
       .join(standing.select(col("id")), Seq("id"), "left_anti")
-      .join(remap, Seq("id"))
-      .select(col("id"), col("comp"))
+      .join(remap, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
     standingFinal.union(newFinal)
   }
 

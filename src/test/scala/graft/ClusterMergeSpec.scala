@@ -105,6 +105,17 @@ class ClusterMergeSpec extends AnyFunSuite {
       Set(Set(1L, 2L, 10L, 11L, 20L, 21L, 100L, 101L)))
   }
 
+  test("reflexive batch edge: new vertex survives as a singleton (r11 ADVICE)") {
+    // 500's only edge is a self-loop: the contracted graph never sees
+    // it (src =!= dst filter), so before the left-join fix it vanished
+    // from the output where a from-scratch closure emits it as a
+    // singleton. A standing vertex's self-loop stays a plain no-op.
+    val st = Seq((1L, 1L), (2L, 1L))
+    val es = Seq((500L, 500L), (100L, 2L), (2L, 2L))
+    check(st, es)
+    assert(reference(st, es) == Set(Set(1L, 2L, 100L), Set(500L)))
+  }
+
   test("sf0.001 replay: merged equals from-scratch closure over the same relations") {
     val s = spark
     import s.implicits._

@@ -90,7 +90,7 @@ object HeavyVolBench {
     // ---- verification --------------------------------------------
     require(heavy.toMap == exact.toMap,
       s"sketch (${heavy.length}) != exact (${exact.length}) heavy sets")
-    // Ground truth: exactly the 32 interior shingles of the planted
+    // Ground truth: exactly the 33 interior shingles of the planted
     // boilerplate, at the generator's exactly-predicted counts
     // ((2,1,2,1) draws per 20 consecutive doc_ids).
     val boiler = Seq(

@@ -41,6 +41,12 @@ object StreamFunnelVolBench {
       .parquet(parts)
       .where(col("event_type").isin("view", "click", "purchase"))
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      // Per-batch event-time range, read back from query progress
+      // below: stream == batch holds only under time-ordered arrival
+      // across micro-batches (funnelStep's documented contract), so a
+      // mis-ordered replay must fail LOUDLY here instead of producing
+      // a plausible-but-wrong relation (r11 ADVICE).
+      .observe("tsrange", min(col("ts_us")).as("minTs"), max(col("ts_us")).as("maxTs"))
       .as[queries.StreamingOps.FunnelEvent]
     val out = events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Update(),
@@ -56,6 +62,24 @@ object StreamFunnelVolBench {
       }
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    // Time-ordered-arrival assert: each data batch's min event time
+    // must be >= every earlier batch's max (AvailableNow over ≤100
+    // batches keeps them all in recentProgress).
+    val ranges = q.recentProgress.toSeq
+      .filter(p => p.numInputRows > 0 && p.observedMetrics.containsKey("tsrange"))
+      .sortBy(_.batchId)
+      .map { p =>
+        val r = p.observedMetrics.get("tsrange")
+        (p.batchId, r.getLong(r.fieldIndex("minTs")), r.getLong(r.fieldIndex("maxTs")))
+      }
+    ranges.sliding(2).foreach {
+      case Seq((b0, _, hi0), (b1, lo1, _)) =>
+        require(lo1 >= hi0, s"micro-batch replay not time-ordered: batch $b1 " +
+          s"min ts $lo1 < batch $b0 max ts $hi0 — stream==batch is void on this input")
+      case _ => ()
+    }
+    println(f"SFVORDER  event-time monotone across ${ranges.size}%d data batches " +
+      "(time-ordered-arrival precondition holds)")
     val raw = spark.read.parquet(data)
     val stream = queries.StreamingOps.funnelFinal(raw)
       .collect().map(r => r.getLong(0) -> ((r.getInt(1),
