@@ -412,6 +412,29 @@ object Analytic {
     * exchange keyed on user_id (a deployment that bucketizes events
     * by user pays zero shuffles); latencies are integer microsecond
     * differences — exact in both engines, no rounding anywhere. */
+  /** q113's oracle — shared verbatim by q118: the incremental merge's
+    * whole contract is that its output hashes equal to the full
+    * recompute, so the two queries must run the SAME DuckDB text. */
+  private val oFunnelSql = """WITH v AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY 1),
+      c AS (
+        SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+      p AS (
+        SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
+      SELECT v.user_id,
+        CAST(CASE WHEN p.t3 IS NOT NULL THEN 3
+                  WHEN c.t2 IS NOT NULL THEN 2 ELSE 1 END AS INTEGER) AS reached_step,
+        date_diff('microsecond', v.t1, c.t2) AS v2c_micros,
+        date_diff('microsecond', c.t2, p.t3) AS c2p_micros
+      FROM v LEFT JOIN c ON v.user_id = c.user_id
+             LEFT JOIN p ON v.user_id = p.user_id
+      ORDER BY v.user_id"""
+
   val q113 = Q(
     "q113_funnel",
     "view->click->purchase funnel: per-user reached step + exact step latencies (micros)",
@@ -440,25 +463,7 @@ object Analytic {
           (unix_micros(col("t3")) - unix_micros(col("t2"))).as("c2p_micros"))
         .orderBy(col("user_id"))
     },
-    Some("""WITH v AS (
-        SELECT user_id, min(ts) AS t1 FROM events
-        WHERE event_type = 'view' GROUP BY 1),
-      c AS (
-        SELECT e.user_id, min(e.ts) AS t2 FROM events e
-        JOIN v ON e.user_id = v.user_id
-        WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
-      p AS (
-        SELECT e.user_id, min(e.ts) AS t3 FROM events e
-        JOIN c ON e.user_id = c.user_id
-        WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
-      SELECT v.user_id,
-        CAST(CASE WHEN p.t3 IS NOT NULL THEN 3
-                  WHEN c.t2 IS NOT NULL THEN 2 ELSE 1 END AS INTEGER) AS reached_step,
-        date_diff('microsecond', v.t1, c.t2) AS v2c_micros,
-        date_diff('microsecond', c.t2, p.t3) AS c2p_micros
-      FROM v LEFT JOIN c ON v.user_id = c.user_id
-             LEFT JOIN p ON v.user_id = p.user_id
-      ORDER BY v.user_id"""))
+    Some(oFunnelSql))
 
   /** Cohort retention matrix — the second classic behavioral-analytics
     * shape (q113's funnel is the first): users cohorted by first-seen

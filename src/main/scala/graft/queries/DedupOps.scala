@@ -2350,6 +2350,254 @@ object DedupOps {
       FROM g JOIN b USING (lab) ORDER BY canonical_id"""
     })
 
+  // ---- q116/q117: DELETION / RETRACTION from the standing artifacts --
+
+  /** INDEX-RETRACTION operator — the delete half the maintenance triad
+    * lacked (r12 VERDICT task 1): q101/q102's merge only ADDs, and a
+    * tombstoning index cannot express a removal in-band
+    * ([[mergeIndexBuckets]]'s documented residual). This removes a
+    * batch of doc_ids from the standing capped index by BUCKET-SCOPED
+    * rebuild:
+    *
+    *   - `banding` is the doc→(band, key) REVERSE relation over every
+    *     doc the index was built from — the artifact a deployment must
+    *     persist to support takedowns at all, because a TOMBSTONED
+    *     bucket's membership is unrecoverable from the index itself
+    *     (the BoundedIdBag truncated it);
+    *   - touched = the (band, key) buckets naming a removed doc —
+    *     exactly |removed| × bands rows, batch-bounded;
+    *   - each touched bucket is recomputed from its SURVIVING banding
+    *     rows under the same cap: a tombstone whose survivor count
+    *     falls to ≤ cap DEMOTES back to a live bucket with the full
+    *     survivor id set, a bucket losing every member DROPS (no row —
+    *     matching the from-scratch index, which has no bucket no doc
+    *     names), and a bucket still over cap stays tombstoned;
+    *   - untouched buckets pass through UNCHANGED — their banding rows
+    *     are identical before and after the removal, so their capped
+    *     form already equals the from-scratch recompute's.
+    *
+    * The result is equal, bucket for bucket, to recomputing the capped
+    * index over `banding MINUS removed docs` from scratch; the
+    * registered q116 oracle re-derives that full recompute over
+    * `documents WHERE NOT removed` in DuckDB, so the driver's hash
+    * gate re-proves removal == rebuild cross-engine every round (the
+    * q101 proof shape, inverted).
+    *
+    * Scale shape: `touched` is batch-bounded and broadcasts to both
+    * the banding semi-join and the standing anti-join, so neither
+    * corpus-sized relation shuffles; on a (band, key)-partitioned
+    * banding store the semi-join is a pruned scan of the touched
+    * buckets' files. The only aggregation shuffles the touched
+    * buckets' surviving rows — removal cost is bounded by the removal
+    * batch times bucket occupancy, never the corpus. */
+  private[graft] def removeFromIndexBuckets(standing: DataFrame,
+      banding: DataFrame, removed: DataFrame, cap: Int): DataFrame = {
+    val rem = removed.select(col("doc_id"))
+    val touched = banding.join(rem, Seq("doc_id"), "left_semi")
+      .select(col("band"), col("key")).distinct()
+    val rebuilt = cappedIndexBuckets(
+      banding.join(touched, Seq("band", "key"), "left_semi")
+        .join(rem, Seq("doc_id"), "left_anti"), cap)
+    standing.join(touched, Seq("band", "key"), "left_anti").union(rebuilt)
+  }
+
+  /** The registered instance: the standing capped index over the FULL
+    * corpus takes a deterministic 10 % takedown batch (h60 "remove:"
+    * residue). The oracle recomputes the capped index over
+    * `documents WHERE NOT removed` from scratch.
+    *
+    * Cap declare-vs-fire at the sf scales (the q101 split): sf0.01's
+    * full-corpus max bucket sits exactly AT the cap, so neither the
+    * tombstone nor the DEMOTION branch fires at the driver's oracle
+    * scale — both engines declare the arithmetic and agree on it.
+    * IndexRemoveSpec fires demotion, zero-survivor drop, and
+    * tombstone persistence on crafted fixtures AND replays
+    * removal == from-scratch on sf0.01 under a tightened cap;
+    * IndexVolBench's removal phase fires all three at 2M-doc
+    * production density. */
+  val q116 = Q(
+    "q116_index_remove",
+    s"index retraction: bucket-scoped rebuild for a removed 10% batch, tombstone demotion at cap $Q96Cap",
+    (s, dir) => {
+      val rem = h60(concat(lit("remove:"), col("doc_id"))) % 10 === 0
+      // Scratch-scoped: the reverse relation feeds the standing index
+      // build (registration-instance cost — a deployment reads the
+      // stored index), the touched-bucket probe, and the rebuild.
+      val banding = graft.Scratch.scoped(bandedFor(s, dir, lit(true)))
+      val standing = cappedIndexBuckets(banding, Q96Cap)
+      val removed = t(s, dir, "documents").where(rem).select(col("doc_id"))
+      removeFromIndexBuckets(standing, banding, removed, Q96Cap)
+        .select(col("band"), col("key"),
+          (size(col("ids")) === 0).as("dropped"),
+          size(col("ids")).cast("long").as("n_kept"),
+          concat_ws(",", transform(col("ids"), x => x.cast("string"))).as("ids"))
+        .orderBy(col("band"), col("key"))
+    },
+    Some {
+      val mins = oMins
+      s"""WITH sh AS ($oShingles3),
+        keep AS (
+          SELECT doc_id FROM documents
+          WHERE ${oH60("'remove:' || CAST(doc_id AS VARCHAR)")} % 10 <> 0),
+        hashed AS (
+          SELECT s.doc_id, ${oH60("shingle")} % $P AS h
+          FROM (SELECT doc_id, unnest(sh) AS shingle FROM sh) s
+          JOIN keep USING (doc_id)),
+        sig AS (
+          SELECT doc_id, $mins
+          FROM hashed GROUP BY doc_id),
+        banded AS (
+          $oBandRows),
+        g AS (
+          SELECT band, key, count(*) AS n,
+            string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS allids
+          FROM banded GROUP BY band, key)
+        SELECT band, key, n > $Q96Cap AS dropped,
+          CASE WHEN n > $Q96Cap THEN CAST(0 AS BIGINT) ELSE n END AS n_kept,
+          CASE WHEN n > $Q96Cap THEN '' ELSE allids END AS ids
+        FROM g ORDER BY band, key"""
+    })
+
+  /** CLUSTER-RETRACTION operator — [[mergeComponents]]' dual: drop a
+    * batch of removed members from a standing component assignment and
+    * SPLIT any component the removal disconnects. `standing` is
+    * (id, comp) with member-id labels ([[componentsOf]]'s contract),
+    * `pairs` is the stored edge relation whose closure `standing` IS
+    * (every edge intra-component by construction), `removed` is (id).
+    *
+    *   - touched = components holding a removed member — batch-bounded;
+    *   - the contracted-CC trick reruns on the SURVIVING edges of
+    *     touched components ONLY (both endpoints alive): that subgraph
+    *     is where a split can happen, and its size is bounded by the
+    *     touched components' edges, never the corpus;
+    *   - untouched components pass through unchanged — none of their
+    *     edges lost an endpoint;
+    *   - a survivor with NO surviving edge leaves the table: it is no
+    *     longer a near-duplicate of anything, exactly as a from-scratch
+    *     closure over the surviving pair relation would decide.
+    *
+    * Equality with from-scratch holds because pair membership is
+    * per-pair (band-share + exact Jaccard of the two docs), so the
+    * UNCAPPED pair relation over survivors is precisely the original
+    * pairs with both endpoints surviving. A CAPPED candidate store
+    * (q88) loses this: removal can demote a tombstoned bucket and
+    * REVEAL pairs never generated — there, the q116 index-removal runs
+    * first and the demoted buckets' members re-probe (the composition
+    * is documented, not registered). Label safety mirrors
+    * [[mergeComponents]]: relabeled touched components take labels
+    * from their own surviving members, disjoint from every untouched
+    * component's member-id label.
+    *
+    * Scale shape: `touched` broadcasts; the standing table never
+    * shuffles (anti-join on the broadcast); on a comp-partitioned pair
+    * store the surviving-edge scan prunes to the touched components'
+    * files; the CC runs edge-bounded on the touched subgraph. */
+  private[graft] def removeFromComponents(standing: DataFrame,
+      pairs: DataFrame, removed: DataFrame): DataFrame = {
+    val s = standing.sparkSession
+    import s.implicits._
+    val rem = removed.select(col("id"))
+    val touched = standing.join(rem, Seq("id"), "left_semi")
+      .select(col("comp")).distinct()
+    val survEdges = pairs
+      .join(standing.select(col("id").as("src"), col("comp")), Seq("src"))
+      .join(touched, Seq("comp"), "left_semi")
+      .join(rem.select(col("id").as("src")), Seq("src"), "left_anti")
+      .join(rem.select(col("id").as("dst")), Seq("dst"), "left_anti")
+      .select(col("src"), col("dst"))
+    val verts = survEdges.select(col("src")).union(survEdges.select(col("dst")))
+      .distinct().as[java.lang.Long]
+    val relabeled = graft.etl.Pipeline.connectedComponents(
+      verts, survEdges.as[graft.etl.Pipeline.Edge])
+    standing.join(touched, Seq("comp"), "left_anti")
+      .select(col("id"), col("comp"))
+      .union(relabeled.select(col("id"), col("comp")))
+  }
+
+  /** The registered instance: the standing near-dup components over
+    * the FULL corpus (q73's closure — production stores this
+    * assignment and the pair relation beside it) process the same
+    * 10 % takedown batch as q116. Output is the post-removal cluster
+    * table. The ORACLE recomputes signatures, banding, candidates,
+    * verification, and the closure over `documents WHERE NOT removed`
+    * from scratch — so the driver's cross-engine hash gate re-proves
+    * removal == full rebuild every round (the q105 proof shape,
+    * inverted). The SPLIT branch (a removed cut-vertex disconnecting
+    * its component) doesn't occur on the sf corpora (clusters are
+    * near-cliques); ClusterRemoveSpec fires it on crafted graphs and
+    * ClusterVolBench's removal phase fires it at 2M docs. */
+  val q117 = Q(
+    "q117_cluster_remove",
+    "cluster retraction: drop removed members, split disconnected components (== from-scratch closure)",
+    (s, dir) => {
+      val rem = h60(concat(lit("remove:"), col("doc_id"))) % 10 === 0
+      val pairs = graft.Scratch.scoped(minhashPairs(s, dir)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+      val standing = graft.Scratch.scoped(componentsOf(pairs))
+      val removed = t(s, dir, "documents").where(rem)
+        .select(col("doc_id").as("id"))
+      removeFromComponents(standing, pairs, removed)
+        .groupBy(col("comp"))
+        .agg(min(col("id")).as("canonical_id"),
+          count(lit(1)).as("n_docs"),
+          concat_ws(",", transform(sort_array(collect_list(col("id"))),
+            x => x.cast("string"))).as("members"))
+        .select(col("canonical_id"), col("n_docs"), col("members"))
+        .orderBy(col("canonical_id"))
+    },
+    Some {
+      val mins = oMins
+      val steps = (1 to 11).map { i =>
+        s"""l$i AS MATERIALIZED (
+        SELECT v.k, least(v.lab, coalesce(min(n.lab), v.lab)) AS lab
+        FROM l${i - 1} v
+        LEFT JOIN sym e ON e.a = v.k
+        LEFT JOIN l${i - 1} n ON n.k = e.b
+        GROUP BY v.k, v.lab)"""
+      }.mkString(",\n      ")
+      s"""WITH sh AS ($oShingles3),
+        keep AS (
+          SELECT doc_id FROM documents
+          WHERE ${oH60("'remove:' || CAST(doc_id AS VARCHAR)")} % 10 <> 0),
+        hashed AS (
+          SELECT s.doc_id, ${oH60("shingle")} % $P AS h
+          FROM (SELECT doc_id, unnest(sh) AS shingle FROM sh) s
+          JOIN keep USING (doc_id)),
+        sig AS (
+          SELECT doc_id,
+            $mins,
+            list_sort(list(DISTINCT h)) AS hs
+          FROM hashed GROUP BY doc_id),
+        banded AS (
+          $oBandRows),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+        pairs AS MATERIALIZED (
+          SELECT doc_a, doc_b FROM (
+            SELECT doc_a, doc_b,
+              round(CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) /
+                    CAST(len(list_distinct(sa.hs || sb.hs)) AS DOUBLE), 4) AS jaccard
+            FROM cand JOIN sig sa ON cand.doc_a = sa.doc_id
+                      JOIN sig sb ON cand.doc_b = sb.doc_id)
+          WHERE jaccard >= 0.8),
+        sym AS MATERIALIZED (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs),
+        l0 AS MATERIALIZED (SELECT DISTINCT a AS k, a AS lab FROM sym),
+        $steps,
+        conv AS (
+          SELECT count(*) AS viol
+          FROM l11 n JOIN l10 p ON n.k = p.k WHERE n.lab <> p.lab)
+        SELECT CASE WHEN (SELECT viol FROM conv) > 0
+                 THEN error('q117 oracle: label propagation not converged in 10 rounds')
+                 ELSE min(k) END AS canonical_id,
+          count(*) AS n_docs,
+          string_agg(CAST(k AS VARCHAR), ',' ORDER BY k) AS members
+        FROM l11 GROUP BY lab ORDER BY canonical_id"""
+    })
+
   /** Mid-list registrations only. q88/q90/q91/q92/q93/q94 (and later
     * tail entries) are NOT missing: they register via tail-appends in
     * Registry (order stability — the driver's per-query bench history
