@@ -93,7 +93,11 @@ object Registry {
       // q114 (daily cohort retention matrix) — same tail-append rule.
       queries.Analytic.q114 :+
       // q115 (streaming funnel, q113's stream twin) — same tail-append rule.
-      queries.StreamingOps.q115
+      queries.StreamingOps.q115 :+
+      // q116 (index retraction: bucket-scoped rebuild) — same tail-append rule.
+      queries.DedupOps.q116 :+
+      // q117 (cluster retraction: touched-component CC rerun) — same tail-append rule.
+      queries.DedupOps.q117
 
   // ListMap: keep registry order. A HashMap would reshuffle the
   // bench's execution order whenever a query is added, which moves

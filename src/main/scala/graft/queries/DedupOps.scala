@@ -175,7 +175,7 @@ object DedupOps {
     * candidate density (THROUGHPUT.md). The doc count is a parquet
     * metadata-only job (~ms), the same probe-then-pick pattern as
     * q53's vocabulary gate. */
-  private def minhashPairs(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+  private[graft] def minhashPairs(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     if (documentsCount(s, dir) < DeferredMinDocs) minhashPairsOnePass(s, dir)
     else minhashPairsAdaptive(s, dir, DeferredBroadcastIdCap)
 
@@ -2412,9 +2412,9 @@ object DedupOps {
     * scale — both engines declare the arithmetic and agree on it.
     * IndexRemoveSpec fires demotion, zero-survivor drop, and
     * tombstone persistence on crafted fixtures AND replays
-    * removal == from-scratch on sf0.01 under a tightened cap;
-    * IndexVolBench's removal phase fires all three at 2M-doc
-    * production density. */
+    * removal == from-scratch on the real sf bandings under
+    * tightened caps / removal fractions where each branch provably
+    * fires (census in the ProbeRemove tool). */
   val q116 = Q(
     "q116_index_remove",
     s"index retraction: bucket-scoped rebuild for a removed 10% batch, tombstone demotion at cap $Q96Cap",
@@ -2524,8 +2524,9 @@ object DedupOps {
     * removal == full rebuild every round (the q105 proof shape,
     * inverted). The SPLIT branch (a removed cut-vertex disconnecting
     * its component) doesn't occur on the sf corpora (clusters are
-    * near-cliques); ClusterRemoveSpec fires it on crafted graphs and
-    * ClusterVolBench's removal phase fires it at 2M docs. */
+    * near-cliques); ClusterRemoveSpec fires it on crafted graphs
+    * (path cut, star collapse, survivor-with-no-edge drops) and
+    * replays removal == from-scratch on the real sf pair relations. */
   val q117 = Q(
     "q117_cluster_remove",
     "cluster retraction: drop removed members, split disconnected components (== from-scratch closure)",

@@ -35,6 +35,12 @@ import org.apache.spark.sql.functions._
   *     near-zero here because generator clusters land in ONE standing
   *     comp unless band recall split them).
   *
+  * A final REMOVAL phase (q117) then takes a 10 % takedown batch out
+  * of the post-B assignment via removeFromComponents against the
+  * stored pair relation, asserts removal == the from-scratch closure
+  * over the surviving edges, and prints the branch census (touched
+  * components / splits / orphan drops).
+  *
   * Usage: SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=16g \
   *   sbt "Test/runMain graft.ClusterVolBench /tmp/dedup2m"
   */
@@ -130,6 +136,58 @@ object ClusterVolBench {
        else "MISMATCH"))
     require(diff == 0, s"$diff (id,label) rows differ between merged and from-scratch")
     require(unsound == 0, s"$unsound clusters mix generator groups")
+
+    // ---- removal phase (q117): a 10 % takedown batch leaves the
+    // final assignment. The stored pair relation (ipairs ∪ mA ∪ mB —
+    // the edges whose closure the assignment IS) is already on disk
+    // from the phases above; the timed body is the takedown itself:
+    // touched-component probe, surviving-edge scan, CC rerun over the
+    // touched subgraph only, broadcast-anti passthrough of untouched
+    // components. At this corpus's density the DROP branch fires in
+    // volume (an exact-dup pair losing one member orphans the other —
+    // no surviving edge, so the survivor leaves the table exactly as
+    // a from-scratch closure decides); splits are structurally rare
+    // (clusters are near-cliques) and the census prints the honest
+    // count either way — ClusterRemoveSpec pins the split branch on
+    // crafted cut-vertex graphs.
+    val removed = fin.select(col("id"))
+      .where(queries.h60(concat(lit("remove:"), col("id"))) % 10 === 0)
+    shufWrite.set(0)
+    val t5 = System.nanoTime()
+    queries.DedupOps.removeFromComponents(fin, scratchEdges, removed)
+      .write.mode("overwrite").parquet(s"$scratch/asgR")
+    val dtR = (System.nanoTime() - t5) / 1e9
+    println(f"CVBREMOVE 10%% takedown (${removed.count()}%,d assigned ids) applied in " +
+      f"$dtR%6.1f s  shufWrite=${shufWrite.get / 1e9}%.2f GB")
+    val post = spark.read.parquet(s"$scratch/asgR")
+    stats("after_rm", post)
+    // Branch census over pre-removal components: split (>= 2 surviving
+    // comps), intact survivors, and survivor drops (alive but edgeless).
+    val preWithPost = fin
+      .join(removed.select(col("id"), lit(true).as("rm")), Seq("id"), "left")
+      .join(post.select(col("id"), col("comp").as("nc")), Seq("id"), "left")
+    val perComp = preWithPost.groupBy(col("comp")).agg(
+      countDistinct(col("nc")).as("survComps"),
+      sum(when(col("rm").isNull && col("nc").isNull, 1L).otherwise(0L)).as("orphans"),
+      sum(when(col("rm").isNotNull, 1L).otherwise(0L)).as("removedN"))
+    val c = perComp.agg(
+      sum(when(col("survComps") >= 2, 1L).otherwise(0L)).as("splits"),
+      sum(col("orphans")).as("orphanDrops"),
+      sum(when(col("removedN") > 0, 1L).otherwise(0L)).as("touchedComps")).collect()(0)
+    println(f"CVBREMOVE branches: touched_comps=${c.getLong(2)}%,d  " +
+      f"splits=${c.getLong(0)}%,d  orphan_drops=${c.getLong(1)}%,d")
+    // Removal == from-scratch closure over the surviving edges.
+    val survEdges = scratchEdges
+      .join(removed.select(col("id").as("src")), Seq("src"), "left_anti")
+      .join(removed.select(col("id").as("dst")), Seq("dst"), "left_anti")
+    val fromScratchR = queries.DedupOps.componentsOf(survEdges)
+    val diffR = normalized(post).union(normalized(fromScratchR))
+      .groupBy(col("id"), col("lab")).agg(count(lit(1)).as("n"))
+      .where(col("n") =!= 2).count()
+    println(f"CVBRMVERIFY assignment_mismatches=$diffR  " +
+      (if (diffR == 0) "(removal == from-scratch closure over surviving edges)" else "MISMATCH"))
+    require(diffR == 0, s"$diffR (id,label) rows differ between removal and from-scratch")
+    require(c.getLong(1) > 0, "orphan-drop branch never fired at volume")
     spark.stop()
   }
 }

@@ -26,6 +26,13 @@ import org.apache.spark.sql.functions._
   * at volume (IndexMergeSpec pins it at sf; the registered q101 oracle
   * re-proves it cross-engine at sf0.01 every round).
   *
+  * A final REMOVAL phase (q116) then takes a 10 % takedown batch out
+  * of the post-B index via removeFromIndexBuckets against the stored
+  * full-corpus banding relation, asserts removal == from-scratch over
+  * the surviving docs, and prints the branch census (tombstones
+  * persisted / demoted to live / buckets dropped) — all three fire at
+  * this corpus's production density.
+  *
   * Usage: SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=16g \
   *   sbt "Test/runMain graft.IndexVolBench /tmp/dedup2m"
   */
@@ -98,6 +105,60 @@ object IndexVolBench {
     println(f"IVBVERIFY docs=$nDocs%,d  mismatched_buckets=$diff  " +
       (if (diff == 0) "(merged == recomputed, bucket for bucket)" else "MISMATCH"))
     require(diff == 0, s"$diff buckets differ between merged and recomputed index")
+
+    // ---- removal phase (q116): a 10 % takedown batch leaves the
+    // final index. The full-corpus banding is the persisted reverse
+    // relation q116's contract requires a deployment to keep (stored
+    // untimed — it is written once at index-build time); the timed
+    // body is the takedown itself: touched-bucket probe + bucket-
+    // scoped rebuild + one pass over the standing index. At this
+    // corpus's density the demotion branch fires in volume: most
+    // 4-doc cluster buckets are tombstoned at cap 3, and a removed
+    // member brings survivors back to 3 = cap -> LIVE again with the
+    // full survivor set, recoverable only from the banding relation.
+    val t2 = System.nanoTime()
+    queries.DedupOps.bandedFor(spark, dir, lit(true))
+      .write.mode("overwrite").parquet(s"$scratch/banding")
+    println(f"IVBSETUP  full-corpus banding stored in " +
+      f"${(System.nanoTime() - t2) / 1e9}%.1f s")
+    val banding = spark.read.parquet(s"$scratch/banding")
+    val removed = spark.read.parquet(s"$dir/documents.parquet")
+      .where(queries.h60(concat(lit("remove:"), col("doc_id"))) % 10 === 0)
+      .select(col("doc_id"))
+    shufWrite.set(0)
+    val t3 = System.nanoTime()
+    queries.DedupOps.removeFromIndexBuckets(
+        spark.read.parquet(prev), banding, removed, cap)
+      .write.mode("overwrite").parquet(s"$scratch/idxR")
+    val dtR = (System.nanoTime() - t3) / 1e9
+    println(f"IVBREMOVE 10%% takedown (${removed.count()}%,d docs) applied in " +
+      f"$dtR%6.1f s  shufWrite=${shufWrite.get / 1e9}%.2f GB")
+    val post = spark.read.parquet(s"$scratch/idxR")
+    stats("after_rm", post)
+    // Branch census: what happened to each pre-removal bucket.
+    val census = spark.read.parquet(prev)
+      .select(col("band"), col("key"), (size(col("ids")) === 0).as("wasTomb"))
+      .join(post.select(col("band"), col("key"),
+          (size(col("ids")) === 0).as("isTomb")),
+        Seq("band", "key"), "left")
+      .agg(
+        sum(when(col("wasTomb") && col("isTomb"), 1L).otherwise(0L)).as("persisted"),
+        sum(when(col("wasTomb") && col("isTomb") === false, 1L).otherwise(0L)).as("demoted"),
+        sum(when(col("isTomb").isNull, 1L).otherwise(0L)).as("dropped")).collect()(0)
+    println(f"IVBREMOVE branches: tombstones_persisted=${census.getLong(0)}%,d  " +
+      f"demoted_to_live=${census.getLong(1)}%,d  buckets_dropped=${census.getLong(2)}%,d")
+    // Removal == from-scratch over the surviving corpus, bucket for bucket.
+    val recomputedR = queries.DedupOps.cappedIndexBuckets(
+      banding.join(removed, Seq("doc_id"), "left_anti"), cap)
+    val diffR = keyed(post).union(keyed(recomputedR))
+      .groupBy(col("band"), col("key"), col("idstr"))
+      .agg(count(lit(1)).as("n")).where(col("n") =!= 2)
+      .count()
+    println(f"IVBRMVERIFY mismatched_buckets=$diffR  " +
+      (if (diffR == 0) "(removal == from-scratch over surviving docs)" else "MISMATCH"))
+    require(diffR == 0, s"$diffR buckets differ between removal and from-scratch rebuild")
+    require(census.getLong(1) > 0, "demotion branch never fired at volume")
+    require(census.getLong(2) > 0, "drop branch never fired at volume")
     spark.stop()
   }
 }
