@@ -97,7 +97,13 @@ object Registry {
       // q116 (index retraction: bucket-scoped rebuild) — same tail-append rule.
       queries.DedupOps.q116 :+
       // q117 (cluster retraction: touched-component CC rerun) — same tail-append rule.
-      queries.DedupOps.q117
+      queries.DedupOps.q117 :+
+      // q118 (quantile histogram decrement) — same tail-append rule.
+      queries.CurationOps.q118 :+
+      // q119 (incremental funnel maintenance) — same tail-append rule.
+      queries.Analytic.q119 :+
+      // q120 (incremental retention maintenance) — same tail-append rule.
+      queries.Analytic.q120
 
   // ListMap: keep registry order. A HashMap would reshuffle the
   // bench's execution order whenever a query is added, which moves

@@ -592,6 +592,62 @@ object CurationOps {
         CAST(sum(c) AS BIGINT) AS n_docs
       FROM w GROUP BY lang ORDER BY lang"""))
 
+  /** Histogram DECREMENT — the takedown leg of the quantile monitor,
+    * completing the standing-artifact removal family (q116 removes
+    * from the ingest index, q117 from the cluster assignment, this
+    * from the length-distribution histogram q107 reads). Counts
+    * subtract exactly per (lang, n) key and a key whose count reaches
+    * zero leaves the table, so the result IS the histogram a
+    * from-scratch rebuild over the surviving corpus computes — there
+    * is no cap boundary and no truncated state, which is why this leg
+    * needs no banding-style reverse relation: the batch's own
+    * histogram is all the forgotten information. LEFT join on the
+    * standing side: a removed doc was counted at ingest, so
+    * subtraction can never need a key the standing histogram lacks.
+    * On a (lang, n)-partitioned standing table only the batch's
+    * domain-bounded histogram shuffles. */
+  private[graft] def removeFromHist(standing: DataFrame,
+      removedHist: DataFrame): DataFrame =
+    standing.select(col("lang"), col("n"), col("c").as("c_old"))
+      .join(removedHist.select(col("lang"), col("n"), col("c").as("c_rm")),
+        Seq("lang", "n"), "left")
+      .select(col("lang"), col("n"),
+        (col("c_old") - coalesce(col("c_rm"), lit(0L))).as("c"))
+      .where(col("c") > 0)
+
+  /** The registered instance: the standing full-corpus histogram
+    * takes the same deterministic h60 10 % "remove:" takedown batch
+    * as q116/q117 and reports the post-removal quantiles; the oracle
+    * recomputes q107 over `documents WHERE NOT removed` from scratch,
+    * so the driver's hash gate re-proves decrement == rebuild
+    * cross-engine every round. HistMergeSpec pins the subtraction
+    * arithmetic (zero-count drop, quantile moving back) on crafted
+    * histograms. */
+  val q118 = Q(
+    "q118_quantile_remove",
+    "quantile maintenance decrement: takedown batch subtracted from standing histogram == full recompute",
+    (s, dir) => {
+      val rem = h60(concat(lit("remove:"), col("doc_id"))) % 10 === 0
+      quantilesOf(removeFromHist(
+        tokenHistFor(s, dir, lit(true)), tokenHistFor(s, dir, rem)))
+    },
+    Some(s"""WITH h AS (
+        SELECT lang, CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS c
+        FROM documents
+        WHERE ${oH60("'remove:' || CAST(doc_id AS VARCHAR)")} % 10 <> 0
+        GROUP BY 1, 2),
+      w AS (SELECT lang, n, c,
+              sum(c) OVER (PARTITION BY lang ORDER BY n) AS cum,
+              sum(c) OVER (PARTITION BY lang) AS tot
+            FROM h)
+      SELECT lang,
+        min(CASE WHEN cum * 100 >= tot * 50 THEN n END) AS p50,
+        min(CASE WHEN cum * 100 >= tot * 90 THEN n END) AS p90,
+        min(CASE WHEN cum * 100 >= tot * 99 THEN n END) AS p99,
+        CAST(sum(c) AS BIGINT) AS n_docs
+      FROM w GROUP BY lang ORDER BY lang"""))
+
   /** Number of hashed-bigram feature buckets for q108 (DSIR's hashed
     * n-gram model size; the bucket-weight table broadcast to
     * executors is exactly this many rows regardless of corpus). */

@@ -48,6 +48,54 @@ class HistMergeSpec extends AnyFunSuite {
       s"p90/p99 must move to the batch's tail, p50 must not: ${q.toSeq}")
   }
 
+  test("decrement arithmetic: counts subtract; zero-count keys drop; others pass") {
+    val standing = hist(Seq(
+      ("en", 10L, 5L), ("en", 20L, 3L), ("en", 30L, 2L), ("de", 7L, 1L)))
+    val removed = hist(Seq(
+      ("en", 10L, 2L),  // partial: 5 - 2 = 3 stays
+      ("en", 20L, 3L))) // total: 3 - 3 = 0 -> key leaves the table
+    val out = queries.CurationOps.removeFromHist(standing, removed)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      ("en", 10L) -> 3L, ("en", 30L) -> 2L, ("de", 7L) -> 1L))
+  }
+
+  test("a removal that moves the quantiles back: the merge test inverted") {
+    // Union of 119 (99×len-10 + 20×len-50) has p90 = p99 = 50; removing
+    // the 20 tail docs must move both back to 10 — the exact inverse of
+    // the merge-moves-quantiles case above.
+    val standing = hist(Seq(("en", 10L, 99L), ("en", 50L, 20L)))
+    val removed = hist(Seq(("en", 50L, 20L)))
+    val q = queries.CurationOps.quantilesOf(
+        queries.CurationOps.removeFromHist(standing, removed))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(q.toSeq == Seq((10L, 10L, 10L, 99L)),
+      s"p90/p99 must move back to 10 after the tail is removed: ${q.toSeq}")
+  }
+
+  test("merge then decrement of the same batch round-trips to the standing histogram") {
+    val standing = hist(Seq(("en", 10L, 5L), ("de", 7L, 1L)))
+    val batch = hist(Seq(("en", 10L, 2L), ("en", 30L, 4L), ("fr", 9L, 6L)))
+    val rt = queries.CurationOps.removeFromHist(
+        queries.CurationOps.mergeHist(standing, batch), batch)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(rt == Map(("en", 10L) -> 5L, ("de", 7L) -> 1L))
+  }
+
+  test("sf0.001 replay: decremented histogram quantiles equal the survivors' recompute") {
+    val dir = "/root/testdata/sf0.001"
+    val rem = queries.h60(concat(lit("remove:"), col("doc_id"))) % 10 === 0
+    val out = Registry.queriesMap("q118_quantile_remove")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val direct = queries.CurationOps.quantilesOf(
+        queries.CurationOps.tokenHistFor(spark, dir, !rem))
+      .collect().map(_.toSeq).toSeq
+    assert(out == direct, "decrement must equal recompute over survivors")
+    val nRem = queries.CurationOps.tokenHistFor(spark, dir, rem)
+      .agg(sum(col("c"))).collect()(0).getLong(0)
+    assert(nRem > 0, "takedown batch empty: replay vacuous")
+  }
+
   test("sf0.001 replay: merged histogram quantiles equal the direct q107 output") {
     val dir = "/root/testdata/sf0.001"
     val direct = Registry.queriesMap("q107_exact_quantiles")(spark, dir)

@@ -13,6 +13,11 @@ import org.apache.spark.sql.functions._
   * (the strictly-after rule is easy to get wrong in exactly one of
   * the two formulations, which is what makes the identity evidence).
   *
+  * An INCREMENTAL phase (q119) then stores the 5-day standing states
+  * and merges the final two generator days as daily batches,
+  * asserting the merged states render exactly the verified full
+  * recompute — the deployment shape where history is never rescanned.
+  *
   * Usage: python3 tools/events_gen.py /tmp/events24m 24000000 64 &&
   *   sbt "Test/runMain graft.FunnelVolBench /tmp/events24m"
   */
@@ -84,6 +89,55 @@ object FunnelVolBench {
         diff.map(k => s"$k: ${cascade.get(k)} vs ${walked.get(k)}").mkString("; ")
     })
     println(f"FNVVERIFY  cascade == imperative walk, all ${cascade.size}%,d users")
+
+    // ---- incremental phase (q119): standing per-user funnel states
+    // over the first five days are STORED (the production monitor
+    // state), then the final two generator days merge in as daily
+    // batches — the deployment shape where history is never
+    // rescanned. Timed per batch: read standing parquet, scan the
+    // day's events, seeded-cascade merge, store. The claim: per-batch
+    // cost is the batch scan plus a state-table pass, flat from day
+    // to day. Final states must render EXACTLY the full-recompute
+    // cascade already verified above.
+    val scratch = java.nio.file.Files.createTempDirectory("graft_fvb_").toString
+    val ev = Tables.load(spark, dir, "events")
+    val t3 = System.nanoTime()
+    queries.Analytic.funnelStates(ev.where(col("ts") < lit("2025-01-06").cast("timestamp")))
+      .write.mode("overwrite").parquet(s"$scratch/st0")
+    println(f"FNVSETUP   standing 5-day funnel states stored in " +
+      f"${(System.nanoTime() - t3) / 1e9}%5.1f s  " +
+      f"(${spark.read.parquet(s"$scratch/st0").count()}%,d users)")
+    var prev = s"$scratch/st0"
+    for ((lo, hi, tag) <- Seq(
+        ("2025-01-06", "2025-01-07", "day6"),
+        ("2025-01-07", "2025-01-09", "day7"))) {
+      shufWrite.set(0)
+      val t4 = System.nanoTime()
+      val batch = ev.where(col("ts") >= lit(lo).cast("timestamp") &&
+        col("ts") < lit(hi).cast("timestamp"))
+      val next = s"$scratch/st_$tag"
+      queries.Analytic.mergeFunnelStates(spark.read.parquet(prev), batch)
+        .write.mode("overwrite").parquet(next)
+      println(f"FNVMERGE   $tag batch merged in ${(System.nanoTime() - t4) / 1e9}%5.1f s  " +
+        f"shufWrite=${shufWrite.get / 1e9}%.2f GB  " +
+        f"(${batch.count()}%,d events)")
+      prev = next
+    }
+    val mergedRender = spark.read.parquet(prev)
+      .select(col("user_id"),
+        when(col("t3").isNotNull, 3).when(col("t2").isNotNull, 2)
+          .otherwise(1).cast("int").as("step"),
+        coalesce(unix_micros(col("t2")) - unix_micros(col("t1")), lit(-1L)).as("v2c"),
+        coalesce(unix_micros(col("t3")) - unix_micros(col("t2")), lit(-1L)).as("c2p"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getLong(3)))).toMap
+    require(mergedRender == cascade, {
+      val diff = (mergedRender.keySet ++ cascade.keySet)
+        .filter(k => mergedRender.get(k) != cascade.get(k)).take(3)
+      s"incremental disagrees with recompute on ${diff.size}+ users, e.g. " +
+        diff.map(k => s"$k: ${mergedRender.get(k)} vs ${cascade.get(k)}").mkString("; ")
+    })
+    println(f"FNVINCVERIFY merged daily states == full recompute, all ${cascade.size}%,d users")
     spark.stop()
   }
 }

@@ -12,6 +12,10 @@ import org.apache.spark.sql.functions._
   * (domain-bounded — ~600 rows here), so the per-batch cost is the
   * batch's own scan; the report separates the two.
   *
+  * A final DECREMENT phase (q118) subtracts a 10 % takedown batch's
+  * histogram from the stored full-corpus histogram and asserts the
+  * post-removal quantiles equal a survivors-only recompute.
+  *
   * Usage: sbt "Test/runMain graft.HistVolBench /tmp/cur2m"
   */
 object HistVolBench {
@@ -57,6 +61,34 @@ object HistVolBench {
     require(merged == direct,
       s"incremental != full recompute: $merged vs $direct")
     println(f"HISTVERIFY merged quantiles == full 2M-doc recompute, all langs")
+
+    // ---- decrement phase (q118): a 10 % takedown batch leaves the
+    // standing FULL-corpus histogram (stored untimed — in production
+    // it is the running monitor state). Timed body: scan the removed
+    // batch, histogram it, subtract, read quantiles — the batch's own
+    // scan plus a domain-bounded join, like the merge phase.
+    shufWrite.set(0)
+    val t2 = System.nanoTime()
+    queries.CurationOps.tokenHistFor(spark, dir, lit(true))
+      .write.mode("overwrite").parquet(s"$standingPath/histFull.parquet")
+    println(f"HISTSETUP standing full histogram stored in " +
+      f"${(System.nanoTime() - t2) / 1e9}%5.1f s")
+    val rem = queries.h60(concat(lit("remove:"), col("doc_id"))) % 10 === 0
+    shufWrite.set(0)
+    val t3 = System.nanoTime()
+    val removedQ = queries.CurationOps.quantilesOf(queries.CurationOps.removeFromHist(
+        spark.read.parquet(s"$standingPath/histFull.parquet"),
+        queries.CurationOps.tokenHistFor(spark, dir, rem)))
+      .collect().map(_.toSeq).toSeq
+    val remS = (System.nanoTime() - t3) / 1e9
+    println(f"HISTRM    takedown batch subtracted + quantiles read in $remS%5.1f s  " +
+      f"shufWrite=${shufWrite.get / 1e9}%.3f GB")
+    val directRm = queries.CurationOps.quantilesOf(
+        queries.CurationOps.tokenHistFor(spark, dir, !rem))
+      .collect().map(_.toSeq).toSeq
+    require(removedQ == directRm,
+      s"decrement != survivors recompute: $removedQ vs $directRm")
+    println(f"HISTRMVERIFY decremented quantiles == survivors-only recompute, all langs")
     spark.stop()
   }
 }

@@ -13,6 +13,10 @@ import org.apache.spark.sql.functions._
   *   - Σ cohort day-0 sizes == |distinct users|
   *   - day-0 retention == 1.0 for every cohort
   *
+  * An INCREMENTAL phase (q120) then stores the 5-day first-seen +
+  * cells tables and folds the final two generator days in as daily
+  * batches, asserting the merged matrix equals the full recompute.
+  *
   * Usage: sbt "Test/runMain graft.RetentionVolBench /tmp/events24m"
   */
 object RetentionVolBench {
@@ -55,6 +59,51 @@ object RetentionVolBench {
     println(f"RETVERIFY cells partition activity ($cellSum%,d user-days) and " +
       f"cohorts partition users ($users%,d); day-0 retention 1.0 for all " +
       f"${cells.count(_._2 == 0)}%,d cohorts")
+
+    // ---- incremental phase (q120): first-seen + additive cells over
+    // the first five days are STORED, the final two generator days
+    // fold in as daily batches (history never rescanned; per-batch
+    // cost = the batch scan + a days²-bounded cell merge). The final
+    // rendered matrix must equal the registered q114 output already
+    // collected above.
+    val scratch = java.nio.file.Files.createTempDirectory("graft_rvb_").toString
+    val t2 = System.nanoTime()
+    val (f0, c0) = queries.Analytic.retentionState(
+      e.where(col("ts") < lit("2025-01-06").cast("timestamp")))
+    f0.write.mode("overwrite").parquet(s"$scratch/f0")
+    c0.write.mode("overwrite").parquet(s"$scratch/c0")
+    println(f"RETSETUP  standing 5-day first-seen + cells stored in " +
+      f"${(System.nanoTime() - t2) / 1e9}%5.1f s")
+    var (fPrev, cPrev) = (s"$scratch/f0", s"$scratch/c0")
+    for ((lo, hi, tag) <- Seq(
+        ("2025-01-06", "2025-01-07", "day6"),
+        ("2025-01-07", "2025-01-09", "day7"))) {
+      shufWrite.set(0)
+      val t3 = System.nanoTime()
+      val batch = e.where(col("ts") >= lit(lo).cast("timestamp") &&
+        col("ts") < lit(hi).cast("timestamp"))
+      val (fN, cN) = queries.Analytic.mergeRetention(
+        spark.read.parquet(fPrev), spark.read.parquet(cPrev), batch)
+      fN.write.mode("overwrite").parquet(s"$scratch/f_$tag")
+      cN.write.mode("overwrite").parquet(s"$scratch/c_$tag")
+      println(f"RETMERGE  $tag batch folded in ${(System.nanoTime() - t3) / 1e9}%5.1f s  " +
+        f"shufWrite=${shufWrite.get / 1e9}%.2f GB  (${batch.count()}%,d events)")
+      fPrev = s"$scratch/f_$tag"; cPrev = s"$scratch/c_$tag"
+    }
+    val mergedCells = spark.read.parquet(cPrev)
+    val sz = mergedCells.where(col("day_offset") === 0)
+      .select(col("cohort_day"), col("n_users").as("cohort_size"))
+    val mergedRender = mergedCells.join(sz, "cohort_day")
+      .select(col("cohort_day"), col("day_offset").cast("int").as("day_offset"),
+        col("n_users"),
+        round(col("n_users").cast("double") / col("cohort_size"), 4).as("retention"))
+      .collect().map(r => (r.getDate(0).toString, r.getInt(1),
+        r.getLong(2), r.getDouble(3))).toSet
+    require(mergedRender == cells.toSet, {
+      val diff = (mergedRender -- cells.toSet) ++ (cells.toSet -- mergedRender)
+      s"incremental disagrees with recompute on ${diff.size} cells, e.g. ${diff.take(3)}"
+    })
+    println(f"RETINCVERIFY merged daily cells == full recompute, all ${cells.length}%,d cells")
     spark.stop()
   }
 }
