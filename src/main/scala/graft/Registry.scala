@@ -103,7 +103,11 @@ object Registry {
       // q119 (incremental funnel maintenance) — same tail-append rule.
       queries.Analytic.q119 :+
       // q120 (incremental retention maintenance) — same tail-append rule.
-      queries.Analytic.q120
+      queries.Analytic.q120 :+
+      // q121 (streaming funnel with state retirement) — same tail-append rule.
+      queries.StreamingOps.q121 :+
+      // q122 (streaming sessions with watermark retirement) — same tail-append rule.
+      queries.StreamingOps.q122
 
   // ListMap: keep registry order. A HashMap would reshuffle the
   // bench's execution order whenever a query is added, which moves

@@ -583,5 +583,190 @@ object StreamingOps {
              LEFT JOIN p ON v.user_id = p.user_id
       ORDER BY v.user_id"""))
 
+  /** [[FunnelEvent]]/[[SessionEvent]] with the raw `ts` column kept
+    * alongside the micros: the EventTimeTimeout variants must carry
+    * the WATERMARKED timestamp column into the typed fMGWS input —
+    * projecting it away prunes the EventTimeWatermark node and the
+    * analyzer rejects the timeout ("watermark must be specified"). */
+  final case class FunnelEventWm(user_id: Long, ts: java.sql.Timestamp,
+      ts_us: Long, event_type: String)
+  final case class SessionEventWm(user_id: Long, ts: java.sql.Timestamp,
+      ts_us: Long)
+
+  // ---- q121/q122: STATE RETIREMENT — the carried production residual
+  // (q115/q67 ran GroupStateTimeout.NoTimeout: unbounded user
+  // cardinality = unbounded state). Both variants keep the emission
+  // semantics of their twins and add an event-time retirement path.
+
+  /** Event-time idle horizon for q121: a funnel state untouched for
+    * this long (by the stream's watermark clock) retires. */
+  private[graft] val FunnelIdleHorizonUs = 60L * 60 * 1000000
+
+  /** q115's [[funnelStep]] with STATE RETIREMENT: a funnel reaching
+    * step 3 emits its final row and leaves the state store immediately
+    * (nothing later can change a completed funnel's three mins), and
+    * an incomplete funnel idle past [[FunnelIdleHorizonUs]] of EVENT
+    * time retires silently — its max-reached row was already emitted
+    * at its last transition, so the Update-mode output is unchanged.
+    * State is bounded by users ACTIVE within the horizon, not by
+    * lifetime users.
+    *
+    * Documented deviation from q115: a retired user who RETURNS
+    * (a view after completion or after the idle horizon) restarts the
+    * cascade from scratch, where q115/q113 would ignore pre-existing
+    * anchors — the same delete+insert residual every retirement scheme
+    * carries. On a single-data-batch replay (the driver's sf capture)
+    * no restart can happen: a completed user's later events arrive in
+    * the same group call, and the timeout — which CAN fire in
+    * AvailableNow's concluding no-data batch — only ever removes
+    * state silently. The EMISSION log is therefore q115's exactly and
+    * the registered oracle is q115's verbatim; StreamRetireSpec fires
+    * the retirement/restart paths observably on crafted multi-batch
+    * replays and StreamFunnelVolBench's retiring phase shows state
+    * rows DECLINE at 28.7M events. */
+  private[graft] def funnelStepRetiring(user: Long, rows: Iterator[FunnelEventWm],
+      state: GroupState[FunnelState]): Iterator[FunnelOut] = {
+    if (state.hasTimedOut) { state.remove(); Iterator.empty }
+    else {
+      val evs = rows.toArray.sortBy(_.ts_us)
+      var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+      val before = st
+      evs.foreach { e =>
+        if (st.t1 < 0) {
+          if (e.event_type == "view") st = st.copy(t1 = e.ts_us)
+        } else if (st.t2 < 0) {
+          if (e.event_type == "click" && e.ts_us > st.t1) st = st.copy(t2 = e.ts_us)
+        } else if (st.t3 < 0) {
+          if (e.event_type == "purchase" && e.ts_us > st.t2) st = st.copy(t3 = e.ts_us)
+        }
+      }
+      if (st.t1 < 0) Iterator.empty
+      else {
+        if (st.t3 >= 0) state.remove() // complete -> retire now
+        else {
+          state.update(st)
+          state.setTimeoutTimestamp(evs.last.ts_us / 1000 + FunnelIdleHorizonUs / 1000)
+        }
+        if (st == before) Iterator.empty
+        else Iterator.single(FunnelOut(user,
+          if (st.t3 >= 0) 3 else if (st.t2 >= 0) 2 else 1,
+          if (st.t2 >= 0) java.lang.Long.valueOf(st.t2 - st.t1) else null,
+          if (st.t3 >= 0) java.lang.Long.valueOf(st.t3 - st.t2) else null))
+      }
+    }
+  }
+
+  /** The registered instance: q115's dataflow with the retiring state
+    * handler and an event-time watermark (delay 0 — the file replay
+    * is time-ordered). Single-batch at the sf scales, so the oracle
+    * is q115's verbatim; the retirement machinery is exercised where
+    * multi-batch replays exist (StreamRetireSpec, the volbench). */
+  val q121 = Q(
+    "q121_stream_funnel_retire",
+    "streaming funnel with state retirement: completed funnels leave state, idle state times out",
+    (s, dir) => {
+      import s.implicits._
+      val events = eventsStream(s, dir)
+        .where(col("event_type").isin("view", "click", "purchase"))
+        .select(col("user_id"), col("ts"),
+          unix_micros(col("ts")).as("ts_us"), col("event_type"))
+        .withWatermark("ts", "0 seconds")
+        .as[FunnelEventWm]
+      val out = events.groupByKey(_.user_id)
+        .flatMapGroupsWithState(
+          OutputMode.Update(), GroupStateTimeout.EventTimeTimeout)(funnelStepRetiring)
+      funnelFinal(runBatchesToParquet(s, out, OutputMode.Update(), "append"))
+    },
+    q115.oracle)
+
+  /** q67's [[sessionize]] with STATE RETIREMENT: the open session
+    * FLUSHES when the watermark passes its end by more than the gap —
+    * at that point no in-order event can extend it, so emitting it is
+    * exactly what the batch gap-split decides — and its state leaves
+    * the store. q67's open-tail-in-state-forever residual becomes
+    * state bounded by sessions still extendable at the watermark.
+    * Emission timing: expired timers process in micro-batches AFTER
+    * the watermark advances past them — including the concluding
+    * NO-DATA batch AvailableNow runs once the sources drain (observed
+    * at sf0.01: 143 session tails flush there), so the finite replay
+    * emits q67's successor-closed sessions PLUS every last session
+    * whose end sits more than the gap before the final watermark.
+    * The registered oracle encodes exactly that disjunction with
+    * Spark's ms-precision watermark arithmetic (timer fires when
+    * end_ms + gap_ms + 1 <= max_ts_ms). The only sessions still in
+    * state at termination — and the only rows q67 emits that this
+    * variant doesn't — are tails within one gap of the watermark,
+    * i.e. the genuinely still-extendable ones. */
+  private[graft] def sessionizeFlushing(user: Long, rows: Iterator[SessionEventWm],
+      state: GroupState[OpenSession]): Iterator[SessionOut] = {
+    if (state.hasTimedOut) {
+      val o = state.get
+      state.remove()
+      Iterator.single(SessionOut(user, o.n_events, o.start_us, o.end_us))
+    } else {
+      val incoming = rows.map(_.ts_us).toArray.sorted
+      var open = state.getOption.orNull
+      val out = Seq.newBuilder[SessionOut]
+      incoming.foreach { ts =>
+        open match {
+          case null => open = OpenSession(1, ts, ts)
+          case o if ts - o.end_us > GapUs =>
+            out += SessionOut(user, o.n_events, o.start_us, o.end_us)
+            open = OpenSession(1, ts, ts)
+          case o =>
+            open = OpenSession(o.n_events + 1, o.start_us, math.max(o.end_us, ts))
+        }
+      }
+      if (open != null) {
+        state.update(open)
+        state.setTimeoutTimestamp(open.end_us / 1000 + GapUs / 1000 + 1)
+      }
+      out.result().iterator
+    }
+  }
+
+  /** The registered instance: q67's dataflow with the flushing
+    * handler; oracle = q67's session split with the watermark-flush
+    * disjunct (see [[sessionizeFlushing]]'s emission-timing note). */
+  val q122 = Q(
+    "q122_stream_sessions_retire",
+    "flatMapGroupsWithState sessions with watermark retirement: provably-closed tails flush from state",
+    (s, dir) => {
+      import s.implicits._
+      val events = eventsStream(s, dir)
+        .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"))
+        .withWatermark("ts", "0 seconds")
+        .as[SessionEventWm]
+      val sessions = events
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState(
+          OutputMode.Update(), GroupStateTimeout.EventTimeTimeout)(sessionizeFlushing)
+      runBatchesToParquet(s, sessions, OutputMode.Update(), "append")
+        .orderBy(col("user_id"), col("start_us"))
+    },
+    Some(s"""WITH x AS (
+        SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+      b AS (
+        SELECT user_id, ts_us,
+          CASE WHEN lag(ts_us) OVER w IS NULL
+                 OR ts_us - lag(ts_us) OVER w > $GapUs THEN 1 ELSE 0 END AS brk
+        FROM x WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+      sess AS (
+        SELECT user_id, ts_us,
+          sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+                         ROWS UNBOUNDED PRECEDING) AS sid
+        FROM b),
+      g AS (
+        SELECT user_id, sid, count(*) AS n_events,
+          min(ts_us) AS start_us, max(ts_us) AS end_us
+        FROM sess GROUP BY 1, 2),
+      m AS (SELECT user_id, max(sid) AS last_sid FROM g GROUP BY 1),
+      wm AS (SELECT max(ts_us) // 1000 AS w FROM x)
+      SELECT g.user_id AS user_id, n_events, start_us, end_us
+      FROM g JOIN m ON g.user_id = m.user_id
+      WHERE g.sid < m.last_sid
+         OR (g.end_us // 1000) + ${GapUs / 1000} + 1 <= (SELECT w FROM wm)
+      ORDER BY g.user_id, start_us"""))
+
   def all: Seq[Q] = Seq(q65, q66, q67, q68, q86)
 }
