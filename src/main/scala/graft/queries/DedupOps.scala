@@ -2526,7 +2526,10 @@ object DedupOps {
     * its component) doesn't occur on the sf corpora (clusters are
     * near-cliques); ClusterRemoveSpec fires it on crafted graphs
     * (path cut, star collapse, survivor-with-no-edge drops) and
-    * replays removal == from-scratch on the real sf pair relations. */
+    * replays removal == from-scratch on the real sf pair relations,
+    * and ClusterVolBench on the BRIDGED dedup_gen corpus fires it
+    * 1,122 times at 2M docs (removing a barbell family's hub
+    * disconnects its two pair-components) with zero mismatches. */
   val q117 = Q(
     "q117_cluster_remove",
     "cluster retraction: drop removed members, split disconnected components (== from-scratch closure)",

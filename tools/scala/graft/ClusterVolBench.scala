@@ -32,8 +32,12 @@ import org.apache.spark.sql.functions._
   *     one generator group (doc_id / 4) — 0 expected violations;
   *   - bridge count per merge: final groups containing >= 2 distinct
   *     pre-merge standing comps (the branch ClusterMergeSpec pins;
-  *     near-zero here because generator clusters land in ONE standing
-  *     comp unless band recall split them).
+  *     near-zero on the default corpus because generator clusters
+  *     land in ONE standing comp — run against a corpus generated
+  *     with `dedup_gen.py <dir> 2000000 8 16` to plant barbell
+  *     bridge families whose hub docs genuinely merge two standing
+  *     comps, and whose REMOVAL genuinely splits them again in the
+  *     removal phase below).
   *
   * A final REMOVAL phase (q117) then takes a 10 % takedown batch out
   * of the post-B assignment via removeFromComponents against the
@@ -125,9 +129,17 @@ object ClusterVolBench {
     val diff = normalized(fin).union(normalized(fromScratch))
       .groupBy(col("id"), col("lab")).agg(count(lit(1)).as("n"))
       .where(col("n") =!= 2).count()
-    // Soundness vs generator ground truth: one cluster, one group.
+    // Soundness vs generator ground truth: one cluster, one truth key.
+    // The key is the 4-doc group EXCEPT for dedup_gen's opt-in bridge
+    // families (g % 16 == 2 holds roles 0-3 and the NEXT group's role
+    // 0 — the hub X), whose five docs share one key. On a corpus
+    // generated without bridges the bridge residues are singletons
+    // (never assigned), so the expression is safe for both.
+    val truthKey = expr("""CASE
+        WHEN (id div 4) % 16 = 3 AND id % 4 = 0 THEN (id div 4) - 1
+        ELSE id div 4 END""")
     val unsound = fin.groupBy(col("comp"))
-      .agg(countDistinct(expr("id div 4")).as("groups"))
+      .agg(countDistinct(truthKey).as("groups"))
       .where(col("groups") >= 2).count()
     val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
     println(f"CVBVERIFY docs=$nDocs%,d  assignment_mismatches=$diff  " +
