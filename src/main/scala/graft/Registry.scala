@@ -107,7 +107,9 @@ object Registry {
       // q121 (streaming funnel with state retirement) — same tail-append rule.
       queries.StreamingOps.q121 :+
       // q122 (streaming sessions with watermark retirement) — same tail-append rule.
-      queries.StreamingOps.q122
+      queries.StreamingOps.q122 :+
+      // q123 (embedding-index retraction) — same tail-append rule.
+      queries.DedupOps.q123
 
   // ListMap: keep registry order. A HashMap would reshuffle the
   // bench's execution order whenever a query is added, which moves

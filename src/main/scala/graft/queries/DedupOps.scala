@@ -2602,6 +2602,66 @@ object DedupOps {
         FROM l11 GROUP BY lab ORDER BY canonical_id"""
     })
 
+  /** EMBEDDING-index retraction — [[removeFromIndexBuckets]] applied
+    * to q97/q102's standing sign-LSH index, completing the
+    * maintenance matrix's last cell (add/remove × text/embedding/
+    * cluster/histogram/funnel/retention): the operator is generic
+    * over (band, key) bucket tables, so this is its second registered
+    * instance, exactly as q102 is [[mergeIndexBuckets]]'s. Same
+    * persisted-banding contract (a tombstoned bucket's membership is
+    * unrecoverable from the index), same equality: the oracle
+    * recomputes the capped index over `embeddings WHERE NOT removed`
+    * from scratch, so the driver's hash gate re-proves
+    * removal == rebuild for the embedding banding every round.
+    *
+    * Cap declare-vs-fire mirrors q102: the production cap (56) sits
+    * above the sf bucket occupancies, so the registered oracle proves
+    * the rebuild arithmetic while the demotion/persistence branches
+    * stay declared-not-fired at sf; IndexRemoveSpec fires them on
+    * this banding at tightened caps (the IndexMergeSpec split) and
+    * EmbIndexVolBench's removal phase fires them at the 2M-vector
+    * production point, where the hot blob's buckets stay tombstoned
+    * through a 10 % takedown and cap-adjacent cluster buckets demote
+    * with their full survivor sets. */
+  val q123 = Q(
+    "q123_embedding_index_remove",
+    s"embedding-index retraction: bucket-scoped rebuild for a removed 10% vector batch (cap $Q91Cap)",
+    (s, dir) => {
+      val rem = h60(concat(lit("remove:"), col("vec_id"))) % 10 === 0
+      val banding = graft.Scratch.scoped(embBandedFor(s, dir, lit(true)))
+      val standing = cappedIndexBuckets(banding, Q91Cap)
+      val removed = t(s, dir, "embeddings").where(rem)
+        .select(col("vec_id").as("doc_id"))
+      removeFromIndexBuckets(standing, banding, removed, Q91Cap)
+        .select(col("band"), col("key"),
+          (size(col("ids")) === 0).as("dropped"),
+          size(col("ids")).cast("long").as("n_kept"),
+          concat_ws(",", transform(col("ids"), x => x.cast("string"))).as("ids"))
+        .orderBy(col("band"), col("key"))
+    },
+    Some {
+      val signs = rademacherSigns(Q91Bands * Q91Bits, EmbDim)
+      val bandRows = (0 until Q91Bands).map { b =>
+        val key = (0 until Q91Bits).map { r =>
+          s"CASE WHEN (${oProj(signs(b * Q91Bits + r))}) >= 0 THEN ${1 << r} ELSE 0 END"
+        }.mkString(" + ")
+        s"SELECT vec_id, $b AS band, $key AS key FROM e"
+      }.mkString("\n        UNION ALL ")
+      s"""WITH e AS (
+        SELECT vec_id, embedding AS v FROM embeddings
+        WHERE ${oH60("'remove:' || CAST(vec_id AS VARCHAR)")} % 10 <> 0),
+      banded AS (
+        $bandRows),
+      g AS (
+        SELECT band, key, count(*) AS n,
+          string_agg(CAST(vec_id AS VARCHAR), ',' ORDER BY vec_id) AS allids
+        FROM banded GROUP BY band, key)
+      SELECT band, key, n > $Q91Cap AS dropped,
+        CASE WHEN n > $Q91Cap THEN CAST(0 AS BIGINT) ELSE n END AS n_kept,
+        CASE WHEN n > $Q91Cap THEN '' ELSE allids END AS ids
+      FROM g ORDER BY band, key"""
+    })
+
   /** Mid-list registrations only. q88/q90/q91/q92/q93/q94 (and later
     * tail entries) are NOT missing: they register via tail-appends in
     * Registry (order stability — the driver's per-query bench history

@@ -156,4 +156,37 @@ class IndexRemoveSpec extends AnyFunSuite {
       }
     }
   }
+
+  /** [[buckets]] for the embedding banding's Int keys. */
+  private def bucketsI(df: org.apache.spark.sql.DataFrame): Map[(Int, Int), Seq[Long]] =
+    df.collect().map(r => (r.getAs[Int]("band"), r.getAs[Int]("key")) ->
+      r.getAs[scala.collection.Seq[Long]]("ids").toSeq).toMap
+
+  // The EMBEDDING instance (q123): the same operator over the q97
+  // sign-LSH banding, at the IndexMergeSpec cap split — sf0.01
+  // tightened to 12, sf0.1 at the PRODUCTION cap 56 itself — and the
+  // registered 10 % takedown. Demotion AND persistence both fire on
+  // the real banding at these points (ProbeRemoveEmb census: 16
+  // demotions / 14 persists at sf0.01 cap 12; 3 / 1 at sf0.1 cap 56);
+  // no bucket empties entirely there, so the drop branch stays
+  // covered by the text-banding cases and the crafted fixture.
+  for ((sf, cap) <- Seq(("sf0.01", 12), ("sf0.1", 56))) {
+    test(s"embedding removal equals from-scratch recompute on $sf (cap $cap)") {
+      val dir = s"/root/testdata/$sf"
+      val b = Scratch.scoped(queries.DedupOps.embBandedFor(spark, dir, lit(true)))
+      val removed = b.select(col("doc_id")).distinct()
+        .where(queries.h60(concat(lit("remove:"), col("doc_id"))) % 10 === 0)
+      val standing = bucketsI(queries.DedupOps.cappedIndexBuckets(b, cap))
+      val out = bucketsI(queries.DedupOps.removeFromIndexBuckets(
+        queries.DedupOps.cappedIndexBuckets(b, cap), b, removed, cap))
+      val fromScratch = bucketsI(queries.DedupOps.cappedIndexBuckets(
+        b.join(removed, Seq("doc_id"), "left_anti"), cap))
+      Scratch.releaseAll()
+      assert(out == fromScratch)
+      assert(out.exists(_._2.isEmpty), "no tombstone survived removal; persistence vacuous")
+      val demoted = standing.collect {
+        case (k, ids) if ids.isEmpty && out.get(k).exists(_.nonEmpty) => k }
+      assert(demoted.nonEmpty, "no tombstone demoted to live; demotion branch vacuous")
+    }
+  }
 }

@@ -31,6 +31,12 @@ import org.apache.spark.sql.functions._
   * cross-engine at sf0.01 every round; IndexMergeSpec fires the
   * tombstone branch on this banding at sf).
   *
+  * A final REMOVAL phase (q123) takes a 10 % takedown batch out of
+  * the post-B index via removeFromIndexBuckets against the stored
+  * full-corpus banding, asserting removal == from-scratch over the
+  * survivors and that both the persistence branch (the hot blob's
+  * buckets stay tombstoned) and the demotion branch fire.
+  *
   * Usage: python3 tools/embed_gen.py /tmp/embed2m 2000000
   *   SPARK_GRAFT_CPUS=32 sbt "Test/runMain graft.EmbIndexVolBench /tmp/embed2m"
   */
@@ -106,6 +112,53 @@ object EmbIndexVolBench {
     println(f"EIVBVERIFY vecs=$nVecs%,d  mismatched_buckets=$diff  " +
       (if (diff == 0) "(merged == recomputed, bucket for bucket)" else "MISMATCH"))
     require(diff == 0, s"$diff buckets differ between merged and recomputed index")
+
+    // ---- removal phase (q123): a 10 % takedown batch leaves the
+    // final index — the IndexVolBench phase on the embedding banding.
+    // The hot blob's buckets hold ~20k vectors each, so they stay
+    // TOMBSTONED through any 10 % removal (persistence at extreme
+    // density), while cap-adjacent cluster buckets DEMOTE back to
+    // live with their full survivor sets out of the stored banding.
+    val t2 = System.nanoTime()
+    banded(lit(true)).write.mode("overwrite").parquet(s"$scratch/banding")
+    println(f"EIVBSETUP full-corpus banding stored in " +
+      f"${(System.nanoTime() - t2) / 1e9}%.1f s")
+    val bandingDf = spark.read.parquet(s"$scratch/banding")
+    val removed = spark.read.parquet(s"$dir/embeddings.parquet")
+      .where(queries.h60(concat(lit("remove:"), col("vec_id"))) % 10 === 0)
+      .select(col("vec_id").as("doc_id"))
+    shufWrite.set(0)
+    val t3 = System.nanoTime()
+    queries.DedupOps.removeFromIndexBuckets(
+        spark.read.parquet(prev), bandingDf, removed, Cap)
+      .write.mode("overwrite").parquet(s"$scratch/idxR")
+    val dtR = (System.nanoTime() - t3) / 1e9
+    println(f"EIVBREMOVE 10%% takedown (${removed.count()}%,d vecs) applied in " +
+      f"$dtR%6.1f s  shufWrite=${shufWrite.get / 1e9}%.2f GB")
+    val post = spark.read.parquet(s"$scratch/idxR")
+    stats("after_rm", post)
+    val census = spark.read.parquet(prev)
+      .select(col("band"), col("key"), (size(col("ids")) === 0).as("wasTomb"))
+      .join(post.select(col("band"), col("key"),
+          (size(col("ids")) === 0).as("isTomb")),
+        Seq("band", "key"), "left")
+      .agg(
+        sum(when(col("wasTomb") && col("isTomb"), 1L).otherwise(0L)).as("persisted"),
+        sum(when(col("wasTomb") && col("isTomb") === false, 1L).otherwise(0L)).as("demoted"),
+        sum(when(col("isTomb").isNull, 1L).otherwise(0L)).as("dropped")).collect()(0)
+    println(f"EIVBREMOVE branches: tombstones_persisted=${census.getLong(0)}%,d  " +
+      f"demoted_to_live=${census.getLong(1)}%,d  buckets_dropped=${census.getLong(2)}%,d")
+    val recomputedR = queries.DedupOps.cappedIndexBuckets(
+      bandingDf.join(removed, Seq("doc_id"), "left_anti"), Cap)
+    val diffR = keyed(post).union(keyed(recomputedR))
+      .groupBy(col("band"), col("key"), col("idstr"))
+      .agg(count(lit(1)).as("n")).where(col("n") =!= 2)
+      .count()
+    println(f"EIVBRMVERIFY mismatched_buckets=$diffR  " +
+      (if (diffR == 0) "(removal == from-scratch over surviving vectors)" else "MISMATCH"))
+    require(diffR == 0, s"$diffR buckets differ between removal and from-scratch rebuild")
+    require(census.getLong(0) > 0, "persistence branch never fired at volume")
+    require(census.getLong(1) > 0, "demotion branch never fired at volume")
     spark.stop()
   }
 }
