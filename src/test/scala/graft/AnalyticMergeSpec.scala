@@ -164,6 +164,38 @@ class AnalyticMergeSpec extends AnyFunSuite {
       (2L, "view", 1500), (2L, "view", 1502)))     // new user, dup day
   }
 
+  test("two sequential batches converge to the full recompute (sf0.001)") {
+    // The merged state must itself be a valid STANDING state for the
+    // next merge — the property the daily-batch deployment rests on
+    // (FunnelVolBench/RetentionVolBench prove it at 28.7M events;
+    // this is the sf pin). Split Jan at the 8th and the 15th.
+    val dir = "/root/testdata/sf0.001"
+    val e = queries.t(spark, dir, "events")
+    val c1 = lit("2024-01-08").cast("timestamp")
+    val c2 = lit("2024-01-15").cast("timestamp")
+    val afterTwo = queries.Analytic.mergeFunnelStates(
+      queries.Analytic.mergeFunnelStates(
+        queries.Analytic.funnelStates(e.where(col("ts") < c1)),
+        e.where(col("ts") >= c1 && col("ts") < c2)),
+      e.where(col("ts") >= c2))
+    val full = queries.Analytic.funnelStates(e)
+    def render(st: org.apache.spark.sql.DataFrame) =
+      st.collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) null else r.getTimestamp(1),
+          if (r.isNullAt(2)) null else r.getTimestamp(2),
+          if (r.isNullAt(3)) null else r.getTimestamp(3)))).toMap
+    assert(render(afterTwo) == render(full))
+    // Retention twin: fold the same two windows into the cells.
+    val (f0, cl0) = queries.Analytic.retentionState(e.where(col("ts") < c1))
+    val (f1, cl1) = queries.Analytic.mergeRetention(f0, cl0,
+      e.where(col("ts") >= c1 && col("ts") < c2))
+    val (_, cl2) = queries.Analytic.mergeRetention(f1, cl1, e.where(col("ts") >= c2))
+    val (_, clFull) = queries.Analytic.retentionState(e)
+    def cells(c: org.apache.spark.sql.DataFrame) =
+      c.collect().map(r => (r.get(0).toString, r.getInt(1)) -> r.getLong(2)).toMap
+    assert(cells(cl2) == cells(clFull))
+  }
+
   // Real-data replays: the registered q119/q120 must equal the
   // registered q113/q114 row-for-row (same presentation, same corpus,
   // merge vs full recompute).
