@@ -109,7 +109,9 @@ object Registry {
       // q122 (streaming sessions with watermark retirement) — same tail-append rule.
       queries.StreamingOps.q122 :+
       // q123 (embedding-index retraction) — same tail-append rule.
-      queries.DedupOps.q123
+      queries.DedupOps.q123 :+
+      // q124 (capped-pipeline takedown: demotion-revealed pairs) — same tail-append rule.
+      queries.DedupOps.q124
 
   // ListMap: keep registry order. A HashMap would reshuffle the
   // bench's execution order whenever a query is added, which moves

@@ -2483,7 +2483,8 @@ object DedupOps {
     * (q88) loses this: removal can demote a tombstoned bucket and
     * REVEAL pairs never generated — there, the q116 index-removal runs
     * first and the demoted buckets' members re-probe (the composition
-    * is documented, not registered). Label safety mirrors
+    * IS registered: [[q124]]/[[removeFromCappedCluster]]). Label
+    * safety mirrors
     * [[mergeComponents]]: relabeled touched components take labels
     * from their own surviving members, disjoint from every untouched
     * component's member-id label.
@@ -2660,6 +2661,172 @@ object DedupOps {
         CASE WHEN n > $Q91Cap THEN CAST(0 AS BIGINT) ELSE n END AS n_kept,
         CASE WHEN n > $Q91Cap THEN '' ELSE allids END AS ids
       FROM g ORDER BY band, key"""
+    })
+
+  /** The CAPPED pipeline's standing artifacts from one (sig, banded)
+    * pass: the capped bucket index, the verified pair relation its
+    * LIVE buckets generate (q88's relation — bucketPairs over
+    * ≤cap-element arrays, exact-Jaccard verify), and the component
+    * assignment over those pairs. All three Scratch-scoped; a
+    * deployment stores them and [[removeFromCappedCluster]] is the
+    * recurring takedown body. */
+  private[graft] def cappedClusterArtifacts(sig: DataFrame, banded: DataFrame,
+      cap: Int): (DataFrame, DataFrame, DataFrame) = {
+    val idx = graft.Scratch.scoped(cappedIndexBuckets(banded, cap))
+    val cand = idx.where(size(col("ids")) >= 2)
+      .select(explode(bucketPairsUdf(col("ids"))).as("p"))
+      .select(col("p._1").as("doc_a"), col("p._2").as("doc_b")).distinct()
+    val pairs = graft.Scratch.scoped(verifiedPairs(sig, cand)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+    (idx, pairs, graft.Scratch.scoped(componentsOf(pairs)))
+  }
+
+  /** CAPPED-pipeline takedown — the composition [[q117]] documents as
+    * its residual, now closed: under a q88-capped candidate store a
+    * removal can DEMOTE a tombstoned bucket back to live, REVEALING
+    * pairs the capped pipeline never generated (the bucket was over
+    * cap, so its members never met). Removing a batch correctly
+    * therefore takes three steps, each an already-proven operator:
+    *
+    *   1. [[removeFromIndexBuckets]] — the index takedown; its
+    *      tombstone→live transitions name the demoted buckets;
+    *   2. the demoted buckets' SURVIVING members pair up and verify
+    *      (exact Jaccard against the signature sets) — this set is
+    *      COMPLETE because a demoted bucket has ≤ cap survivors, all
+    *      of them recoverable from the persisted banding relation;
+    *   3. [[removeFromComponents]] drops the removed members and
+    *      splits what the removal disconnects, then
+    *      [[mergeComponents]] absorbs the revealed edges (which may
+    *      bridge standing components or resurrect survivors the drop
+    *      step orphaned — both proven branches of the merge).
+    *
+    * Equality with the from-scratch capped rebuild over the survivors
+    * holds bucket-by-bucket: a live bucket only shrinks (its
+    * surviving pairs are the restriction of the old relation, which
+    * removeFromComponents computes), a still-tombstoned bucket
+    * generates nothing either way, and a demoted bucket's from-scratch
+    * pair set is exactly step 2's. The closure algebra then composes:
+    * remove gives closure(restricted pairs), merge gives
+    * closure(restricted ∪ revealed) — the from-scratch answer. The
+    * registered q124 oracle re-derives that full capped rebuild in
+    * DuckDB, so the driver's hash gate re-proves it cross-engine
+    * every round; CappedRemoveSpec fires the reveal/bridge/resurrect
+    * branches on crafted corpora and replays tightened-cap sf corpora
+    * where demotion provably fires. */
+  private[graft] def removeFromCappedCluster(standingIdx: DataFrame,
+      banded: DataFrame, sig: DataFrame, pairs: DataFrame,
+      standing: DataFrame, removed: DataFrame, cap: Int): DataFrame = {
+    val postIdx = removeFromIndexBuckets(standingIdx, banded, removed, cap)
+    val demoted = standingIdx.where(size(col("ids")) === 0)
+      .select(col("band"), col("key"))
+      .join(postIdx.where(size(col("ids")) > 0).select(col("band"), col("key")),
+        Seq("band", "key"), "left_semi")
+    val mem = banded.join(demoted, Seq("band", "key"), "left_semi")
+      .join(removed, Seq("doc_id"), "left_anti")
+    // Scratch-scoped: the candidate relation feeds both the broadcast
+    // probe below and the verify joins — uncached, the banding
+    // semi-join + self-join would run twice.
+    val revealedCand = graft.Scratch.scoped(mem.as("a").join(mem.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct())
+    // Prune the signature table to the candidate docs BEFORE the
+    // verify joins (the q51 deferred-verify pattern): the candidate
+    // set is batch-bounded (demoted buckets × ≤cap members), so the
+    // broadcast semi-join keeps the corpus-sized hs relation out of
+    // the exchange — measured at 2M docs: 4.7 GB shuffled without the
+    // prune (the hs arrays dominating) vs 1.9 GB with it.
+    val probeIds = revealedCand.select(col("doc_a").as("doc_id"))
+      .union(revealedCand.select(col("doc_b").as("doc_id"))).distinct()
+    val sigPruned = sig.join(broadcast(probeIds), Seq("doc_id"), "left_semi")
+    val revealed = verifiedPairs(sigPruned, revealedCand)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    mergeComponents(
+      removeFromComponents(standing, pairs,
+        removed.select(col("doc_id").as("id"))),
+      revealed)
+  }
+
+  /** The registered instance: the full capped pipeline's standing
+    * artifacts over the corpus (registration-instance cost — a
+    * deployment reads them from storage) take the same 10 % "remove:"
+    * batch as q116/q117. Cap declare-vs-fire: at sf0.01 no bucket
+    * exceeds cap 3, so no demotion — both engines declare the reveal
+    * arithmetic and agree the revealed set is empty; the crafted and
+    * tightened-cap replays in CappedRemoveSpec and the 2M-doc volume
+    * run (52k demotions at this cap) are where it fires. */
+  val q124 = Q(
+    "q124_capped_cluster_remove",
+    s"capped-pipeline takedown: demotion-revealed pairs folded into the cluster rebuild (cap $Q88Cap)",
+    (s, dir) => {
+      val rem = h60(concat(lit("remove:"), col("doc_id"))) % 10 === 0
+      val (sig, banded0) = sigBanded(s, dir)
+      val banded = graft.Scratch.scoped(banded0)
+      val (idx, pairs, standing) = cappedClusterArtifacts(sig, banded, Q88Cap)
+      val removed = t(s, dir, "documents").where(rem).select(col("doc_id"))
+      removeFromCappedCluster(idx, banded, sig, pairs, standing, removed, Q88Cap)
+        .groupBy(col("comp"))
+        .agg(min(col("id")).as("canonical_id"),
+          count(lit(1)).as("n_docs"),
+          concat_ws(",", transform(sort_array(collect_list(col("id"))),
+            x => x.cast("string"))).as("members"))
+        .select(col("canonical_id"), col("n_docs"), col("members"))
+        .orderBy(col("canonical_id"))
+    },
+    Some {
+      val mins = oMins
+      val steps = (1 to 11).map { i =>
+        s"""l$i AS MATERIALIZED (
+        SELECT v.k, least(v.lab, coalesce(min(n.lab), v.lab)) AS lab
+        FROM l${i - 1} v
+        LEFT JOIN sym e ON e.a = v.k
+        LEFT JOIN l${i - 1} n ON n.k = e.b
+        GROUP BY v.k, v.lab)"""
+      }.mkString(",\n      ")
+      s"""WITH sh AS ($oShingles3),
+        keep AS (
+          SELECT doc_id FROM documents
+          WHERE ${oH60("'remove:' || CAST(doc_id AS VARCHAR)")} % 10 <> 0),
+        hashed AS (
+          SELECT s.doc_id, ${oH60("shingle")} % $P AS h
+          FROM (SELECT doc_id, unnest(sh) AS shingle FROM sh) s
+          JOIN keep USING (doc_id)),
+        sig AS (
+          SELECT doc_id,
+            $mins,
+            list_sort(list(DISTINCT h)) AS hs
+          FROM hashed GROUP BY doc_id),
+        banded AS (
+          $oBandRows),
+        kept AS (
+          SELECT doc_id, band, key FROM banded
+          QUALIFY count(*) OVER (PARTITION BY band, key) <= $Q88Cap),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM kept a JOIN kept b
+            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+        pairs AS MATERIALIZED (
+          SELECT doc_a, doc_b FROM (
+            SELECT doc_a, doc_b,
+              round(CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) /
+                    CAST(len(list_distinct(sa.hs || sb.hs)) AS DOUBLE), 4) AS jaccard
+            FROM cand JOIN sig sa ON cand.doc_a = sa.doc_id
+                      JOIN sig sb ON cand.doc_b = sb.doc_id)
+          WHERE jaccard >= 0.8),
+        sym AS MATERIALIZED (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs),
+        l0 AS MATERIALIZED (SELECT DISTINCT a AS k, a AS lab FROM sym),
+        $steps,
+        conv AS (
+          SELECT count(*) AS viol
+          FROM l11 n JOIN l10 p ON n.k = p.k WHERE n.lab <> p.lab)
+        SELECT CASE WHEN (SELECT viol FROM conv) > 0
+                 THEN error('q124 oracle: label propagation not converged in 10 rounds')
+                 ELSE min(k) END AS canonical_id,
+          count(*) AS n_docs,
+          string_agg(CAST(k AS VARCHAR), ',' ORDER BY k) AS members
+        FROM l11 GROUP BY lab ORDER BY canonical_id"""
     })
 
   /** Mid-list registrations only. q88/q90/q91/q92/q93/q94 (and later

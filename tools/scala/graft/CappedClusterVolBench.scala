@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Volume run for q124's capped-pipeline takedown at 2M docs — the
+  * composition residual q117 documented, fired at production density:
+  * on the `dedup_gen` corpus at cap 3 every 4-doc cluster bucket is
+  * TOMBSTONED, so a 10 % takedown demotes tens of thousands of
+  * buckets and the revealed-pair step is where most of the final
+  * cluster state comes from (the capped standing state had never
+  * paired those docs at all).
+  *
+  *   setup (untimed): signatures (with hs verify sets), banding, and
+  *     the capped standing artifacts (index / pairs / components) all
+  *     STORED to parquet — the production shape;
+  *   timed: one removeFromCappedCluster pass — index takedown,
+  *     demoted-bucket reveal + verify, cluster remove + merge;
+  *   verify (untimed): the result equals the from-scratch capped
+  *     rebuild over the survivors, (id, label) row for row.
+  *
+  * Usage: SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=16g \
+  *   sbt "Test/runMain graft.CappedClusterVolBench /tmp/dedup2m"
+  */
+object CappedClusterVolBench {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/dedup2m")
+    val cap = args.lift(1).map(_.toInt).getOrElse(3)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val shufWrite = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+        shufWrite.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    })
+
+    val scratch = java.nio.file.Files.createTempDirectory("graft_ccvb_").toString
+
+    // ---- setup (untimed): store signatures, banding, artifacts -----
+    val t0 = System.nanoTime()
+    val (sig0, banded0) = queries.DedupOps.sigBanded(spark, dir)
+    sig0.write.mode("overwrite").parquet(s"$scratch/sig")
+    banded0.write.mode("overwrite").parquet(s"$scratch/banded")
+    Scratch.releaseAll()
+    val sig = spark.read.parquet(s"$scratch/sig")
+    val banded = spark.read.parquet(s"$scratch/banded")
+    val (idx0, pairs0, comps0) =
+      queries.DedupOps.cappedClusterArtifacts(sig, banded, cap)
+    idx0.write.mode("overwrite").parquet(s"$scratch/idx")
+    pairs0.write.mode("overwrite").parquet(s"$scratch/pairs")
+    comps0.write.mode("overwrite").parquet(s"$scratch/comps")
+    Scratch.releaseAll()
+    println(f"CCVBSETUP signatures + banding + capped artifacts stored in " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+    def stats(label: String, df: DataFrame): Unit = {
+      val r = df.groupBy().agg(count(lit(1)).as("docs"),
+        countDistinct(col("comp")).as("comps")).collect()(0)
+      println(f"CCVBSTATE $label%-10s assigned_docs=${r.getLong(0)}%,10d  comps=${r.getLong(1)}%,9d")
+    }
+    val idx = spark.read.parquet(s"$scratch/idx")
+    val pairs = spark.read.parquet(s"$scratch/pairs")
+    val comps = spark.read.parquet(s"$scratch/comps")
+    stats("standing", comps)
+    println(f"CCVBSETUP standing: ${pairs.count()}%,d pairs, " +
+      f"${idx.where(size(col("ids")) === 0).count()}%,d tombstoned buckets (cap $cap)")
+
+    // ---- the takedown (timed) -------------------------------------
+    val removed = spark.read.parquet(s"$dir/documents.parquet")
+      .where(queries.h60(concat(lit("remove:"), col("doc_id"))) % 10 === 0)
+      .select(col("doc_id"))
+    shufWrite.set(0)
+    val t1 = System.nanoTime()
+    queries.DedupOps.removeFromCappedCluster(
+        idx, banded, sig, pairs, comps, removed, cap)
+      .write.mode("overwrite").parquet(s"$scratch/after")
+    val dt = (System.nanoTime() - t1) / 1e9
+    println(f"CCVBRM    10%% takedown (${removed.count()}%,d docs) applied in " +
+      f"$dt%6.1f s  shufWrite=${shufWrite.get / 1e9}%.2f GB")
+    val after = spark.read.parquet(s"$scratch/after")
+    stats("after_rm", after)
+    // Branch census: demoted buckets and the pairs they revealed.
+    val survCount = banded.join(removed, Seq("doc_id"), "left_anti")
+      .groupBy(col("band"), col("key")).agg(count(lit(1)).as("n"))
+    val demoted = idx.where(size(col("ids")) === 0)
+      .join(survCount.where(col("n") > 0 && col("n") <= cap),
+        Seq("band", "key"), "left_semi").count()
+    // Docs newly assigned: in the post state but not the standing one
+    // (reveal-created components, incl. resurrections).
+    val newlyAssigned = after.join(comps, Seq("id"), "left_anti").count()
+    println(f"CCVBRM    branches: demoted_buckets=$demoted%,d  " +
+      f"newly_assigned_docs=$newlyAssigned%,d")
+
+    // ---- removal == from-scratch capped rebuild (untimed) ---------
+    val sigS = sig.join(removed, Seq("doc_id"), "left_anti")
+    val bandedS = banded.join(removed, Seq("doc_id"), "left_anti")
+    val (_, _, fromScratch) =
+      queries.DedupOps.cappedClusterArtifacts(sigS, bandedS, cap)
+    def normalized(asg: DataFrame): DataFrame =
+      asg.join(asg.groupBy(col("comp")).agg(min(col("id")).as("lab")), "comp")
+        .select(col("id"), col("lab"))
+    val diff = normalized(after).union(normalized(fromScratch))
+      .groupBy(col("id"), col("lab")).agg(count(lit(1)).as("n"))
+      .where(col("n") =!= 2).count()
+    Scratch.releaseAll()
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    println(f"CCVBVERIFY docs=$nDocs%,d  assignment_mismatches=$diff  " +
+      (if (diff == 0) "(takedown == from-scratch capped rebuild over survivors)"
+       else "MISMATCH"))
+    require(diff == 0, s"$diff (id,label) rows differ vs the from-scratch capped rebuild")
+    require(demoted > 0, "no bucket demoted at volume; the reveal path is vacuous")
+    require(newlyAssigned > 0, "no revealed pair created state; the reveal path did nothing")
+    spark.stop()
+  }
+}
