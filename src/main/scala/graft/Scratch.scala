@@ -24,6 +24,24 @@ object Scratch {
     p
   }
 
+  /** [[scoped]] plus a PLAN FENCE: returns a fresh DataFrame whose
+    * logical plan is a single RDD leaf over the cached result.
+    * Caching truncates EXECUTION but not ANALYSIS — an operator that
+    * issues many actions over a deep pipeline (the iterative
+    * connected-components machinery, multi-pass merges) re-analyzes
+    * the full upstream plan on every action, pure driver-side cost
+    * that grows with pipeline depth. Measured on q124's merge stage:
+    * ~12 s of planning over EMPTY cached relations at sf0.1, ~3 s
+    * fenced. The RDD executes the cached query, so each downstream
+    * action pays one cache read and a leaf-sized plan. Row-encoder
+    * round-trip applies — use only where the relation is modest
+    * (assignments, pair lists, bucket tables), not on corpus-wide hot
+    * paths. */
+  def fenced(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val cached = scoped(df)
+    cached.sparkSession.createDataFrame(cached.rdd, cached.schema)
+  }
+
   /** Unpersist every scoped intermediate registered since the last
     * call. Non-blocking: block eviction proceeds asynchronously. */
   def releaseAll(): Unit = {

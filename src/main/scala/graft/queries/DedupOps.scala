@@ -131,7 +131,7 @@ object DedupOps {
   /** Exact-Jaccard verification of candidate pairs against the cached
     * signature sets (collisions map both engines identically, so
     * counts agree with the oracle). */
-  private def verifiedPairs(sig: DataFrame, cand: DataFrame): DataFrame =
+  private[graft] def verifiedPairs(sig: DataFrame, cand: DataFrame): DataFrame =
     cand
       .join(sig.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
       .join(sig.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
@@ -2739,12 +2739,18 @@ object DedupOps {
     val probeIds = revealedCand.select(col("doc_a").as("doc_id"))
       .union(revealedCand.select(col("doc_b").as("doc_id"))).distinct()
     val sigPruned = sig.join(broadcast(probeIds), Seq("doc_id"), "left_semi")
-    val revealed = verifiedPairs(sigPruned, revealedCand)
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    mergeComponents(
-      removeFromComponents(standing, pairs,
-        removed.select(col("doc_id").as("id"))),
-      revealed)
+    // Both inputs to the final merge are cached AND plan-fenced
+    // (Scratch.fenced): the connected-components machinery inside
+    // mergeComponents issues several actions over them, and with the
+    // full takedown lineage attached each action would re-ANALYZE the
+    // whole pipeline's plan — measured 12.8 s of pure driver planning
+    // over empty relations at sf0.1; fenced, each action plans a
+    // single RDD leaf.
+    val revealed = graft.Scratch.fenced(verifiedPairs(sigPruned, revealedCand)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+    val rm = graft.Scratch.fenced(removeFromComponents(standing, pairs,
+      removed.select(col("doc_id").as("id"))))
+    mergeComponents(rm, revealed)
   }
 
   /** The registered instance: the full capped pipeline's standing
@@ -2760,9 +2766,17 @@ object DedupOps {
     s"capped-pipeline takedown: demotion-revealed pairs folded into the cluster rebuild (cap $Q88Cap)",
     (s, dir) => {
       val rem = h60(concat(lit("remove:"), col("doc_id"))) % 10 === 0
-      val (sig, banded0) = sigBanded(s, dir)
-      val banded = graft.Scratch.scoped(banded0)
-      val (idx, pairs, standing) = cappedClusterArtifacts(sig, banded, Q88Cap)
+      // Every standing input is plan-fenced: the takedown body issues
+      // many actions (index pass, reveal probe, two CC phases), and
+      // each would otherwise re-analyze the signature pipeline's full
+      // plan (see Scratch.fenced).
+      val (sig0, banded0) = sigBanded(s, dir)
+      val sig = graft.Scratch.fenced(sig0)
+      val banded = graft.Scratch.fenced(banded0)
+      val (idx0, pairs0, standing0) = cappedClusterArtifacts(sig, banded, Q88Cap)
+      val idx = graft.Scratch.fenced(idx0)
+      val pairs = graft.Scratch.fenced(pairs0)
+      val standing = graft.Scratch.fenced(standing0)
       val removed = t(s, dir, "documents").where(rem).select(col("doc_id"))
       removeFromCappedCluster(idx, banded, sig, pairs, standing, removed, Q88Cap)
         .groupBy(col("comp"))
