@@ -2166,7 +2166,12 @@ object DedupOps {
     "q105_cluster_merge",
     s"cluster maintenance: standing 90%-split near-dup components absorb the ingest gate's accepted matches (index cap $Q96Cap, J >= 0.8)",
     (s, dir) => {
-      val (standing, matches) = q105Relations(s, dir)
+      // Plan-fenced (Scratch.fenced): mergeComponents' CC issues
+      // several actions, each otherwise re-analyzing the full gate
+      // pipeline's plan — measured ~1.2 s of driver planning at sf0.1.
+      val (standing0, matches0) = q105Relations(s, dir)
+      val standing = graft.Scratch.fenced(standing0)
+      val matches = graft.Scratch.fenced(matches0)
       val merged = mergeComponents(standing, matches)
       merged.groupBy(col("comp"))
         .agg(min(col("id")).as("canonical_id"),
@@ -2536,9 +2541,13 @@ object DedupOps {
     "cluster retraction: drop removed members, split disconnected components (== from-scratch closure)",
     (s, dir) => {
       val rem = h60(concat(lit("remove:"), col("doc_id"))) % 10 === 0
-      val pairs = graft.Scratch.scoped(minhashPairs(s, dir)
+      // Plan-fenced, not just cached: removeFromComponents' CC issues
+      // several actions over these relations and each re-analyzed the
+      // minhash pipeline's full plan — ~0.8 s of driver planning at
+      // sf0.1 (see Scratch.fenced).
+      val pairs = graft.Scratch.fenced(minhashPairs(s, dir)
         .select(col("doc_a").as("src"), col("doc_b").as("dst")))
-      val standing = graft.Scratch.scoped(componentsOf(pairs))
+      val standing = graft.Scratch.fenced(componentsOf(pairs))
       val removed = t(s, dir, "documents").where(rem)
         .select(col("doc_id").as("id"))
       removeFromComponents(standing, pairs, removed)
