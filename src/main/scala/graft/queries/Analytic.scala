@@ -526,6 +526,9 @@ object Analytic {
   // [[AnalyticCutoff]] date literal, which also day-aligns the
   // retention split). Under that contract both merges are EXACT, the
   // q112 proof shape: the oracle is the full recompute, verbatim.
+  // The contract is ENFORCED, not assumed: both merges raise_error()
+  // in-plan on a violating batch (see each merge's guard note), so a
+  // mis-split batch fails loudly instead of producing wrong states.
 
   /** The day-aligned time split the registered q119/q120 instances
     * use: standing = the first week of the Jan 2024 generator window,
@@ -574,6 +577,23 @@ object Analytic {
     * which is the same delete+insert residual the q101 index merge
     * documents for rebanded docs.
     *
+    * GUARDED, not just documented (r14 VERDICT task 4 — silent
+    * wrong-answer modes must not exist in registered operators): the
+    * merge raise_error()s on exactly the batch rows that would make
+    * merge != recompute — a batch view predating a set t1, a batch
+    * click landing inside (t1, t2) with t2 set, a batch purchase
+    * inside (t2, t3) with t3 set. This is deliberately WEAKER than
+    * raw time order: a straggler that cannot change the recompute (a
+    * view after t1, a click after t2, anything a set cascade already
+    * dominates) passes, so the guard never rejects a batch the math
+    * actually tolerates. Enforcement is in-plan (a conditional in the
+    * step-update projection, no extra action); the only dataflow
+    * change is that the click/purchase mins now aggregate over
+    * completed users too (their batch events were pre-filtered
+    * before), which is what makes the violating rows observable.
+    * AnalyticMergeSpec proves each guard fires and that straggler
+    * batches still pass.
+    *
     * Scale shape: every aggregation is batch-bounded and keyed on
     * user_id; the standing table joins co-partitioned on a
     * user-bucketed layout and never shuffles otherwise. Per-batch
@@ -581,25 +601,36 @@ object Analytic {
     * vertex-sized state table, exactly like mergeComponents. */
   private[graft] def mergeFunnelStates(standing: DataFrame,
       batch: DataFrame): DataFrame = {
+    def violation(what: String) = raise_error(concat(
+      lit(s"q119 ingest-contract violation: batch $what standing step for user "),
+      col("user_id").cast("string")))
     val bv = batch.where(col("event_type") === "view")
       .groupBy(col("user_id")).agg(min(col("ts")).as("bv"))
     val u1 = standing.join(bv, Seq("user_id"), "full")
-      .select(col("user_id"), coalesce(col("t1"), col("bv")).as("u1"),
+      .select(col("user_id"),
+        when(col("t1").isNotNull && col("bv") < col("t1"),
+          violation("view predates the")).otherwise(
+          coalesce(col("t1"), col("bv"))).as("u1"),
         col("t2"), col("t3"))
     val bc = batch.where(col("event_type") === "click")
-      .join(u1.select(col("user_id"), col("u1"), col("t2")), "user_id")
-      .where(col("t2").isNull && col("ts") > col("u1"))
+      .join(u1.select(col("user_id"), col("u1")), "user_id")
+      .where(col("ts") > col("u1"))
       .groupBy(col("user_id")).agg(min(col("ts")).as("bc"))
     val u2 = u1.join(bc, Seq("user_id"), "left")
       .select(col("user_id"), col("u1"),
-        coalesce(col("t2"), col("bc")).as("u2"), col("t3"))
+        when(col("t2").isNotNull && col("bc") < col("t2"),
+          violation("click would move the")).otherwise(
+          coalesce(col("t2"), col("bc"))).as("u2"),
+        col("t3"))
     val bp = batch.where(col("event_type") === "purchase")
-      .join(u2.select(col("user_id"), col("u2"), col("t3")), "user_id")
-      .where(col("t3").isNull && col("ts") > col("u2"))
+      .join(u2.select(col("user_id"), col("u2")), "user_id")
+      .where(col("ts") > col("u2"))
       .groupBy(col("user_id")).agg(min(col("ts")).as("bp"))
     u2.join(bp, Seq("user_id"), "left")
       .select(col("user_id"), col("u1").as("t1"), col("u2").as("t2"),
-        coalesce(col("t3"), col("bp")).as("t3"))
+        when(col("t3").isNotNull && col("bp") < col("t3"),
+          violation("purchase would move the")).otherwise(
+          coalesce(col("t3"), col("bp"))).as("t3"))
   }
 
   /** q113's presentation projection over a (user_id, t1, t2, t3)
@@ -656,10 +687,31 @@ object Analytic {
     * histogram-decrement argument run forward. New users cohort at
     * their first batch day. Scale shape: batch-bounded aggregations
     * keyed on user_id, then a days²-bounded cell merge — the
-    * standing activity history is never rescanned. */
+    * standing activity history is never rescanned.
+    *
+    * GUARDED (r14 VERDICT task 4): unlike the funnel state, the
+    * (first-seen, cells) pair cannot witness per-user violations — a
+    * batch day duplicating a standing (user, day) pair would silently
+    * double-count its cell. The cells table DOES witness the one
+    * boundary the contract needs: its max activity day is
+    * max(cohort_day + day_offset), so every batch day must lie
+    * STRICTLY after it (day-disjointness + no cohort can move, since
+    * every cohort_day is itself an activity day). The scalar is
+    * days²-bounded, broadcast onto the batch's distinct pairs, and a
+    * violating row raise_error()s in-plan — no extra action. */
   private[graft] def mergeRetention(f: DataFrame, cells: DataFrame,
       batch: DataFrame): (DataFrame, DataFrame) = {
+    val maxDay = cells.agg(
+      max(date_add(col("cohort_day"), col("day_offset").cast("int"))).as("_max_day"))
     val nd = batch.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .crossJoin(broadcast(maxDay))
+      .select(col("user_id"),
+        when(col("day") <= col("_max_day"), raise_error(concat(
+          lit("q120 ingest-contract violation: batch day "),
+          col("day").cast("string"),
+          lit(" does not postdate the standing activity (max day "),
+          col("_max_day").cast("string"), lit(")"))))
+          .otherwise(col("day")).as("day"))
     val fNew = f.join(
         nd.groupBy(col("user_id")).agg(min(col("day")).as("bday")),
         Seq("user_id"), "full")

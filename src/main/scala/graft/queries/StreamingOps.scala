@@ -692,8 +692,12 @@ object StreamingOps {
     * emits q67's successor-closed sessions PLUS every last session
     * whose end sits more than the gap before the final watermark.
     * The registered oracle encodes exactly that disjunction with
-    * Spark's ms-precision watermark arithmetic (timer fires when
-    * end_ms + gap_ms + 1 <= max_ts_ms). The only sessions still in
+    * Spark's ms-precision watermark arithmetic: the timer is set to
+    * end_ms + gap_ms + 1 and FlatMapGroupsWithStateExec fires a timer
+    * only when timeoutTimestamp < watermark — STRICT, so a tail whose
+    * timer lands exactly ON the final watermark ms stays in state
+    * (ADVICE r14; StreamRetireSpec pins the exact-boundary case on a
+    * crafted ms-aligned replay). The only sessions still in
     * state at termination — and the only rows q67 emits that this
     * variant doesn't — are tails within one gap of the watermark,
     * i.e. the genuinely still-extendable ones. */
@@ -765,7 +769,7 @@ object StreamingOps {
       SELECT g.user_id AS user_id, n_events, start_us, end_us
       FROM g JOIN m ON g.user_id = m.user_id
       WHERE g.sid < m.last_sid
-         OR (g.end_us // 1000) + ${GapUs / 1000} + 1 <= (SELECT w FROM wm)
+         OR (g.end_us // 1000) + ${GapUs / 1000} + 1 < (SELECT w FROM wm)
       ORDER BY g.user_id, start_us"""))
 
   def all: Seq[Q] = Seq(q65, q66, q67, q68, q86)

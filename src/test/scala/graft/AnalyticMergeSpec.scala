@@ -112,6 +112,63 @@ class AnalyticMergeSpec extends AnyFunSuite {
     checkedFunnel(all.map { case (u, ty, m) => (u, ty, m + 100) }) // standing empty
   }
 
+  // ---- ingest-contract guards (r14 VERDICT task 4): a violating
+  // batch must fail loudly, and a straggler that CANNOT change the
+  // recompute must still pass — the funnel guard is exact, not a
+  // blanket time-order check.
+
+  private def allMessages(t: Throwable): String =
+    if (t == null) "" else t.getMessage + "\n" + allMessages(t.getCause)
+
+  private def assertViolates(df: => org.apache.spark.sql.DataFrame, tag: String): Unit = {
+    val ex = intercept[Throwable] { df.collect() }
+    assert(allMessages(ex).contains("ingest-contract violation"),
+      s"$tag must raise the contract guard, got: ${allMessages(ex).take(300)}")
+  }
+
+  test("guard: back-dated batch view under a set anchor raises") {
+    val standing = queries.Analytic.funnelStates(
+      events((1L, "view", 50), (1L, "click", 60)))
+    assertViolates(queries.Analytic.mergeFunnelStates(
+      standing, events((1L, "view", 10))), "view<t1")
+  }
+
+  test("guard: batch click that would move a set t2 raises; one past t2 passes") {
+    val standing = queries.Analytic.funnelStates(
+      events((1L, "view", 10), (1L, "click", 40)))
+    assertViolates(queries.Analytic.mergeFunnelStates(
+      standing, events((1L, "click", 20))), "t1<click<t2")
+    // Straggler AFTER t2: min click over the union is still 40, so the
+    // merge passes and equals the recompute (the guard is exact).
+    val merged = funnelRows(queries.Analytic.mergeFunnelStates(
+        standing, events((1L, "click", 70)))
+      .select(col("user_id"),
+        when(col("t3").isNotNull, 3).when(col("t2").isNotNull, 2)
+          .otherwise(1).cast("int"),
+        (unix_micros(col("t2")) - unix_micros(col("t1"))),
+        (unix_micros(col("t3")) - unix_micros(col("t2")))))
+    assert(merged(1L) == ((2, 30L * 60000000L, null)))
+  }
+
+  test("guard: batch purchase that would move a set t3 raises") {
+    val standing = queries.Analytic.funnelStates(
+      events((1L, "view", 10), (1L, "click", 20), (1L, "purchase", 60)))
+    assertViolates(queries.Analytic.mergeFunnelStates(
+      standing, events((1L, "purchase", 30))), "t2<purchase<t3")
+  }
+
+  test("guard: retention batch overlapping a standing activity day raises") {
+    // Existing user active on day 0 in standing; a batch row on the
+    // SAME day would double-count cell (d0, 0) — the silent wrong
+    // answer the day-disjoint guard exists for.
+    val (f, cells) = queries.Analytic.retentionState(events((1L, "view", 10)))
+    val (_, merged) = queries.Analytic.mergeRetention(f, cells, events((1L, "click", 20)))
+    assertViolates(merged, "same-day retention batch")
+    // A batch on a LATER day passes (the existing crafted cases).
+    val (_, ok) = queries.Analytic.mergeRetention(f, cells, events((1L, "view", 1500)))
+    assert(ok.count() == 2)
+  }
+
   private def retRows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
     df.collect().map(_.toSeq.toList).toSeq
 

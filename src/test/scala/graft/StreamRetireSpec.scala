@@ -135,7 +135,7 @@ class StreamRetireSpec extends AnyFunSuite {
     // u1: [0m, 5m] then silence -> flushed by timeout once the
     // watermark (driven by u2/u3's later events) passes 5m + gap.
     // u2: [0m] closed by its own 100m event; [100m] flushed in the
-    // concluding no-data batch (130m + 1ms <= final watermark 200m).
+    // concluding no-data batch (130m + 1ms < final watermark 200m).
     // u3: [0m] closed by its own 200m event; [200m] still extendable
     // at the final watermark -> stays in state, never emitted.
     writeSourceFile(Seq(sev(1, 0), sev(1, 5), sev(2, 0), sev(3, 0)),
@@ -161,6 +161,40 @@ class StreamRetireSpec extends AnyFunSuite {
     // State declines to exactly the one still-extendable tail (u3).
     assert(stateRows.last == 1, s"final state must hold only u3's open tail: $stateRows")
     assert(stateRows.max >= 3, s"all three users were once in state: $stateRows")
+  }
+
+  test("session retirement: timer exactly ON the final watermark does NOT fire (strict <)") {
+    // ADVICE r14: FlatMapGroupsWithStateExec fires a timer only when
+    // timeoutTimestamp < watermark — STRICT. The sf corpora never land
+    // on the boundary, so this crafted ms-aligned replay is the pin:
+    // u4's tail timer (end_ms + gap_ms + 1) equals the final watermark
+    // exactly -> retained; u5's sits 1 ms earlier -> flushed. The
+    // registered q122 oracle encodes the same strict disjunct.
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_retire_b_")
+    val inputDir = java.nio.file.Files.createDirectory(root.resolve("in"))
+    val dataDir = s"$root/data"
+    val base = System.currentTimeMillis() - 60000
+    val gapMs = 30L * 60 * 1000
+    val bMs = Off * 60000 // ms-aligned fixture origin (watermark math is exact)
+    def sevMs(u: Long, ms: Long) = SessionEventWm(u, new Timestamp(ms), ms * 1000)
+    val wMs = bMs + gapMs + 1 // final watermark == u4's timer, 1 past u5's
+    writeSourceFile(Seq(sevMs(4, bMs), sevMs(5, bMs - 1)),
+      inputDir, "f0.parquet", base)
+    writeSourceFile(Seq(sevMs(9, wMs)), inputDir, "f1.parquet", base + 2000)
+    val stateRows = runRetiring[SessionEventWm, StreamingOps.SessionOut](
+      inputDir.toString, dataDir,
+      ds => ds.groupByKey(_.user_id).flatMapGroupsWithState(
+        OutputMode.Update(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout)(
+        StreamingOps.sessionizeFlushing))
+    val rows = spark.read.option("recursiveFileLookup", "true")
+      .schema(implicitly[org.apache.spark.sql.Encoder[StreamingOps.SessionOut]].schema)
+      .parquet(dataDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(rows == Set((5L, 1L, (bMs - 1) * 1000, (bMs - 1) * 1000)),
+      s"only u5 (timer == wm-1) may flush; u4's timer == wm must hold: $rows")
+    assert(stateRows.last == 2, s"u4 and u9 must remain in state: $stateRows")
   }
 
   test("sf replay: q121 == q115 and q122 == its flush oracle semantics") {
