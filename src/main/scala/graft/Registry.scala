@@ -111,7 +111,11 @@ object Registry {
       // q123 (embedding-index retraction) — same tail-append rule.
       queries.DedupOps.q123 :+
       // q124 (capped-pipeline takedown: demotion-revealed pairs) — same tail-append rule.
-      queries.DedupOps.q124
+      queries.DedupOps.q124 :+
+      // q125 (retention user erasure) — same tail-append rule.
+      queries.Analytic.q125 :+
+      // q126 (funnel user erasure) — same tail-append rule.
+      queries.Analytic.q126
 
   // ListMap: keep registry order. A HashMap would reshuffle the
   // bench's execution order whenever a query is added, which moves

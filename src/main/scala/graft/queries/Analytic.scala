@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Q
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -759,6 +759,160 @@ object Analytic {
       retentionReport(merged)
     },
     Some(oRetentionSql))
+
+  // ---- q125/q126: USER ERASURE from the behavioral standing
+  // artifacts — the remove half of q119/q120's add half, completing
+  // the add/remove matrix for all six standing artifact families
+  // (index, cluster, histogram, funnel, retention; r14 VERDICT task
+  // 1). This is the GDPR-delete shape a behavioral store faces first:
+  // the input is a batch of user ids, and every trace of those users
+  // must leave the standing state while the survivors' rows stay
+  // bit-identical.
+
+  /** The q125/q126 deterministic 10 % erasure batch (the q116/q117
+    * "remove:" convention over user_id). */
+  private[graft] def erasedUsers: Column =
+    h60(concat(lit("erase:"), col("user_id"))) % 10 === 0
+
+  /** FUNNEL-STATE ERASURE — the trivial half, and provably so: the
+    * per-user states are independent rows (q113's cascade never looks
+    * across users), so erasing a user IS deleting their state row.
+    * The anti-join broadcasts the batch-bounded removal set; the
+    * standing table never shuffles. */
+  private[graft] def eraseFunnelUsers(states: DataFrame,
+      removed: DataFrame): DataFrame =
+    states.join(removed.select(col("user_id")), Seq("user_id"), "left_anti")
+
+  /** RETENTION ERASURE — the non-trivial half: the cells table is an
+    * AGGREGATE over users, so a user's traces are spread across every
+    * (cohort_day, day_offset) cell their activity touched. The q118
+    * subtraction argument runs over the distinct (user, day) relation:
+    * each removed user contributed exactly 1 to exactly the cells
+    * their activity days name (day_offset via their own cohort_day),
+    * so subtracting their per-cell contribution count and dropping
+    * zero-count cells yields precisely the cells a from-scratch
+    * rebuild over the surviving users computes. Survivors' rows are
+    * untouched: a surviving user's cohort_day is the min over their
+    * OWN days (removing other users cannot move it), and cohort-size
+    * normalization self-heals because every cohort member contributes
+    * to their own (c, 0) cell — if that cell empties, every cell of
+    * the cohort does.
+    *
+    * INPUT CONTRACT (the exactness choice r14's verdict asked to
+    * make explicit): `removedActivity` must be the removed users'
+    * complete distinct (user_id, day) standing activity — the q116
+    * persisted-banding shape. A deployment recovers it from a
+    * user-bucketed event store as a pruned scan of the removal
+    * batch's buckets (never a corpus scan); the registered instance
+    * derives it from the same event relation the standing state was
+    * built from, which satisfies the contract by construction.
+    * GUARDED: a decrement naming a cell the standing table lacks, or
+    * driving any cell negative, raise_error()s in-plan — those are
+    * exactly the observable symptoms of an incomplete or foreign
+    * activity relation (an over-count hiding inside a still-positive
+    * cell is the same undetectable-from-additive-state residual q118
+    * documents for the histogram).
+    *
+    * Scale shape: the decrement aggregation is bounded by the removal
+    * batch's activity; the cell merge is days²-bounded; the
+    * first-seen delete is an anti-join on the broadcast removal set.
+    * Nothing corpus-sized shuffles. */
+  private[graft] def eraseRetention(f: DataFrame, cells: DataFrame,
+      removedActivity: DataFrame): (DataFrame, DataFrame) = {
+    val rmUsers = removedActivity.select(col("user_id")).distinct()
+    val dec = removedActivity.join(f, "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("c_rm"))
+    val after = cells
+      .select(col("cohort_day"), col("day_offset"), col("n_users").as("c_old"))
+      .join(dec, Seq("cohort_day", "day_offset"), "full")
+      .select(col("cohort_day"), col("day_offset"),
+        when(coalesce(col("c_old"), lit(0L)) < coalesce(col("c_rm"), lit(0L)),
+          raise_error(concat(
+            lit("q125 erasure-input violation: cell ("),
+            col("cohort_day").cast("string"), lit(", "),
+            col("day_offset").cast("string"),
+            lit(") decremented below zero — removedActivity is not the "),
+            lit("removed users' complete standing activity"))))
+          .otherwise(col("c_old") - coalesce(col("c_rm"), lit(0L)))
+          .as("n_users"))
+      .where(col("n_users") > 0)
+    (f.join(rmUsers, Seq("user_id"), "left_anti"), after)
+  }
+
+  /** The registered retention-erasure instance: the standing q114
+    * state over the full corpus erases the deterministic 10 % user
+    * batch; the oracle recomputes q114 over the SURVIVING users'
+    * events from scratch, so the driver's cross-engine hash gate
+    * re-proves erasure == rebuild every round (the q116/q117 proof
+    * inversion). AnalyticEraseSpec pins the branch cases (cell
+    * decrement vs drop, full-cohort removal, unknown user no-op,
+    * guard on foreign activity) and replays the identity on the sf
+    * event tables; RetentionVolBench's erasure phase runs it at
+    * 28.7M events. */
+  val q125 = Q(
+    "q125_retention_erase",
+    "user erasure from retention state: first-seen rows deleted, cells decremented == recompute over survivors",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      val (f, cells) = retentionState(e)
+      val removedActivity = e.where(erasedUsers)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val (_, after) = eraseRetention(f, cells, removedActivity)
+      retentionReport(after)
+    },
+    Some(s"""WITH d AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        WHERE ${oH60("'erase:' || CAST(user_id AS VARCHAR)")} % 10 <> 0),
+      f AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1),
+      cells AS (
+        SELECT f.cohort_day, date_diff('day', f.cohort_day, d.day) AS day_offset,
+          CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users
+        FROM d JOIN f ON d.user_id = f.user_id
+        GROUP BY 1, 2),
+      sz AS (SELECT cohort_day, n_users AS cohort_size FROM cells WHERE day_offset = 0)
+      SELECT c.cohort_day, CAST(c.day_offset AS INTEGER) AS day_offset, c.n_users,
+        round(CAST(c.n_users AS DOUBLE) / sz.cohort_size, 4) AS retention
+      FROM cells c JOIN sz ON c.cohort_day = sz.cohort_day
+      ORDER BY c.cohort_day, c.day_offset"""))
+
+  /** The registered funnel-erasure instance: state-row delete over
+    * the standing q113 states, reported through the shared
+    * presentation; oracle = q113's recompute over the surviving
+    * users' events (per-user independence makes event-filtering and
+    * row-deletion the same operation — that triviality is the point,
+    * and the cross-engine gate re-proves it every round). */
+  val q126 = Q(
+    "q126_funnel_erase",
+    "user erasure from funnel state: removed users' state rows deleted == recompute over survivors",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      val removed = e.where(erasedUsers).select(col("user_id")).distinct()
+      funnelReport(eraseFunnelUsers(funnelStates(e), removed))
+    },
+    Some(s"""WITH ev AS (
+        SELECT user_id, event_type, ts FROM events
+        WHERE ${oH60("'erase:' || CAST(user_id AS VARCHAR)")} % 10 <> 0),
+      v AS (
+        SELECT user_id, min(ts) AS t1 FROM ev
+        WHERE event_type = 'view' GROUP BY 1),
+      c AS (
+        SELECT e.user_id, min(e.ts) AS t2 FROM ev e
+        JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+      p AS (
+        SELECT e.user_id, min(e.ts) AS t3 FROM ev e
+        JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
+      SELECT v.user_id,
+        CAST(CASE WHEN p.t3 IS NOT NULL THEN 3
+                  WHEN c.t2 IS NOT NULL THEN 2 ELSE 1 END AS INTEGER) AS reached_step,
+        date_diff('microsecond', v.t1, c.t2) AS v2c_micros,
+        date_diff('microsecond', c.t2, p.t3) AS c2p_micros
+      FROM v LEFT JOIN c ON v.user_id = c.user_id
+             LEFT JOIN p ON v.user_id = p.user_id
+      ORDER BY v.user_id"""))
 
   val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q29, q39, q70)
