@@ -206,6 +206,37 @@ object DedupOps {
     * corpus directory within one JVM (see [[docCountMemo]]). */
   private[graft] def clearDocCountMemo(): Unit = docCountMemo.clear()
 
+  /** One-shot prepared-artifact handoff for the retraction queries'
+    * `Q.prepare` hooks (r14 VERDICT task 2). The retraction operators
+    * (q116/q117/q123/q124) run against STANDING artifacts a deployment
+    * reads from storage; building them inside the timed body made the
+    * bench measure the one-time registration cost, not the recurring
+    * takedown. `prepare` builds and MATERIALIZES the artifacts untimed
+    * (Bench runs it immediately before the timed body each pass) and
+    * parks them here; the run consumes (removes) the entry, so a run
+    * with no preceding prepare — Verify, the driver's correctness
+    * gate, specs — builds inline and stays self-sufficient per the Q
+    * contract. Entries are session-keyed and [[registerMemo]]'d, so a
+    * stopped session's artifacts never outlive it; the underlying
+    * caches are Scratch-scoped and fall with the harness's per-query
+    * releaseAll like every other intermediate. */
+  private val prepMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+  registerMemo(prepMemo)
+
+  private def prepKey(s: org.apache.spark.sql.SparkSession, dir: String,
+      tag: String): String = s"${sessionKey(s)}:$tag:$dir"
+
+  private def prepPut[A <: AnyRef](s: org.apache.spark.sql.SparkSession,
+      dir: String, tag: String, v: A): Unit = {
+    prepMemo.put(prepKey(s, dir, tag), v); ()
+  }
+
+  private def prepTake[A <: AnyRef](s: org.apache.spark.sql.SparkSession,
+      dir: String, tag: String)(build: => A): A =
+    Option(prepMemo.remove(prepKey(s, dir, tag)))
+      .map(_.asInstanceOf[A]).getOrElse(build)
+
   /** Corpus size below which the single-shuffle one-pass verify beats
     * the deferred plan's extra jobs. Measured endpoints: 60k docs →
     * one-pass wins warm; 2M docs → deferred wins 1.4–1.7× cold. */
@@ -2420,16 +2451,27 @@ object DedupOps {
     * removal == from-scratch on the real sf bandings under
     * tightened caps / removal fractions where each branch provably
     * fires (census in the ProbeRemove tool). */
+  /** q116's standing artifacts — the persisted banding reverse
+    * relation and the capped index built from it — fenced and
+    * MATERIALIZED (the count pays both caches), so a prepared run's
+    * timed body is the takedown alone. */
+  private def q116Arts(s: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    val banding = graft.Scratch.fenced(bandedFor(s, dir, lit(true)))
+    val standing = graft.Scratch.fenced(cappedIndexBuckets(banding, Q96Cap))
+    standing.count()
+    (banding, standing)
+  }
+
   val q116 = Q(
     "q116_index_remove",
     s"index retraction: bucket-scoped rebuild for a removed 10% batch, tombstone demotion at cap $Q96Cap",
     (s, dir) => {
       val rem = h60(concat(lit("remove:"), col("doc_id"))) % 10 === 0
-      // Scratch-scoped: the reverse relation feeds the standing index
-      // build (registration-instance cost — a deployment reads the
-      // stored index), the touched-bucket probe, and the rebuild.
-      val banding = graft.Scratch.scoped(bandedFor(s, dir, lit(true)))
-      val standing = cappedIndexBuckets(banding, Q96Cap)
+      // Standing artifacts from the prepare handoff (a deployment
+      // reads the stored index + banding; Bench pays the build
+      // untimed), built inline when unprepared.
+      val (banding, standing) = prepTake(s, dir, "prep116")(q116Arts(s, dir))
       val removed = t(s, dir, "documents").where(rem).select(col("doc_id"))
       removeFromIndexBuckets(standing, banding, removed, Q96Cap)
         .select(col("band"), col("key"),
@@ -2461,7 +2503,8 @@ object DedupOps {
           CASE WHEN n > $Q96Cap THEN CAST(0 AS BIGINT) ELSE n END AS n_kept,
           CASE WHEN n > $Q96Cap THEN '' ELSE allids END AS ids
         FROM g ORDER BY band, key"""
-    })
+    },
+    prepare = Some((s, dir) => prepPut(s, dir, "prep116", q116Arts(s, dir))))
 
   /** CLUSTER-RETRACTION operator — [[mergeComponents]]' dual: drop a
     * batch of removed members from a standing component assignment and
@@ -2536,18 +2579,27 @@ object DedupOps {
     * and ClusterVolBench on the BRIDGED dedup_gen corpus fires it
     * 1,122 times at 2M docs (removing a barbell family's hub
     * disconnects its two pair-components) with zero mismatches. */
+  /** q117's standing artifacts — the stored pair relation and the
+    * component assignment over it. Plan-fenced, not just cached:
+    * removeFromComponents' CC issues several actions over these
+    * relations and each re-analyzed the minhash pipeline's full
+    * plan — ~0.8 s of driver planning at sf0.1 (see Scratch.fenced).
+    * The count materializes both caches for the prepare handoff. */
+  private def q117Arts(s: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    val pairs = graft.Scratch.fenced(minhashPairs(s, dir)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+    val standing = graft.Scratch.fenced(componentsOf(pairs))
+    standing.count()
+    (pairs, standing)
+  }
+
   val q117 = Q(
     "q117_cluster_remove",
     "cluster retraction: drop removed members, split disconnected components (== from-scratch closure)",
     (s, dir) => {
       val rem = h60(concat(lit("remove:"), col("doc_id"))) % 10 === 0
-      // Plan-fenced, not just cached: removeFromComponents' CC issues
-      // several actions over these relations and each re-analyzed the
-      // minhash pipeline's full plan — ~0.8 s of driver planning at
-      // sf0.1 (see Scratch.fenced).
-      val pairs = graft.Scratch.fenced(minhashPairs(s, dir)
-        .select(col("doc_a").as("src"), col("doc_b").as("dst")))
-      val standing = graft.Scratch.fenced(componentsOf(pairs))
+      val (pairs, standing) = prepTake(s, dir, "prep117")(q117Arts(s, dir))
       val removed = t(s, dir, "documents").where(rem)
         .select(col("doc_id").as("id"))
       removeFromComponents(standing, pairs, removed)
@@ -2610,7 +2662,8 @@ object DedupOps {
           count(*) AS n_docs,
           string_agg(CAST(k AS VARCHAR), ',' ORDER BY k) AS members
         FROM l11 GROUP BY lab ORDER BY canonical_id"""
-    })
+    },
+    prepare = Some((s, dir) => prepPut(s, dir, "prep117", q117Arts(s, dir))))
 
   /** EMBEDDING-index retraction — [[removeFromIndexBuckets]] applied
     * to q97/q102's standing sign-LSH index, completing the
@@ -2633,13 +2686,22 @@ object DedupOps {
     * production point, where the hot blob's buckets stay tombstoned
     * through a 10 % takedown and cap-adjacent cluster buckets demote
     * with their full survivor sets. */
+  /** q123's standing artifacts — the q116 shape over the embedding
+    * sign-LSH banding. */
+  private def q123Arts(s: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    val banding = graft.Scratch.fenced(embBandedFor(s, dir, lit(true)))
+    val standing = graft.Scratch.fenced(cappedIndexBuckets(banding, Q91Cap))
+    standing.count()
+    (banding, standing)
+  }
+
   val q123 = Q(
     "q123_embedding_index_remove",
     s"embedding-index retraction: bucket-scoped rebuild for a removed 10% vector batch (cap $Q91Cap)",
     (s, dir) => {
       val rem = h60(concat(lit("remove:"), col("vec_id"))) % 10 === 0
-      val banding = graft.Scratch.scoped(embBandedFor(s, dir, lit(true)))
-      val standing = cappedIndexBuckets(banding, Q91Cap)
+      val (banding, standing) = prepTake(s, dir, "prep123")(q123Arts(s, dir))
       val removed = t(s, dir, "embeddings").where(rem)
         .select(col("vec_id").as("doc_id"))
       removeFromIndexBuckets(standing, banding, removed, Q91Cap)
@@ -2670,7 +2732,8 @@ object DedupOps {
         CASE WHEN n > $Q91Cap THEN CAST(0 AS BIGINT) ELSE n END AS n_kept,
         CASE WHEN n > $Q91Cap THEN '' ELSE allids END AS ids
       FROM g ORDER BY band, key"""
-    })
+    },
+    prepare = Some((s, dir) => prepPut(s, dir, "prep123", q123Arts(s, dir))))
 
   /** The CAPPED pipeline's standing artifacts from one (sig, banded)
     * pass: the capped bucket index, the verified pair relation its
@@ -2763,29 +2826,42 @@ object DedupOps {
   }
 
   /** The registered instance: the full capped pipeline's standing
-    * artifacts over the corpus (registration-instance cost — a
-    * deployment reads them from storage) take the same 10 % "remove:"
-    * batch as q116/q117. Cap declare-vs-fire: at sf0.01 no bucket
+    * artifacts over the corpus take the same 10 % "remove:" batch as
+    * q116/q117. The artifact build is a `Q.prepare` hook (a
+    * deployment reads them from storage; Bench pays the build untimed
+    * each pass so the timed body is the recurring takedown — r14
+    * VERDICT task 2). Cap declare-vs-fire: at sf0.01 no bucket
     * exceeds cap 3, so no demotion — both engines declare the reveal
     * arithmetic and agree the revealed set is empty; the crafted and
     * tightened-cap replays in CappedRemoveSpec and the 2M-doc volume
     * run (52k demotions at this cap) are where it fires. */
+  /** q124's standing artifacts — the full capped pipeline's
+    * (signatures, banding, capped index, verified pairs, component
+    * assignment). Every one plan-fenced: the takedown body issues
+    * many actions (index pass, reveal probe, two CC phases), and
+    * each would otherwise re-analyze the signature pipeline's full
+    * plan (see Scratch.fenced). The cascading counts materialize all
+    * five caches for the prepare handoff. */
+  private def q124Arts(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val (sig0, banded0) = sigBanded(s, dir)
+    val sig = graft.Scratch.fenced(sig0)
+    val banded = graft.Scratch.fenced(banded0)
+    val (idx0, pairs0, standing0) = cappedClusterArtifacts(sig, banded, Q88Cap)
+    val idx = graft.Scratch.fenced(idx0)
+    val pairs = graft.Scratch.fenced(pairs0)
+    val standing = graft.Scratch.fenced(standing0)
+    sig.count(); banded.count(); idx.count(); pairs.count(); standing.count()
+    (sig, banded, idx, pairs, standing)
+  }
+
   val q124 = Q(
     "q124_capped_cluster_remove",
     s"capped-pipeline takedown: demotion-revealed pairs folded into the cluster rebuild (cap $Q88Cap)",
     (s, dir) => {
       val rem = h60(concat(lit("remove:"), col("doc_id"))) % 10 === 0
-      // Every standing input is plan-fenced: the takedown body issues
-      // many actions (index pass, reveal probe, two CC phases), and
-      // each would otherwise re-analyze the signature pipeline's full
-      // plan (see Scratch.fenced).
-      val (sig0, banded0) = sigBanded(s, dir)
-      val sig = graft.Scratch.fenced(sig0)
-      val banded = graft.Scratch.fenced(banded0)
-      val (idx0, pairs0, standing0) = cappedClusterArtifacts(sig, banded, Q88Cap)
-      val idx = graft.Scratch.fenced(idx0)
-      val pairs = graft.Scratch.fenced(pairs0)
-      val standing = graft.Scratch.fenced(standing0)
+      val (sig, banded, idx, pairs, standing) =
+        prepTake(s, dir, "prep124")(q124Arts(s, dir))
       val removed = t(s, dir, "documents").where(rem).select(col("doc_id"))
       removeFromCappedCluster(idx, banded, sig, pairs, standing, removed, Q88Cap)
         .groupBy(col("comp"))
@@ -2850,7 +2926,8 @@ object DedupOps {
           count(*) AS n_docs,
           string_agg(CAST(k AS VARCHAR), ',' ORDER BY k) AS members
         FROM l11 GROUP BY lab ORDER BY canonical_id"""
-    })
+    },
+    prepare = Some((s, dir) => prepPut(s, dir, "prep124", q124Arts(s, dir))))
 
   /** Mid-list registrations only. q88/q90/q91/q92/q93/q94 (and later
     * tail entries) are NOT missing: they register via tail-appends in

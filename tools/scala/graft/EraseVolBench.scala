@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.functions._
+
+/** Volume run for q125/q126's user erasure at 28.7M events / 240k
+  * users — the remove half of the behavioral standing artifacts.
+  *
+  * Shape: the standing q113 funnel states and q114 retention state
+  * (first-seen + cells) are built once and STORED (a deployment reads
+  * them); a deterministic 10 % user batch then erases. The timed
+  * takedown body is (a) recovering the removed users' distinct
+  * (user, day) activity — a pruned scan on a user-bucketed event
+  * store, a filter scan here — and (b) the erasure merges themselves,
+  * reported separately so the recurring costs are visible. Verify is
+  * erasure == from-scratch recompute over the survivors, cell for
+  * cell and state row for state row, plus branch counters (cells
+  * decremented / dropped, cohorts dropped, state rows deleted).
+  *
+  * Usage: sbt "Test/runMain graft.EraseVolBench /tmp/events24m"
+  */
+object EraseVolBench {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/events24m")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = org.apache.spark.sql.SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val shufWrite = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+        shufWrite.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    })
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val e = Tables.load(spark, dir, "events")
+    val scratch = java.nio.file.Files.createTempDirectory("graft_evb_").toString
+
+    // ---- setup: standing artifacts stored (registration-instance
+    // cost a deployment pays once at build time, not per takedown).
+    val (_, setupS) = timed {
+      queries.Analytic.funnelStates(e).write.mode("overwrite").parquet(s"$scratch/fs")
+      val (f, c) = queries.Analytic.retentionState(e)
+      f.write.mode("overwrite").parquet(s"$scratch/f")
+      c.write.mode("overwrite").parquet(s"$scratch/c")
+    }
+    val nStates = spark.read.parquet(s"$scratch/fs").count()
+    val nF = spark.read.parquet(s"$scratch/f").count()
+    println(f"EVBSETUP  standing funnel states ($nStates%,d) + retention " +
+      f"(first-seen $nF%,d) stored in $setupS%5.1f s")
+
+    // ---- the erasure batch: deterministic 10 % of users.
+    val removed = e.where(queries.Analytic.erasedUsers)
+      .select(col("user_id")).distinct()
+    shufWrite.set(0)
+    val (removedActivity, recoverS) = timed {
+      val ra = e.where(queries.Analytic.erasedUsers)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      ra.write.mode("overwrite").parquet(s"$scratch/ra")
+      spark.read.parquet(s"$scratch/ra")
+    }
+    val nRm = removed.count()
+    val nRa = removedActivity.count()
+    println(f"EVBRECOVER removed-user activity recovered: $nRm%,d users / " +
+      f"$nRa%,d user-days in $recoverS%5.1f s  shufWrite=${shufWrite.get / 1e9}%.2f GB" +
+      " (pruned scan on a user-bucketed store; filter scan here)")
+
+    // ---- q125: retention erasure over the STORED state.
+    shufWrite.set(0)
+    val ((fAfter, cAfter), eraseRetS) = timed {
+      val (fA, cA) = queries.Analytic.eraseRetention(
+        spark.read.parquet(s"$scratch/f"), spark.read.parquet(s"$scratch/c"),
+        removedActivity)
+      fA.write.mode("overwrite").parquet(s"$scratch/f_after")
+      cA.write.mode("overwrite").parquet(s"$scratch/c_after")
+      (spark.read.parquet(s"$scratch/f_after"), spark.read.parquet(s"$scratch/c_after"))
+    }
+    println(f"EVBERASE  q125 retention erasure applied in $eraseRetS%5.1f s  " +
+      f"shufWrite=${shufWrite.get / 1e9}%.2f GB")
+
+    // ---- q126: funnel erasure over the STORED states.
+    shufWrite.set(0)
+    val (fsAfter, eraseFunS) = timed {
+      queries.Analytic.eraseFunnelUsers(
+          spark.read.parquet(s"$scratch/fs"), removed)
+        .write.mode("overwrite").parquet(s"$scratch/fs_after")
+      spark.read.parquet(s"$scratch/fs_after")
+    }
+    println(f"EVBERASE  q126 funnel erasure applied in $eraseFunS%5.1f s  " +
+      f"shufWrite=${shufWrite.get / 1e9}%.2f GB")
+
+    // ---- branch counters + verify vs from-scratch over survivors.
+    val surv = e.join(removed, Seq("user_id"), "left_anti")
+    def cellMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.get(0).toString, r.get(1).toString.toInt) ->
+        r.getLong(2)).toMap
+    val before = cellMap(spark.read.parquet(s"$scratch/c"))
+    val after = cellMap(cAfter)
+    val (fWant, cWant) = queries.Analytic.retentionState(surv)
+    val want = cellMap(cWant)
+    require(after == want, {
+      val d = (after.toSet -- want.toSet) ++ (want.toSet -- after.toSet)
+      s"q125 erasure != survivor recompute on ${d.size} cells, e.g. ${d.take(3)}"
+    })
+    val decremented = after.count { case (k, v) => before(k) != v }
+    val dropped = before.keySet -- after.keySet
+    val cohortsDropped = before.keySet.map(_._1) -- after.keySet.map(_._1)
+    val nFAfter = fAfter.count()
+    require(nFAfter == fWant.count(), "first-seen survivor mismatch")
+    println(f"EVBVERIFY q125 == survivor recompute: ${after.size}%,d cells " +
+      f"($decremented%,d decremented, ${dropped.size}%,d dropped, " +
+      f"${cohortsDropped.size}%,d cohorts gone); first-seen $nF%,d -> $nFAfter%,d")
+
+    val nFsAfter = fsAfter.count()
+    val wantStates = queries.Analytic.funnelStates(surv)
+    val mismatch = fsAfter.join(wantStates.withColumnRenamed("t1", "w1")
+        .withColumnRenamed("t2", "w2").withColumnRenamed("t3", "w3"),
+        Seq("user_id"), "full")
+      .where(!(col("t1") <=> col("w1")) || !(col("t2") <=> col("w2")) ||
+             !(col("t3") <=> col("w3")))
+      .count()
+    require(mismatch == 0, s"q126 erasure != survivor recompute on $mismatch users")
+    println(f"EVBVERIFY q126 == survivor recompute: state rows " +
+      f"$nStates%,d -> $nFsAfter%,d (${nStates - nFsAfter}%,d deleted), 0 mismatches")
+    spark.stop()
+  }
+}
