@@ -2806,11 +2806,20 @@ object DedupOps {
     // verify joins (the q51 deferred-verify pattern): the candidate
     // set is batch-bounded (demoted buckets × ≤cap members), so the
     // broadcast semi-join keeps the corpus-sized hs relation out of
-    // the exchange — measured at 2M docs: 4.7 GB shuffled without the
-    // prune (the hs arrays dominating) vs 1.9 GB with it.
+    // the exchange — measured at 2M docs (CappedClusterVolBench,
+    // THROUGHPUT r14): this prune alone cut the takedown's shuffle
+    // 4.72 -> 1.9 GB; the committed 0.92 GB final row includes the
+    // plan fence below on top of it.
     val probeIds = revealedCand.select(col("doc_a").as("doc_id"))
       .union(revealedCand.select(col("doc_b").as("doc_id"))).distinct()
-    val sigPruned = sig.join(broadcast(probeIds), Seq("doc_id"), "left_semi")
+    // Scratch-scoped: verifiedPairs joins this twice (the doc_a and
+    // doc_b sides), and each join re-ran the corpus-sized store scan
+    // that produces it — measured at 2M docs via the r15 partitioned-
+    // layout phase's recordsRead census (CappedClusterVolBench): the
+    // sig store was read 2× per takedown. Cached, the scan runs once
+    // and the cache holds only the batch-bounded probe rows.
+    val sigPruned = graft.Scratch.scoped(
+      sig.join(broadcast(probeIds), Seq("doc_id"), "left_semi"))
     // Both inputs to the final merge are cached AND plan-fenced
     // (Scratch.fenced): the connected-components machinery inside
     // mergeComponents issues several actions over them, and with the

@@ -115,6 +115,85 @@ object CappedClusterVolBench {
     require(diff == 0, s"$diff (id,label) rows differ vs the from-scratch capped rebuild")
     require(demoted > 0, "no bucket demoted at volume; the reveal path is vacuous")
     require(newlyAssigned > 0, "no revealed pair created state; the reveal path did nothing")
+
+    // ---- doc_id-partitioned signature store (r14 THROUGHPUT's named
+    // residual: "the remaining cost is the pruned signature scan — a
+    // doc_id-bucketed signature store removes it"). The scan is
+    // prunable exactly when the takedown batch has ID LOCALITY — the
+    // common legal/licensing shape: the request names an INGEST RANGE
+    // (sequential ids make a crawl window contiguous) and removes
+    // docs within it. Note a range takedown that removes WHOLE
+    // near-dup families is vacuous here — no bucket demotes, the
+    // probe set is empty, and AQE elides the sig scan on any layout
+    // (measured: identical recordsRead flat vs pruned) — so this
+    // phase removes a random HALF of the first 20 % of id space
+    // (same 10 % global rate as the h60 batch): families in the
+    // range lose members partially, demotions fire densely, and the
+    // probe set (surviving members of demoted buckets, each within
+    // ±4 ids of a removed doc by dedup_gen construction) stays inside
+    // the range — a doc_id-range layout skips every other partition's
+    // files. A uniformly random global batch (the registered q124
+    // instance) touches every partition of ANY layout — its floor is
+    // the one full scan the broadcast prune already pays.
+    val recordsRead = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+        recordsRead.addAndGet(sc.stageInfo.taskMetrics.inputMetrics.recordsRead)
+    })
+    val nParts = 128
+    val partSize = math.max(1L, (nDocs + nParts - 1) / nParts)
+    sig.withColumn("pid", floor(col("doc_id") / partSize))
+      .write.partitionBy("pid").mode("overwrite").parquet(s"$scratch/sig_part")
+    val sigPart = spark.read.parquet(s"$scratch/sig_part")
+    val cut = nDocs / 5
+    val removedC = spark.read.parquet(s"$dir/documents.parquet")
+      .where(col("doc_id") < cut &&
+        queries.h60(concat(lit("remove:"), col("doc_id"))) % 2 === 0)
+      .select(col("doc_id"))
+    def takedown(label: String, sigRel: DataFrame): DataFrame = {
+      Scratch.releaseAll()
+      recordsRead.set(0); shufWrite.set(0)
+      val t = System.nanoTime()
+      queries.DedupOps.removeFromCappedCluster(
+          idx, banded, sigRel, pairs, comps, removedC, cap)
+        .write.mode("overwrite").parquet(s"$scratch/after_$label")
+      println(f"CCVBPART  $label%-9s range takedown in " +
+        f"${(System.nanoTime() - t) / 1e9}%6.1f s  recordsRead=${recordsRead.get}%,d  " +
+        f"shufWrite=${shufWrite.get / 1e9}%.2f GB")
+      spark.read.parquet(s"$scratch/after_$label")
+    }
+    val flatRead = { val a = takedown("flat", sig); (a, recordsRead.get) }
+    // The neighborhood filter is what a deployment derives from the
+    // takedown request's id range (+ the family-adjacency slack the
+    // index build recorded); the partition column makes it a
+    // file-pruned scan. Soundness is not assumed: if the neighborhood
+    // missed a probe doc, the revealed pairs — and the assignments —
+    // would differ from the flat run's, and the equality check below
+    // fails.
+    val maxPid = (cut + 4) / partSize
+    val sigPruned = sigPart.where(col("pid") <= maxPid)
+      .select(sig.columns.map(col): _*)
+    val prunedAfter = takedown("pruned", sigPruned)
+    val readDelta = flatRead._2 - recordsRead.get
+    // Non-vacuity: the range batch must demote buckets (else neither
+    // layout reads signatures at all), and the pruned layout must
+    // actually skip the out-of-range partitions' rows.
+    val demotedC = idx.where(size(col("ids")) === 0)
+      .join(banded.join(removedC, Seq("doc_id"), "left_anti")
+          .groupBy(col("band"), col("key")).agg(count(lit(1)).as("n"))
+          .where(col("n") > 0 && col("n") <= cap),
+        Seq("band", "key"), "left_semi").count()
+    require(demotedC > 0, "range takedown demoted nothing; the phase is vacuous")
+    require(readDelta > (nDocs * 6) / 10,
+      s"partition pruning skipped only $readDelta rows; expected ~80% of the sig store")
+    val partDiff = normalized(flatRead._1).union(normalized(prunedAfter))
+      .groupBy(col("id"), col("lab")).agg(count(lit(1)).as("n"))
+      .where(col("n") =!= 2).count()
+    require(partDiff == 0,
+      s"$partDiff (id,label) rows differ between flat and partition-pruned layouts")
+    println(f"CCVBPART  layouts agree on every assignment; $demotedC%,d demotions; " +
+      f"pruning kept ${maxPid + 1}%,d of $nParts%,d partitions and skipped " +
+      f"$readDelta%,d scanned rows")
     spark.stop()
   }
 }

@@ -31,13 +31,7 @@ import org.apache.spark.sql.functions._
   *   - soundness vs ground truth: every final cluster stays inside
   *     one generator group (doc_id / 4) — 0 expected violations;
   *   - bridge count per merge: final groups containing >= 2 distinct
-  *     pre-merge standing comps (the branch ClusterMergeSpec pins;
-  *     near-zero on the default corpus because generator clusters
-  *     land in ONE standing comp — run against a corpus generated
-  *     with `dedup_gen.py <dir> 2000000 8 16` to plant barbell
-  *     bridge families whose hub docs genuinely merge two standing
-  *     comps, and whose REMOVAL genuinely splits them again in the
-  *     removal phase below).
+  *     pre-merge standing comps (the branch ClusterMergeSpec pins).
   *
   * A final REMOVAL phase (q117) then takes a 10 % takedown batch out
   * of the post-B assignment via removeFromComponents against the
@@ -45,12 +39,20 @@ import org.apache.spark.sql.functions._
   * over the surviving edges, and prints the branch census (touched
   * components / splits / orphan drops).
   *
+  * PROTOCOL CORPUS (r14 VERDICT task 6): the BRIDGED corpus
+  * `/tmp/dedup2mb` (`dedup_gen.py /tmp/dedup2mb 2000000 8 16`) is the
+  * default, so q105's bridge branch and q117's split branch fire on
+  * every round's run rather than only when opted in — on the
+  * unbridged corpus generator clusters land in ONE standing comp and
+  * both counts read ~0. Pass `/tmp/dedup2m` explicitly to reproduce
+  * the historical (r11–r13) rows.
+  *
   * Usage: SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=16g \
-  *   sbt "Test/runMain graft.ClusterVolBench /tmp/dedup2m"
+  *   sbt "Test/runMain graft.ClusterVolBench"         # bridged corpus
   */
 object ClusterVolBench {
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/tmp/dedup2m")
+    val dir = args.headOption.getOrElse("/tmp/dedup2mb")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
