@@ -404,8 +404,14 @@ object DedupOps {
     "MinHash-LSH pairs -> connected components -> canonical doc per cluster",
     (s, dir) => {
       import s.implicits._
-      val pairs = minhashPairs(s, dir)
-        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      // Plan-fenced like q117's standing relations: the CC below
+      // issues several actions and each re-analyzed the minhash
+      // pipeline's plan. Deferred in r14 as window noise; the r15
+      // same-window A/B (ProfFence3: registered 2.97/2.10 s vs
+      // fenced 2.19/1.72 s at sf0.1, both iterations in favor)
+      // settled it as a real ~15-25 % win.
+      val pairs = graft.Scratch.fenced(minhashPairs(s, dir)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst")))
         .as[graft.etl.Pipeline.Edge]
       val verts = pairs.select(col("src")).union(pairs.select(col("dst")))
         .distinct().as[java.lang.Long]
@@ -1284,8 +1290,11 @@ object DedupOps {
     "scaled sign-LSH cosine pairs -> connected components -> canonical vector",
     (s, dir) => {
       import s.implicits._
-      val pairs = embeddingPairsScaled(s, dir, Q91Bands, Q91Bits, Q91Cap, Q91Threshold)
-        .select(col("vec_a").as("src"), col("vec_b").as("dst"))
+      // Plan-fenced: identical pairs->CC shape to q73, whose r15
+      // same-window A/B (ProfFence3) settled the fence as a real win.
+      val pairs = graft.Scratch.fenced(
+        embeddingPairsScaled(s, dir, Q91Bands, Q91Bits, Q91Cap, Q91Threshold)
+          .select(col("vec_a").as("src"), col("vec_b").as("dst")))
         .as[graft.etl.Pipeline.Edge]
       val verts = pairs.select(col("src")).union(pairs.select(col("dst")))
         .distinct().as[java.lang.Long]
@@ -2311,8 +2320,10 @@ object DedupOps {
     "near-dup clusters keep the highest-quality member (gate-flag score, min-id tie)",
     (s, dir) => {
       import s.implicits._
-      val pairs = minhashPairs(s, dir)
-        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      // Plan-fenced: identical pairs->CC shape to q73, whose r15
+      // same-window A/B (ProfFence3) settled the fence as a real win.
+      val pairs = graft.Scratch.fenced(minhashPairs(s, dir)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst")))
         .as[graft.etl.Pipeline.Edge]
       val verts = pairs.select(col("src")).union(pairs.select(col("dst")))
         .distinct().as[java.lang.Long]
