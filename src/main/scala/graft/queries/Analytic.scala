@@ -650,6 +650,18 @@ object Analytic {
     * AnalyticMergeSpec pins the branch cases (cross-boundary
     * progression, pre-anchor click discarded on both paths, batch-only
     * user, out-of-order batch) on crafted event logs. */
+  /** q119's standing artifact — the pre-cutoff per-user funnel states,
+    * fenced and materialized for the prepare handoff (a deployment
+    * reads the stored state table; the timed body is the batch
+    * merge). Built inline when unprepared. */
+  private def q119Arts(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val st = graft.Scratch.fenced(funnelStates(
+      t(s, dir, "events").where(col("ts") < lit(AnalyticCutoff).cast("timestamp"))))
+    st.count()
+    st
+  }
+
   val q119 = Q(
     "q119_funnel_merge",
     "incremental funnel maintenance: final-window batch merged into standing per-user states == full recompute",
@@ -657,9 +669,10 @@ object Analytic {
       val cut = lit(AnalyticCutoff).cast("timestamp")
       val e = t(s, dir, "events")
       funnelReport(mergeFunnelStates(
-        funnelStates(e.where(col("ts") < cut)), e.where(col("ts") >= cut)))
+        prepTake(s, dir, "prep119")(q119Arts(s, dir)), e.where(col("ts") >= cut)))
     },
-    Some(oFunnelSql))
+    Some(oFunnelSql),
+    prepare = Some((s, dir) => prepPut(s, dir, "prep119", q119Arts(s, dir))))
 
   /** Retention standing artifacts over an event relation: the
     * first-seen table (user_id, cohort_day) and the ADDITIVE cells
@@ -748,17 +761,30 @@ object Analytic {
     * window absorbs the later batch; oracle = q114's
     * full-recompute SQL verbatim (merge == recompute, cross-engine,
     * every round). */
+  /** q120's standing artifacts — the pre-cutoff first-seen + cells
+    * pair (q119's prepare note applies). */
+  private def q120Arts(s: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    val (f0, c0) = retentionState(
+      t(s, dir, "events").where(col("ts") < lit(AnalyticCutoff).cast("timestamp")))
+    val f = graft.Scratch.fenced(f0)
+    val cells = graft.Scratch.fenced(c0)
+    f.count(); cells.count()
+    (f, cells)
+  }
+
   val q120 = Q(
     "q120_retention_merge",
     "incremental retention maintenance: final-window batch folded into first-seen + cells == full recompute",
     (s, dir) => {
       val cut = lit(AnalyticCutoff).cast("timestamp")
       val e = t(s, dir, "events")
-      val (f, cells) = retentionState(e.where(col("ts") < cut))
+      val (f, cells) = prepTake(s, dir, "prep120")(q120Arts(s, dir))
       val (_, merged) = mergeRetention(f, cells, e.where(col("ts") >= cut))
       retentionReport(merged)
     },
-    Some(oRetentionSql))
+    Some(oRetentionSql),
+    prepare = Some((s, dir) => prepPut(s, dir, "prep120", q120Arts(s, dir))))
 
   // ---- q125/q126: USER ERASURE from the behavioral standing
   // artifacts — the remove half of q119/q120's add half, completing
@@ -851,12 +877,24 @@ object Analytic {
     * guard on foreign activity) and replays the identity on the sf
     * event tables; RetentionVolBench's erasure phase runs it at
     * 28.7M events. */
+  /** q125's standing artifacts — the FULL-corpus retention state
+    * (q119's prepare note applies; the timed body is the activity
+    * recovery + erasure, EraseVolBench's recurring shape). */
+  private def q125Arts(s: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    val (f0, c0) = retentionState(t(s, dir, "events"))
+    val f = graft.Scratch.fenced(f0)
+    val cells = graft.Scratch.fenced(c0)
+    f.count(); cells.count()
+    (f, cells)
+  }
+
   val q125 = Q(
     "q125_retention_erase",
     "user erasure from retention state: first-seen rows deleted, cells decremented == recompute over survivors",
     (s, dir) => {
       val e = t(s, dir, "events")
-      val (f, cells) = retentionState(e)
+      val (f, cells) = prepTake(s, dir, "prep125")(q125Arts(s, dir))
       val removedActivity = e.where(erasedUsers)
         .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
       val (_, after) = eraseRetention(f, cells, removedActivity)
@@ -875,7 +913,8 @@ object Analytic {
       SELECT c.cohort_day, CAST(c.day_offset AS INTEGER) AS day_offset, c.n_users,
         round(CAST(c.n_users AS DOUBLE) / sz.cohort_size, 4) AS retention
       FROM cells c JOIN sz ON c.cohort_day = sz.cohort_day
-      ORDER BY c.cohort_day, c.day_offset"""))
+      ORDER BY c.cohort_day, c.day_offset"""),
+    prepare = Some((s, dir) => prepPut(s, dir, "prep125", q125Arts(s, dir))))
 
   /** The registered funnel-erasure instance: state-row delete over
     * the standing q113 states, reported through the shared
@@ -883,13 +922,23 @@ object Analytic {
     * users' events (per-user independence makes event-filtering and
     * row-deletion the same operation — that triviality is the point,
     * and the cross-engine gate re-proves it every round). */
+  /** q126's standing artifact — the FULL-corpus funnel states
+    * (q125's prepare note applies). */
+  private def q126Arts(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val st = graft.Scratch.fenced(funnelStates(t(s, dir, "events")))
+    st.count()
+    st
+  }
+
   val q126 = Q(
     "q126_funnel_erase",
     "user erasure from funnel state: removed users' state rows deleted == recompute over survivors",
     (s, dir) => {
       val e = t(s, dir, "events")
       val removed = e.where(erasedUsers).select(col("user_id")).distinct()
-      funnelReport(eraseFunnelUsers(funnelStates(e), removed))
+      funnelReport(eraseFunnelUsers(
+        prepTake(s, dir, "prep126")(q126Arts(s, dir)), removed))
     },
     Some(s"""WITH ev AS (
         SELECT user_id, event_type, ts FROM events
@@ -912,7 +961,8 @@ object Analytic {
         date_diff('microsecond', c.t2, p.t3) AS c2p_micros
       FROM v LEFT JOIN c ON v.user_id = c.user_id
              LEFT JOIN p ON v.user_id = p.user_id
-      ORDER BY v.user_id"""))
+      ORDER BY v.user_id"""),
+    prepare = Some((s, dir) => prepPut(s, dir, "prep126", q126Arts(s, dir))))
 
   val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q29, q39, q70)

@@ -63,6 +63,39 @@ package object queries {
       id
     })
 
+  /** One-shot prepared-artifact handoff for the standing-artifact
+    * queries' `Q.prepare` hooks (r14 VERDICT task 2, extended in r15
+    * to every query whose run consumes stored state). Those operators
+    * (q105, q116/q117/q123/q124, q119/q120, q125/q126) run against
+    * STANDING artifacts a deployment reads from storage; building them
+    * inside the timed body made the bench measure the one-time
+    * registration cost, not the recurring merge/takedown/erase.
+    * `prepare` builds and MATERIALIZES the artifacts untimed (Bench
+    * runs it immediately before the timed body each pass) and parks
+    * them here; the run consumes (removes) the entry, so a run with no
+    * preceding prepare — Verify, the driver's correctness gate,
+    * specs — builds inline and stays self-sufficient per the Q
+    * contract. Entries are session-keyed and [[registerMemo]]'d, so a
+    * stopped session's artifacts never outlive it; the underlying
+    * caches are Scratch-scoped and fall with the harness's per-query
+    * releaseAll like every other intermediate. */
+  private val prepMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+  registerMemo(prepMemo)
+
+  private def prepKey(s: SparkSession, dir: String, tag: String): String =
+    s"${sessionKey(s)}:$tag:$dir"
+
+  private[queries] def prepPut[A <: AnyRef](s: SparkSession,
+      dir: String, tag: String, v: A): Unit = {
+    prepMemo.put(prepKey(s, dir, tag), v); ()
+  }
+
+  private[queries] def prepTake[A <: AnyRef](s: SparkSession,
+      dir: String, tag: String)(build: => A): A =
+    Option(prepMemo.remove(prepKey(s, dir, tag)))
+      .map(_.asInstanceOf[A]).getOrElse(build)
+
   /** Exact 2-dp decimal view of a stored-as-double money/qty column. */
   def money(c: Column): Column = c.cast(DecimalType(18, 2))
 

@@ -127,6 +127,40 @@ object EraseVolBench {
     require(mismatch == 0, s"q126 erasure != survivor recompute on $mismatch users")
     println(f"EVBVERIFY q126 == survivor recompute: state rows " +
       f"$nStates%,d -> $nFsAfter%,d (${nStates - nFsAfter}%,d deleted), 0 mismatches")
+
+    // ---- second batch: erase an ENTIRE trailing cohort, so the
+    // zero-cell drop and whole-cohort-drop branches fire at volume
+    // too (a uniformly random user batch leaves every cell of this
+    // corpus positive — the first run above measured 0 drops, which
+    // AnalyticEraseSpec could only cover crafted). Applied to the
+    // ORIGINAL standing state, independent of the first batch.
+    val fStand = spark.read.parquet(s"$scratch/f")
+    val lastCohort = fStand.agg(max(col("cohort_day"))).collect()(0).getDate(0)
+    val cohortUsers = fStand.where(col("cohort_day") === lit(lastCohort))
+      .select(col("user_id"))
+    val ra2 = e.join(cohortUsers, Seq("user_id"), "left_semi")
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    shufWrite.set(0)
+    val ((f2, c2), erase2S) = timed {
+      val (fA, cA) = queries.Analytic.eraseRetention(
+        fStand, spark.read.parquet(s"$scratch/c"), ra2)
+      fA.write.mode("overwrite").parquet(s"$scratch/f_after2")
+      cA.write.mode("overwrite").parquet(s"$scratch/c_after2")
+      (spark.read.parquet(s"$scratch/f_after2"), spark.read.parquet(s"$scratch/c_after2"))
+    }
+    val before2 = before
+    val after2 = cellMap(c2)
+    val (_, cWant2) = queries.Analytic.retentionState(
+      e.join(cohortUsers, Seq("user_id"), "left_anti"))
+    require(after2 == cellMap(cWant2), "cohort erasure != survivor recompute")
+    val dropped2 = before2.keySet -- after2.keySet
+    val cohortsGone = before2.keySet.map(_._1) -- after2.keySet.map(_._1)
+    require(dropped2.nonEmpty && cohortsGone.nonEmpty,
+      "trailing-cohort erasure dropped no cells; branch still unfired at volume")
+    println(f"EVBERASE  cohort-$lastCohort erasure (${cohortUsers.count()}%,d users) " +
+      f"applied in $erase2S%5.1f s  shufWrite=${shufWrite.get / 1e9}%.2f GB")
+    println(f"EVBVERIFY cohort erasure == survivor recompute: ${dropped2.size}%,d cells " +
+      f"dropped, ${cohortsGone.size}%,d cohort(s) gone, first-seen -> ${f2.count()}%,d")
     spark.stop()
   }
 }
