@@ -115,7 +115,9 @@ object Registry {
       // q125 (retention user erasure) — same tail-append rule.
       queries.Analytic.q125 :+
       // q126 (funnel user erasure) — same tail-append rule.
-      queries.Analytic.q126
+      queries.Analytic.q126 :+
+      // q127 (in-stream user erasure) — same tail-append rule.
+      queries.StreamingOps.q127
 
   // ListMap: keep registry order. A HashMap would reshuffle the
   // bench's execution order whenever a query is added, which moves

@@ -772,5 +772,211 @@ object StreamingOps {
          OR (g.end_us // 1000) + ${GapUs / 1000} + 1 < (SELECT w FROM wm)
       ORDER BY g.user_id, start_us"""))
 
+  // ---- q127: IN-STREAM user erasure — the streaming half of the
+  // q125/q126 story, completing erasure for the last standing-state
+  // family (the flatMapGroupsWithState stores). A GDPR-delete in a
+  // live stream cannot wait for a batch job: the request lands at an
+  // event-time instant T and the user's accumulated state must be
+  // forgotten from that point on, while the Update-mode sink learns
+  // of the deletion through an explicit TOMBSTONE row (a log-compacted
+  // consumer keeps last-per-key, so the tombstone IS the deletion).
+
+  /** Per-user funnel state with the erasure flag: once the T-request
+    * has been applied, post-T events rebuild from scratch and further
+    * requests are no-ops. */
+  final case class FunnelStateE(t1: Long, t2: Long, t3: Long, erased: Boolean)
+
+  /** [[FunnelOut]] plus the erased flag the current-state projection
+    * keys on: rows emitted after the user's erasure carry true, the
+    * tombstone itself is (reached_step 0, erased true). */
+  final case class FunnelOutE(user_id: Long, reached_step: Int,
+      v2c_micros: java.lang.Long, c2p_micros: java.lang.Long, erased: Boolean)
+
+  /** JVM mirror of the package-level [[h60]] column (md5 → first 15
+    * hex digits → unsigned 60-bit long), so the erasure predicate is
+    * computable inside the state handler without a join. Pinned
+    * equal to the column form in StreamEraseSpec. */
+  private[graft] def h60Jvm(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var b = 0
+    while (b < 7) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+    (h << 4) | ((d(7) & 0xf0L) >> 4)
+  }
+
+  /** The q125/q126 deterministic erasure predicate, handler-side. */
+  private[graft] def streamErased(user: Long): Boolean =
+    h60Jvm(s"erase:$user") % 10 == 0
+
+  /** q121's retiring funnel handler with IN-STREAM ERASURE at
+    * event-time `eraseUs` for the users [[streamErased]] names:
+    *
+    *   - the first post-T event for a pending user applies the
+    *     request BEFORE the event is processed (state forgotten,
+    *     `erased` set), then the cascade rebuilds from that event on
+    *     — so an erased user's report reflects ONLY post-T behavior;
+    *   - a pending user with state but no post-T event erases by
+    *     EVENT-TIME TIMER at T: the timeout branch removes the state
+    *     and emits the tombstone — the deletion does not wait for the
+    *     user to return;
+    *   - the tombstone (step 0, erased true) is emitted exactly when
+    *     previously-REPORTED progress is being forgotten (state
+    *     existed at call entry, or the timer found one); an erasure
+    *     that only discards same-call accumulation emits none,
+    *     because nothing was ever reported;
+    *   - non-erased users run q121's handler verbatim (complete →
+    *     retire now, idle → horizon timeout, silent).
+    *
+    * SAFETY of forgetting the flag when the rebuilt state is empty:
+    * with a 0-delay watermark, by the time an erasure has applied the
+    * watermark has passed T (the trigger was a ≥T event or the T
+    * timer), so every future event is post-T and a fresh state
+    * processes it identically — the flag only needs to live as long
+    * as the state row. Restart deviation is q121's, inherited and
+    * documented there — BOTH its mechanisms: idle timeout AND
+    * complete-retire-now (a returning completer restarts, q121's
+    * funnelFinal masks it by taking max-reached). `idleHorizonUs` and
+    * `retireOnComplete` are parameters so the volume run can prove
+    * the clean identity with retirement off — state removed by
+    * ERASURE ALONE, the stream equals the erasure-filtered batch
+    * recompute EXACTLY (steps and latencies, all 240k users at 28.7M
+    * events) — and separately census the production configuration's
+    * known deviation class (StreamEraseVolBench, both phases). */
+  private[graft] def funnelStepErasing(eraseUs: Long,
+      idleHorizonUs: Long = FunnelIdleHorizonUs,
+      retireOnComplete: Boolean = true)(
+      user: Long, rows: Iterator[FunnelEventWm],
+      state: GroupState[FunnelStateE]): Iterator[FunnelOutE] = {
+    val pending = streamErased(user)
+    if (state.hasTimedOut) {
+      val st = state.get
+      state.remove()
+      if (pending && !st.erased && st.t1 >= 0)
+        Iterator.single(FunnelOutE(user, 0, null, null, erased = true))
+      else Iterator.empty // idle/already-erased retirement, silent (q121)
+    } else {
+      val evs = rows.toArray.sortBy(_.ts_us)
+      var st = state.getOption.getOrElse(FunnelStateE(-1L, -1L, -1L, erased = false))
+      val before = st
+      var tomb = false
+      evs.foreach { e =>
+        if (pending && !st.erased && e.ts_us >= eraseUs) {
+          if (before.t1 >= 0) tomb = true
+          st = FunnelStateE(-1L, -1L, -1L, erased = true)
+        }
+        if (st.t1 < 0) {
+          if (e.event_type == "view") st = st.copy(t1 = e.ts_us)
+        } else if (st.t2 < 0) {
+          if (e.event_type == "click" && e.ts_us > st.t1) st = st.copy(t2 = e.ts_us)
+        } else if (st.t3 < 0) {
+          if (e.event_type == "purchase" && e.ts_us > st.t2) st = st.copy(t3 = e.ts_us)
+        }
+      }
+      val out = Seq.newBuilder[FunnelOutE]
+      if (tomb) out += FunnelOutE(user, 0, null, null, erased = true)
+      if (st.t1 < 0) {
+        // No reportable progress: drop any state (see the flag-safety
+        // note) — covers the erased-with-no-rebuild case.
+        if (state.exists) state.remove()
+      } else {
+        // Complete -> retire now (q121) — UNLESS the erasure is still
+        // pending: a pre-T-completed funnel must stay addressable so
+        // the T timer can forget it (silent retire would leak the
+        // pre-T report past the user's deletion).
+        if (st.t3 >= 0 && retireOnComplete && !(pending && !st.erased))
+          state.remove()
+        else {
+          state.update(st)
+          val wmMs = state.getCurrentWatermarkMs()
+          state.setTimeoutTimestamp(
+            if (pending && !st.erased) math.max(eraseUs / 1000, wmMs + 1)
+            else evs.last.ts_us / 1000 + idleHorizonUs / 1000)
+        }
+        if (st != before) out += FunnelOutE(user,
+          if (st.t3 >= 0) 3 else if (st.t2 >= 0) 2 else 1,
+          if (st.t2 >= 0) java.lang.Long.valueOf(st.t2 - st.t1) else null,
+          if (st.t3 >= 0) java.lang.Long.valueOf(st.t3 - st.t2) else null,
+          erased = st.erased)
+      }
+      out.result().iterator
+    }
+  }
+
+  /** CURRENT-state projection over the q127 emission log — the
+    * log-compaction rule a deletion-aware consumer applies, order-free
+    * because the flag disambiguates eras: if any row for a user
+    * carries erased=true, the erasure happened and only flagged
+    * progress rows (the post-T restart, whose reached_step grows
+    * monotonically like q115's) are current — none means the user is
+    * fully forgotten; otherwise q115's max-reached rule applies. */
+  private[graft] def funnelCurrent(raw: DataFrame): DataFrame = {
+    val he = raw.groupBy(col("user_id"))
+      .agg(max(col("erased").cast("int")).as("he"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("reached_step").desc)
+    raw.join(he, "user_id")
+      .where(col("erased").cast("int") === col("he") && col("reached_step") > 0)
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("user_id"), col("reached_step"),
+        col("v2c_micros"), col("c2p_micros"))
+      .orderBy(col("user_id"))
+  }
+
+  /** The erase-request instant for the registered q127 instance —
+    * the q119/q120 cutoff date, mid-corpus for every sf window. */
+  private[graft] val StreamEraseUs: Long =
+    java.time.Instant.parse("2024-01-08T00:00:00Z").toEpochMilli * 1000
+
+  /** The registered instance: the q121 dataflow through the erasing
+    * handler. The oracle recomputes the funnel over
+    * `events WHERE NOT erased OR ts >= T` — an erased user's current
+    * report is exactly the cascade over their post-T events (absent
+    * when no post-T view exists), a surviving user's is q113's —
+    * so the driver's hash gate re-proves forget-then-restart ==
+    * filtered recompute cross-engine every round. StreamEraseSpec
+    * pins the tombstone/timer-erase/restart branches on multi-batch
+    * replays where they are observable. */
+  val q127 = Q(
+    "q127_stream_funnel_user_erase",
+    "streaming funnel with in-stream user erasure: request at T forgets state (tombstone), post-T events restart",
+    (s, dir) => {
+      import s.implicits._
+      val events = eventsStream(s, dir)
+        .where(col("event_type").isin("view", "click", "purchase"))
+        .select(col("user_id"), col("ts"),
+          unix_micros(col("ts")).as("ts_us"), col("event_type"))
+        .withWatermark("ts", "0 seconds")
+        .as[FunnelEventWm]
+      val out = events.groupByKey(_.user_id)
+        .flatMapGroupsWithState(
+          OutputMode.Update(), GroupStateTimeout.EventTimeTimeout)(
+          funnelStepErasing(StreamEraseUs))
+      funnelCurrent(runBatchesToParquet(s, out, OutputMode.Update(), "append"))
+    },
+    Some(s"""WITH ev AS (
+        SELECT user_id, event_type, ts FROM events
+        WHERE ${oH60("'erase:' || CAST(user_id AS VARCHAR)")} % 10 <> 0
+           OR ts >= TIMESTAMP '2024-01-08 00:00:00'),
+      v AS (
+        SELECT user_id, min(ts) AS t1 FROM ev
+        WHERE event_type = 'view' GROUP BY 1),
+      c AS (
+        SELECT e.user_id, min(e.ts) AS t2 FROM ev e
+        JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+      p AS (
+        SELECT e.user_id, min(e.ts) AS t3 FROM ev e
+        JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
+      SELECT v.user_id,
+        CAST(CASE WHEN p.t3 IS NOT NULL THEN 3
+                  WHEN c.t2 IS NOT NULL THEN 2 ELSE 1 END AS INTEGER) AS reached_step,
+        date_diff('microsecond', v.t1, c.t2) AS v2c_micros,
+        date_diff('microsecond', c.t2, p.t3) AS c2p_micros
+      FROM v LEFT JOIN c ON v.user_id = c.user_id
+             LEFT JOIN p ON v.user_id = p.user_id
+      ORDER BY v.user_id"""))
+
   def all: Seq[Q] = Seq(q65, q66, q67, q68, q86)
 }
