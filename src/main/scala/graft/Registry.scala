@@ -117,7 +117,9 @@ object Registry {
       // q126 (funnel user erasure) — same tail-append rule.
       queries.Analytic.q126 :+
       // q127 (in-stream user erasure) — same tail-append rule.
-      queries.StreamingOps.q127
+      queries.StreamingOps.q127 :+
+      // q128 (streaming retention, q114's stream twin) — same tail-append rule.
+      queries.StreamingOps.q128
 
   // ListMap: keep registry order. A HashMap would reshuffle the
   // bench's execution order whenever a query is added, which moves

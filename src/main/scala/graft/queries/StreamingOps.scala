@@ -978,5 +978,88 @@ object StreamingOps {
              LEFT JOIN p ON v.user_id = p.user_id
       ORDER BY v.user_id"""))
 
+  // ---- q128: STREAMING retention — q114's stream twin, completing
+  // the behavioral matrix's last cell (batch q114, incremental q120,
+  // erasure q125, and now the live half): cohorts and cells
+  // maintained from the event stream itself.
+
+  /** Per-user retention state: the cohort day (first activity day,
+    * fixed once set) and the max day already emitted — two ints, so
+    * state is bounded by USERS regardless of event volume, and the
+    * max-day watermark dedups (user, day) pairs across micro-batches
+    * without storing the day set. Exact under time-ordered arrival
+    * (the funnelStep contract): days reach each user in order, so
+    * `day > maxDay` is exactly "first sighting of this day" and the
+    * first day IS the cohort. */
+  final case class RetState(cohortDay: Int, maxDay: Int)
+
+  /** One row per NEWLY-SEEN (user, day): the unit the retention cells
+    * count. Days are epoch days (UTC), converted back to dates in the
+    * batch rollup. */
+  final case class RetOut(user_id: Long, day: Int, cohort_day: Int)
+
+  private[graft] def retentionStep(user: Long, rows: Iterator[SessionEvent],
+      state: GroupState[RetState]): Iterator[RetOut] = {
+    val days = rows.map(e => (e.ts_us / 86400000000L).toInt)
+      .toArray.distinct.sorted
+    var st = state.getOption.orNull
+    val out = Seq.newBuilder[RetOut]
+    days.foreach { d =>
+      if (st == null) { st = RetState(d, d); out += RetOut(user, d, d) }
+      else if (d > st.maxDay) {
+        st = RetState(st.cohortDay, d)
+        out += RetOut(user, d, st.cohortDay)
+      }
+    }
+    if (st != null) state.update(st)
+    out.result().iterator
+  }
+
+  /** The registered instance: the per-(user, day) emission log rolls
+    * up batch-side into the cohort matrix — each pair is emitted
+    * exactly once (the max-day dedup), so count(*) over emissions
+    * equals q114's countDistinct and the oracle is q114's verbatim
+    * recompute, re-proving stream == batch cross-engine every round.
+    * State here is NoTimeout (two ints per user, the q115 stance);
+    * a live deployment bounds it with q121's retirement device, and
+    * an erasure request composes as q127's tombstone does — both
+    * documented trade-offs, not missing machinery. */
+  val q128 = Q(
+    "q128_stream_retention",
+    "streaming cohort retention via mapGroups state (first-seen + max-day dedup) == q114 batch matrix",
+    (s, dir) => {
+      import s.implicits._
+      val events = eventsStream(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+        .as[SessionEvent]
+      val out = events.groupByKey(_.user_id)
+        .flatMapGroupsWithState(
+          OutputMode.Update(), GroupStateTimeout.NoTimeout)(retentionStep)
+      val raw = runBatchesToParquet(s, out, OutputMode.Update(), "append")
+      val cells = raw.groupBy(col("cohort_day"),
+          (col("day") - col("cohort_day")).as("day_offset"))
+        .agg(count(lit(1)).as("n_users"))
+      val sz = cells.where(col("day_offset") === 0)
+        .select(col("cohort_day"), col("n_users").as("cohort_size"))
+      cells.join(sz, "cohort_day")
+        .select(date_from_unix_date(col("cohort_day")).as("cohort_day"),
+          col("day_offset").cast("int").as("day_offset"), col("n_users"),
+          round(col("n_users").cast("double") / col("cohort_size"), 4).as("retention"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    },
+    Some("""WITH d AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      f AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1),
+      cells AS (
+        SELECT f.cohort_day, date_diff('day', f.cohort_day, d.day) AS day_offset,
+          CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users
+        FROM d JOIN f ON d.user_id = f.user_id
+        GROUP BY 1, 2),
+      sz AS (SELECT cohort_day, n_users AS cohort_size FROM cells WHERE day_offset = 0)
+      SELECT c.cohort_day, CAST(c.day_offset AS INTEGER) AS day_offset, c.n_users,
+        round(CAST(c.n_users AS DOUBLE) / sz.cohort_size, 4) AS retention
+      FROM cells c JOIN sz ON c.cohort_day = sz.cohort_day
+      ORDER BY c.cohort_day, c.day_offset"""))
+
   def all: Seq[Q] = Seq(q65, q66, q67, q68, q86)
 }
