@@ -998,6 +998,17 @@ object StreamingOps {
     * batch rollup. */
   final case class RetOut(user_id: Long, day: Int, cohort_day: Int)
 
+  /** GUARDED like the q119/q120 batch merges (silent wrong-answer
+    * modes must not exist): q128 runs without a watermark, so a
+    * straggler can reach the handler — a day BEFORE the cohort day is
+    * a detectable arrival-order violation (it would have been the
+    * cohort) and fails loudly. The one residual is documented, not
+    * silent-by-accident: a late NEW day inside (cohort, maxDay) is
+    * indistinguishable from a benign repeat without storing the day
+    * set — exactly the information the two-int state discards for
+    * its user-bounded size (the q101 tombstone trade-off, retention
+    * edition); a deployment needing that detection adds a watermark,
+    * which drops the straggler before the handler instead. */
   private[graft] def retentionStep(user: Long, rows: Iterator[SessionEvent],
       state: GroupState[RetState]): Iterator[RetOut] = {
     val days = rows.map(e => (e.ts_us / 86400000000L).toInt)
@@ -1006,6 +1017,10 @@ object StreamingOps {
     val out = Seq.newBuilder[RetOut]
     days.foreach { d =>
       if (st == null) { st = RetState(d, d); out += RetOut(user, d, d) }
+      else if (d < st.cohortDay)
+        throw new IllegalStateException(
+          s"q128 arrival-order violation: day $d for user $user predates " +
+            s"the standing cohort day ${st.cohortDay}")
       else if (d > st.maxDay) {
         st = RetState(st.cohortDay, d)
         out += RetOut(user, d, st.cohortDay)

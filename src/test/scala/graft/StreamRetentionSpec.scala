@@ -77,6 +77,50 @@ class StreamRetentionSpec extends AnyFunSuite {
       (3L, 20001, 20001)).sorted, s"unexpected emission set: $rows")
   }
 
+  test("guard: a day predating the standing cohort fails the stream loudly") {
+    // q128 runs without a watermark, so a straggler reaches the
+    // handler — a pre-cohort day would silently mis-cohort if merged;
+    // the handler must raise instead (the q119 guard principle),
+    // killing the query rather than producing a wrong matrix.
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_sretg_")
+    val inputDir = java.nio.file.Files.createDirectory(root.resolve("in"))
+    val base = System.currentTimeMillis() - 60000
+    val DayUs = 86400000000L
+    def writeFile(rows: Seq[SessionEvent], name: String, mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sretg_src_")
+      spark.createDataset(rows).coalesce(1).write.mode("overwrite").parquet(s"$tmp/d")
+      val part = new java.io.File(s"$tmp/d").listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+      val dest = inputDir.resolve(name)
+      java.nio.file.Files.move(part.toPath, dest)
+      assert(dest.toFile.setLastModified(mtime))
+    }
+    writeFile(Seq(SessionEvent(7L, 20005L * DayUs)), "f0.parquet", base)
+    writeFile(Seq(SessionEvent(7L, 20001L * DayUs)), "f1.parquet", base + 2000)
+    val chk = java.nio.file.Files.createTempDirectory("graft_sretg_chk_").toString
+    val in = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[SessionEvent]].schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inputDir.toString)
+      .as[SessionEvent]
+    val q = in.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)(
+        StreamingOps.retentionStep)
+      .writeStream.outputMode(OutputMode.Update())
+      .option("checkpointLocation", chk)
+      .format("noop")
+      .trigger(Trigger.AvailableNow()).start()
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + msgs(t.getCause)
+    assert(msgs(ex).contains("arrival-order violation"),
+      s"guard must surface, got: ${msgs(ex).take(300)}")
+  }
+
   for (sf <- Seq("sf0.001", "sf0.01")) {
     test(s"$sf replay: q128 == q114 row-for-row") {
       val dir = s"/root/testdata/$sf"
