@@ -119,7 +119,9 @@ object Registry {
       // q127 (in-stream user erasure) — same tail-append rule.
       queries.StreamingOps.q127 :+
       // q128 (streaming retention, q114's stream twin) — same tail-append rule.
-      queries.StreamingOps.q128
+      queries.StreamingOps.q128 :+
+      // q129 (session-store user erasure, q127's session twin) — same tail-append rule.
+      queries.StreamingOps.q129
 
   // ListMap: keep registry order. A HashMap would reshuffle the
   // bench's execution order whenever a query is added, which moves

@@ -1076,5 +1076,149 @@ object StreamingOps {
       FROM cells c JOIN sz ON c.cohort_day = sz.cohort_day
       ORDER BY c.cohort_day, c.day_offset"""))
 
+  // ---- q129: IN-STREAM user erasure for the SESSION store — q127's
+  // pattern applied to the other stream-state family, so BOTH
+  // flatMapGroupsWithState stores have their erase half.
+
+  /** [[OpenSession]] with the erasure flag. */
+  final case class OpenSessionE(n_events: Long, start_us: Long, end_us: Long,
+      erased: Boolean)
+
+  /** [[SessionOut]] plus the erased flag; the tombstone is
+    * (n_events 0, erased true). */
+  final case class SessionOutE(user_id: Long, n_events: Long,
+      start_us: Long, end_us: Long, erased: Boolean)
+
+  /** [[sessionizeFlushing]] with IN-STREAM ERASURE at event-time
+    * `eraseUs` for the [[streamErased]] users:
+    *
+    *   - the first post-T event applies the request BEFORE being
+    *     processed: the open session (and any same-call pre-T closed
+    *     sessions, not yet visible to anyone) is forgotten, the
+    *     tombstone is emitted, and a fresh session opens at that
+    *     event — an erased user's session log reflects ONLY post-T
+    *     behavior;
+    *   - a pending user who never returns erases by event-time timer
+    *     at T (tombstone + state removal) — the deletion does not
+    *     wait for them, and their open tail is never flush-emitted
+    *     (a pending user's timer slot holds the T timer, not the
+    *     flush timer; their pre-T closed sessions already emitted in
+    *     earlier batches are exactly what the tombstone withdraws);
+    *   - after the erasure the user is a plain q122 citizen again:
+    *     post-T sessions close by successor or flush by watermark
+    *     timer, rows carrying the erased flag so the current-view
+    *     projection can separate eras order-free.
+    *
+    * The tombstone is UNCONDITIONAL on erasure application (closed
+    * sessions left state when they were emitted, so the handler
+    * cannot know whether prior reports exist — a tombstone for a
+    * never-reported user is harmless, the q125 ghost-user argument). */
+  private[graft] def sessionizeErasing(eraseUs: Long)(
+      user: Long, rows: Iterator[SessionEventWm],
+      state: GroupState[OpenSessionE]): Iterator[SessionOutE] = {
+    val pending = streamErased(user)
+    if (state.hasTimedOut) {
+      val o = state.get
+      state.remove()
+      if (pending && !o.erased)
+        Iterator.single(SessionOutE(user, 0, 0, 0, erased = true)) // T-timer erase
+      else
+        Iterator.single(SessionOutE(user, o.n_events, o.start_us, o.end_us,
+          o.erased)) // watermark flush (q122)
+    } else {
+      val incoming = rows.map(_.ts_us).toArray.sorted
+      var open = state.getOption.orNull
+      var out = Vector.empty[SessionOutE]
+      incoming.foreach { ts =>
+        if (pending && (open == null || !open.erased) && ts >= eraseUs) {
+          // Apply the request: forget the open session AND the
+          // same-call pre-T closures (never visible), signal the
+          // deletion, open the fresh post-T session at this event.
+          out = Vector(SessionOutE(user, 0, 0, 0, erased = true))
+          open = OpenSessionE(1, ts, ts, erased = true)
+        } else open match {
+          case null => open = OpenSessionE(1, ts, ts, erased = false)
+          case o if ts - o.end_us > GapUs =>
+            out = out :+ SessionOutE(user, o.n_events, o.start_us, o.end_us, o.erased)
+            open = OpenSessionE(1, ts, ts, o.erased)
+          case o =>
+            open = OpenSessionE(o.n_events + 1, o.start_us,
+              math.max(o.end_us, ts), o.erased)
+        }
+      }
+      if (open != null) {
+        state.update(open)
+        val wmMs = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(
+          if (pending && !open.erased) math.max(eraseUs / 1000, wmMs + 1)
+          else open.end_us / 1000 + GapUs / 1000 + 1)
+      }
+      out.iterator
+    }
+  }
+
+  /** Current session log over the q129 emission log — the deletion-
+    * aware consumer's view, order-free via the flag: an erased user's
+    * rows are their flagged (post-T) sessions only; everyone else
+    * keeps their full log. Tombstones (n_events 0) never surface. */
+  private[graft] def sessionsCurrent(raw: DataFrame): DataFrame = {
+    val he = raw.groupBy(col("user_id"))
+      .agg(max(col("erased").cast("int")).as("he"))
+    raw.join(he, "user_id")
+      .where(col("erased").cast("int") === col("he") && col("n_events") > 0)
+      .select(col("user_id"), col("n_events"), col("start_us"), col("end_us"))
+      .orderBy(col("user_id"), col("start_us"))
+  }
+
+  /** The registered instance: q122's dataflow through the erasing
+    * handler, erase request at [[StreamEraseUs]]. The oracle runs
+    * q122's gap-split + strict watermark-flush disjunct over the
+    * erasure-filtered event relation (the watermark itself comes from
+    * the FULL stream — erased users' pre-T events advanced it too),
+    * so the driver re-proves forget-then-restart == filtered
+    * recompute for the session store every round. StreamEraseSpec's
+    * session cases pin tombstone/timer/restart on multi-batch
+    * replays. */
+  val q129 = Q(
+    "q129_stream_sessions_user_erase",
+    "session-store user erasure: request at T tombstones the user's sessions, post-T events start fresh",
+    (s, dir) => {
+      import s.implicits._
+      val events = eventsStream(s, dir)
+        .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"))
+        .withWatermark("ts", "0 seconds")
+        .as[SessionEventWm]
+      val out = events.groupByKey(_.user_id)
+        .flatMapGroupsWithState(
+          OutputMode.Update(), GroupStateTimeout.EventTimeTimeout)(
+          sessionizeErasing(StreamEraseUs))
+      sessionsCurrent(runBatchesToParquet(s, out, OutputMode.Update(), "append"))
+    },
+    Some(s"""WITH x AS (
+        SELECT user_id, epoch_us(ts) AS ts_us FROM events
+        WHERE ${oH60("'erase:' || CAST(user_id AS VARCHAR)")} % 10 <> 0
+           OR ts >= TIMESTAMP '2024-01-08 00:00:00'),
+      b AS (
+        SELECT user_id, ts_us,
+          CASE WHEN lag(ts_us) OVER w IS NULL
+                 OR ts_us - lag(ts_us) OVER w > $GapUs THEN 1 ELSE 0 END AS brk
+        FROM x WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+      sess AS (
+        SELECT user_id, ts_us,
+          sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+                         ROWS UNBOUNDED PRECEDING) AS sid
+        FROM b),
+      g AS (
+        SELECT user_id, sid, count(*) AS n_events,
+          min(ts_us) AS start_us, max(ts_us) AS end_us
+        FROM sess GROUP BY 1, 2),
+      m AS (SELECT user_id, max(sid) AS last_sid FROM g GROUP BY 1),
+      wm AS (SELECT max(epoch_us(ts)) // 1000 AS w FROM events)
+      SELECT g.user_id AS user_id, n_events, start_us, end_us
+      FROM g JOIN m ON g.user_id = m.user_id
+      WHERE g.sid < m.last_sid
+         OR (g.end_us // 1000) + ${GapUs / 1000} + 1 < (SELECT w FROM wm)
+      ORDER BY g.user_id, start_us"""))
+
   def all: Seq[Q] = Seq(q65, q66, q67, q68, q86)
 }

@@ -118,6 +118,74 @@ object StreamEraseVolBench {
     println(f"SEVVERIFY PROD: reached-step agreement ${agree.getLong(0)}%,d / " +
       f"${agree.getLong(1)}%,d with the 1h idle horizon " +
       "(shortfall = q121's documented restart deviation class)")
+
+    // ---- SESS phase: q129's session-store erasure. No retirement
+    // mechanism interferes here (the flush IS part of the semantics
+    // and of the oracle rule), so the identity is exact in one run:
+    // current session log == batch gap-split over the filtered
+    // relation + the strict watermark-flush disjunct.
+    val sessScratch = java.nio.file.Files.createTempDirectory("serase_sess").toString
+    val (sData, sChk) = (s"$sessScratch/data", s"$sessScratch/chk")
+    val t2 = System.nanoTime()
+    val sevents = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 8)
+      .parquet(parts)
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"))
+      .withWatermark("ts", "0 seconds")
+      .as[queries.StreamingOps.SessionEventWm]
+    val sout = sevents.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout)(
+        queries.StreamingOps.sessionizeErasing(eraseUs))
+    val sq = sout.writeStream.outputMode(OutputMode.Update())
+      .option("checkpointLocation", sChk)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[queries.StreamingOps.SessionOutE], id: Long) =>
+        b.toDF().write.mode("append").parquet(sData); ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    sq.awaitTermination()
+    val sStateRows = sq.recentProgress.toSeq.sortBy(_.batchId)
+      .filter(_.stateOperators.nonEmpty)
+      .map(p => p.stateOperators.map(_.numRowsTotal).sum)
+    val sRaw = spark.read.schema(org.apache.spark.sql.Encoders
+      .product[queries.StreamingOps.SessionOutE].schema).parquet(sData)
+    val sTombs = sRaw.where(col("n_events") === 0).count()
+    val sFlagged = sRaw.where(col("erased") && col("n_events") > 0).count()
+    println(f"SEVSESS   28.7M events session-erase-replayed in " +
+      f"${(System.nanoTime() - t2) / 1e9}%5.1f s  tombstones=$sTombs%,d  " +
+      f"post-erase sessions=$sFlagged%,d  state peak=${sStateRows.max}%,d " +
+      f"final=${sStateRows.last}%,d")
+    require(sTombs > 0 && sFlagged > 0, "session erasure branches unfired at volume")
+    val cur = queries.StreamingOps.sessionsCurrent(sRaw)
+    val gapUs = 30L * 60 * 1000000
+    val x = e.where(
+        !(queries.h60(concat(lit("erase:"), col("user_id"))) % 10 === 0) ||
+          unix_micros(col("ts")) >= eraseUs)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_us"))
+    val sess = x.withColumn("brk",
+        when(lag(col("ts_us"), 1).over(w).isNull ||
+          col("ts_us") - lag(col("ts_us"), 1).over(w) > gapUs, 1).otherwise(0))
+      .withColumn("sid", sum(col("brk")).over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)))
+    val g = sess.groupBy(col("user_id"), col("sid"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"))
+    val lastSid = g.groupBy(col("user_id")).agg(max(col("sid")).as("last_sid"))
+    val wmMs = e.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0) / 1000
+    val sWant = g.join(lastSid, "user_id")
+      .where(col("sid") < col("last_sid") ||
+        (col("end_us") / 1000).cast("long") + gapUs / 1000 + 1 < wmMs)
+      .select(col("user_id"), col("n_events"), col("start_us"), col("end_us"))
+    val sBad = cur.union(sWant)
+      .groupBy(col("user_id"), col("n_events"), col("start_us"), col("end_us"))
+      .agg(count(lit(1)).as("n")).where(col("n") =!= 2).count()
+    require(sBad == 0,
+      s"$sBad session rows differ from the filtered gap-split + flush rule")
+    println(f"SEVVERIFY SESS: current session log (${cur.count()}%,d rows) == " +
+      "filtered gap-split + strict flush rule, 0 mismatches")
     spark.stop()
   }
 }
