@@ -121,7 +121,13 @@ object Registry {
       // q128 (streaming retention, q114's stream twin) — same tail-append rule.
       queries.StreamingOps.q128 :+
       // q129 (session-store user erasure, q127's session twin) — same tail-append rule.
-      queries.StreamingOps.q129
+      queries.StreamingOps.q129 :+
+      // q130 (erase requests as a control stream) — same tail-append rule.
+      queries.StreamingOps.q130 :+
+      // q131 (incremental batch sessionization) — same tail-append rule.
+      queries.Analytic.q131 :+
+      // q132 (watermarked streaming retention with in-stream erasure) — same tail-append rule.
+      queries.StreamingOps.q132
 
   // ListMap: keep registry order. A HashMap would reshuffle the
   // bench's execution order whenever a query is added, which moves

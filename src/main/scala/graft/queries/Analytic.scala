@@ -964,6 +964,160 @@ object Analytic {
       ORDER BY v.user_id"""),
     prepare = Some((s, dir) => prepPut(s, dir, "prep126", q126Arts(s, dir))))
 
+  // ---- q131: INCREMENTAL BATCH SESSIONIZATION — the session family's
+  // missing batch add half (r15 VERDICT task 2). The family had live
+  // shapes (q67/q122/q129) and the full gap-split recompute; this is
+  // the table a warehouse maintains: fold an arriving event batch into
+  // a STANDING session table, where a batch event can EXTEND a
+  // standing session (either end), OPEN a new one, or BRIDGE two
+  // standing sessions into one — the interval analog of q105's
+  // component bridge merge.
+
+  /** 30-minute session gap in epoch micros (q67/q122's constant; kept
+    * local because StreamingOps' is stream-private). */
+  private[graft] val SessGapUs = 30L * 60 * 1000000
+
+  /** Full gap-split session table over an event relation: one row per
+    * (user, session) with event count and bounds — q122's oracle CTE
+    * as a batch operator, INCLUDING open tails (this is a stored
+    * table, not an emission log). Establishes the table invariant
+    * [[mergeSessions]] relies on: each session's events are internally
+    * gap-connected and consecutive sessions of a user are separated by
+    * more than the gap. */
+  private[graft] def sessionTable(e: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+    e.select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("brk",
+        when(lag(col("ts_us"), 1).over(w).isNull ||
+          col("ts_us") - lag(col("ts_us"), 1).over(w) > SessGapUs, 1).otherwise(0))
+      .withColumn("sid", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"))
+      .select(col("user_id"), col("n_events"), col("start_us"), col("end_us"))
+  }
+
+  /** SESSION-TABLE MERGE — fold an event batch into a standing session
+    * table. Untouched users pass through via a broadcast anti-join on
+    * the batch's user set; a touched user's standing sessions and
+    * batch events merge as INTERVALS: sessions are (start, end, n)
+    * items, events are (ts, ts, 1) points, and a single
+    * sweep — items in start order, break where start exceeds the
+    * running max end by more than the gap — regroups them.
+    *
+    * EXACT with NO arrival contract, unlike q119/q120: the sweep over
+    * intervals computes the same gap-components as the event-level
+    * recompute, because each standing session is internally
+    * gap-connected (the [[sessionTable]] invariant) — so two items
+    * land in one component iff their underlying events do, whether
+    * the batch is a suffix, a backfill inside history, or disorder
+    * across both. Every branch falls out of the same sweep: a point
+    * within the gap of a session's reach extends it, a point beyond
+    * every reach opens a session, a point (or chain of points) whose
+    * reach spans the gap between two standing sessions BRIDGES them,
+    * a point inside a session's span only increments its count. The
+    * output re-satisfies the invariant, so merges COMPOSE day after
+    * day without drift.
+    *
+    * The one input contract is EXACTLY-ONCE ingest: the session table
+    * stores counts, not event ids, so a batch row duplicating an
+    * already-folded event silently inflates n_events — the same
+    * information the q128 two-int state discards for boundedness; a
+    * deployment needing redelivery tolerance keys the batch by
+    * event_id and dedups it against a recent-ids side table before the
+    * fold (the q101 tombstone device).
+    *
+    * Scale shape: the standing table shuffles ONLY for the touched
+    * users' rows (the interval sweep's window partitions by user_id,
+    * and its input is batch-bounded: batch points + touched users'
+    * sessions); the untouched majority is a broadcast anti-join
+    * passthrough, and the touched/untouched split broadcasts the
+    * batch's distinct-user set (batch-bounded, the q125 removal-set
+    * shape). Nothing corpus-sized shuffles. */
+  private[graft] def mergeSessions(standing: DataFrame,
+      batch: DataFrame): DataFrame = {
+    val tt = batch.select(col("user_id")).distinct()
+    val sTouched = standing.join(broadcast(tt), Seq("user_id"), "left_semi")
+    val sRest = standing.join(broadcast(tt), Seq("user_id"), "left_anti")
+    val items = sTouched
+      .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"))
+      .unionByName(batch.select(col("user_id"),
+        unix_micros(col("ts")).as("start_us"),
+        unix_micros(col("ts")).as("end_us"), lit(1L).as("n_events")))
+    // Total order inside each user (start, end, n) — ties are
+    // interchangeable for the running max, so brk is deterministic.
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("start_us"), col("end_us"), col("n_events"))
+    val prevReach = max(col("end_us")).over(
+      w.rowsBetween(Window.unboundedPreceding, -1))
+    val merged = items
+      .withColumn("brk",
+        when(prevReach.isNull || col("start_us") - prevReach > SessGapUs, 1)
+          .otherwise(0))
+      .withColumn("sid", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(sum(col("n_events")).as("n_events"),
+        min(col("start_us")).as("start_us"), max(col("end_us")).as("end_us"))
+      .select(col("user_id"), col("n_events"), col("start_us"), col("end_us"))
+    sRest.unionByName(merged)
+  }
+
+  /** The registered q131 split: a deterministic 1/8 of EVENTS (hashed
+    * by event_id, so the held-out batch is sprinkled through the whole
+    * time range and through existing sessions — the shape that makes
+    * extend/open/bridge/interior all fire, unlike a time-suffix batch
+    * which can only extend tails). */
+  private[graft] val sessBatchEvents: Column =
+    h60(concat(lit("sessbatch:"), col("event_id"))) % 8 === 0
+
+  /** q131's standing artifact — the session table over the 7/8
+    * standing events (q119's prepare note applies; the timed body is
+    * the recurring batch fold). */
+  private def q131Arts(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val st = graft.Scratch.fenced(
+      sessionTable(t(s, dir, "events").where(!sessBatchEvents)))
+    st.count()
+    st
+  }
+
+  /** The registered instance: the standing 7/8 session table absorbs
+    * the held-out 1/8 batch; the oracle is the full gap-split
+    * recompute over ALL events (q122's CTE without the emission-log
+    * filters), so the driver's hash gate re-proves merge == recompute
+    * cross-engine every round. SessionMergeSpec pins each branch
+    * (extend forward/backward, open, two-session bridge, chain
+    * bridge, interior count) on crafted tables and proves the sf
+    * split fires the bridge branch non-vacuously. */
+  val q131 = Q(
+    "q131_session_table_merge",
+    "incremental batch sessionization: event batch folded into the standing session table (extend/open/bridge) == recompute",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      mergeSessions(
+        prepTake(s, dir, "prep131")(q131Arts(s, dir)), e.where(sessBatchEvents))
+        .orderBy(col("user_id"), col("start_us"))
+    },
+    Some(s"""WITH x AS (
+        SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+      b AS (
+        SELECT user_id, ts_us,
+          CASE WHEN lag(ts_us) OVER w IS NULL
+                 OR ts_us - lag(ts_us) OVER w > $SessGapUs THEN 1 ELSE 0 END AS brk
+        FROM x WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+      sess AS (
+        SELECT user_id, ts_us,
+          sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+                         ROWS UNBOUNDED PRECEDING) AS sid
+        FROM b)
+      SELECT user_id, count(*) AS n_events,
+        min(ts_us) AS start_us, max(ts_us) AS end_us
+      FROM sess GROUP BY user_id, sid
+      ORDER BY user_id, start_us"""),
+    prepare = Some((s, dir) => prepPut(s, dir, "prep131", q131Arts(s, dir))))
+
   val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q29, q39, q70)
 }

@@ -913,8 +913,13 @@ object StreamingOps {
   private[graft] def funnelCurrent(raw: DataFrame): DataFrame = {
     val he = raw.groupBy(col("user_id"))
       .agg(max(col("erased").cast("int")).as("he"))
+    // Deterministic tiebreak (r15 ADVICE): two same-era rows can share
+    // the max reached_step only after a retire-on-complete restart
+    // across micro-batches (the inherited q121 deviation); ordering
+    // the latencies makes which row survives stable across runs.
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("user_id")).orderBy(col("reached_step").desc)
+      .partitionBy(col("user_id")).orderBy(col("reached_step").desc,
+        col("v2c_micros").asc_nulls_last, col("c2p_micros").asc_nulls_last)
     raw.join(he, "user_id")
       .where(col("erased").cast("int") === col("he") && col("reached_step") > 0)
       .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
@@ -1007,8 +1012,9 @@ object StreamingOps {
     * indistinguishable from a benign repeat without storing the day
     * set — exactly the information the two-int state discards for
     * its user-bounded size (the q101 tombstone trade-off, retention
-    * edition); a deployment needing that detection adds a watermark,
-    * which drops the straggler before the handler instead. */
+    * edition); a deployment needing that detection runs the
+    * WATERMARKED variant — registered as [[q132]] — which drops the
+    * straggler before the handler instead. */
   private[graft] def retentionStep(user: Long, rows: Iterator[SessionEvent],
       state: GroupState[RetState]): Iterator[RetOut] = {
     val days = rows.map(e => (e.ts_us / 86400000000L).toInt)
@@ -1035,10 +1041,14 @@ object StreamingOps {
     * exactly once (the max-day dedup), so count(*) over emissions
     * equals q114's countDistinct and the oracle is q114's verbatim
     * recompute, re-proving stream == batch cross-engine every round.
-    * State here is NoTimeout (two ints per user, the q115 stance);
-    * a live deployment bounds it with q121's retirement device, and
-    * an erasure request composes as q127's tombstone does — both
-    * documented trade-offs, not missing machinery. */
+    * State here is NoTimeout (two ints per user, the q115 stance) —
+    * and that is not a gap to close with q121's retirement device:
+    * retirement does NOT compose with retention, because the cohort
+    * day is load-bearing for the user's whole lifetime (a retired
+    * user who returns would re-cohort at their return day, corrupting
+    * both their old cohort's cell and a fresh one). What DOES compose
+    * is the watermark (straggler-drop answers the residual below) and
+    * q127-style erasure — both REGISTERED as [[q132]]. */
   val q128 = Q(
     "q128_stream_retention",
     "streaming cohort retention via mapGroups state (first-seen + max-day dedup) == q114 batch matrix",
@@ -1219,6 +1229,379 @@ object StreamingOps {
       WHERE g.sid < m.last_sid
          OR (g.end_us // 1000) + ${GapUs / 1000} + 1 < (SELECT w FROM wm)
       ORDER BY g.user_id, start_us"""))
+
+  // ---- q130: erase requests as a CONTROL STREAM — the production
+  // generalization of q127/q129 (r15 VERDICT task 1). There the erased
+  // set and the single instant T were baked into the handler at
+  // compile time ([[streamErased]]/[[StreamEraseUs]]); in a deployment
+  // GDPR requests arrive as DATA: a second stream of
+  // (user_id, request_ts) rows that unions — typed, tagged — into the
+  // event stream, and the handler stores each user's erase instant in
+  // STATE. The operator surface this exercises is new: a heterogeneous
+  // typed union feeding one flatMapGroupsWithState store whose
+  // transition function dispatches on the row kind.
+
+  /** One row of the unioned control+event stream: kind 0 = behavioral
+    * event (`event_type` view/click/purchase), kind 1 = erase request
+    * (`ts_us` IS the erase instant; `event_type` is a tag). */
+  final case class CtrlEvent(user_id: Long, ts_us: Long, event_type: String,
+      kind: Int)
+
+  /** Funnel state carrying the per-user erase instant learned from the
+    * control stream: `reqUs` = the stored request instant (-1 until a
+    * request arrives), `applied` = the request has been applied (state
+    * before it forgotten; later duplicates are no-ops). */
+  final case class FunnelStateC(t1: Long, t2: Long, t3: Long,
+      reqUs: Long, applied: Boolean)
+
+  /** q115's funnel cascade driven by the UNIONED stream, with the
+    * erase instant held in state instead of closed over:
+    *
+    *   - a kind-1 row stores the user's erase instant and applies it:
+    *     standing pre-T progress is forgotten (tombstone emitted iff
+    *     that progress had been reported), and the cascade restarts
+    *     from the next qualifying row;
+    *   - ties at exactly T process the request FIRST (the sort's
+    *     kind-desc tiebreak), so an event at ts == T lands in the
+    *     post-T era — matching the oracle's `ts >= T` filter;
+    *   - once the request is known, a pre-T STRAGGLER event is skipped
+    *     outright (it is erased by definition), which also makes the
+    *     handler exact when the request file is replayed EARLY (all
+    *     requests in batch 0): pre-T events that arrive after the
+    *     request was stored are simply never accumulated;
+    *   - a request arriving LATE over state that is entirely post-T
+    *     (t1 >= T) is exact too: nothing pre-T was ever recorded, so
+    *     the state is kept, marked applied, and re-emitted FLAGGED so
+    *     the era projection ([[funnelCurrent]]) keeps it — no
+    *     tombstone, because no pre-T report exists to withdraw;
+    *   - the one irrecoverable arrival shape — state MIXING eras
+    *     (t1 < T but a later anchor >= T), possible only when post-T
+    *     events outran the request across batches — raises in-handler
+    *     (the q119/q120 stance: the rows that would silently change
+    *     the answer must fail loudly, benign shapes must pass).
+    *
+    * No timers and no watermark: the erasure needs neither, because
+    * the request itself reaches the handler as a data row — the
+    * never-returning user q127 had to erase by event-time timer is
+    * erased HERE the moment their request row is processed. State is
+    * NoTimeout/user-bounded like q115; a deployment bounds it with
+    * q121's retirement device, accepting q121's documented restart
+    * deviation (a retired user's stored reqUs is forgotten with the
+    * rest of their state). */
+  private[graft] def funnelStepCtrl(user: Long, rows: Iterator[CtrlEvent],
+      state: GroupState[FunnelStateC]): Iterator[FunnelOutE] = {
+    // Requests sort BEFORE events at the same instant (kind desc).
+    val evs = rows.toArray.sortBy(e => (e.ts_us, -e.kind))
+    var st = state.getOption.getOrElse(
+      FunnelStateC(-1L, -1L, -1L, -1L, applied = false))
+    val before = st
+    var tomb = false
+    evs.foreach { e =>
+      if (e.kind == 1) {
+        if (!st.applied) {
+          if (st.t1 >= e.ts_us) {
+            // Entirely post-T state: keep it, mark applied. The
+            // emission below re-reports it flagged (st != before).
+            st = st.copy(reqUs = e.ts_us, applied = true)
+          } else if (math.max(st.t2, st.t3) >= e.ts_us) {
+            throw new IllegalStateException(
+              s"q130 arrival-order violation: user $user has funnel anchors " +
+                s"straddling the erase instant ${e.ts_us} " +
+                s"(t1=${st.t1}, t2=${st.t2}, t3=${st.t3}) — post-T events " +
+                "reached the store before the request row")
+          } else {
+            if (st.t1 >= 0) tomb = true // reported pre-T progress withdrawn
+            st = FunnelStateC(-1L, -1L, -1L, e.ts_us, applied = true)
+          }
+        } // duplicate requests: first-wins (the fixture is one per user)
+      } else if (st.applied && e.ts_us < st.reqUs) {
+        () // pre-T straggler after the request is known: erased by definition
+      } else {
+        if (st.t1 < 0) {
+          if (e.event_type == "view") st = st.copy(t1 = e.ts_us)
+        } else if (st.t2 < 0) {
+          if (e.event_type == "click" && e.ts_us > st.t1) st = st.copy(t2 = e.ts_us)
+        } else if (st.t3 < 0) {
+          if (e.event_type == "purchase" && e.ts_us > st.t2) st = st.copy(t3 = e.ts_us)
+        }
+      }
+    }
+    val out = Seq.newBuilder[FunnelOutE]
+    if (tomb) out += FunnelOutE(user, 0, null, null, erased = true)
+    if (st != before) {
+      state.update(st)
+      if (st.t1 >= 0) out += FunnelOutE(user,
+        if (st.t3 >= 0) 3 else if (st.t2 >= 0) 2 else 1,
+        if (st.t2 >= 0) java.lang.Long.valueOf(st.t2 - st.t1) else null,
+        if (st.t3 >= 0) java.lang.Long.valueOf(st.t3 - st.t2) else null,
+        erased = st.applied)
+    }
+    out.result().iterator
+  }
+
+  /** The registered q130 request population/instants: the q127 erased
+    * cohort ([[streamErased]], ~10 % of users), each with their OWN
+    * request instant spread over [base, base + rangeDays) by a second
+    * hash — so requests land before, inside, and after each user's
+    * activity window. Cross-engine deterministic (h60 on both sides). */
+  private[graft] val Q130BaseUs: Long =
+    java.time.Instant.parse("2024-01-04T00:00:00Z").toEpochMilli * 1000
+  private[graft] val Q130RangeDays = 8
+
+  /** Build (once per session+dir) the erase-request fixture the
+    * control stream replays: one (user_id, req_us) row per erased
+    * user present in the events table. A deployment receives this
+    * relation from its privacy system; the fixture DERIVES it
+    * deterministically so the DuckDB oracle can recompute it inline.
+    * The distinct-users scan is a one-time fixture cost, not part of
+    * the operator. */
+  private[graft] def eraseRequestsPath(s: SparkSession, dir: String,
+      baseUs: Long = Q130BaseUs, rangeDays: Int = Q130RangeDays): String = {
+    val path = localScratch(s, "q130req", dir)
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      t(s, dir, "events")
+        .where(h60(concat(lit("erase:"), col("user_id"))) % 10 === 0)
+        .select(col("user_id")).distinct()
+        .select(col("user_id"),
+          (lit(baseUs) + (h60(concat(lit("reqday:"), col("user_id"))) % rangeDays)
+            * lit(86400000000L)).as("req_us"))
+        .coalesce(1).write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+
+  private val ReqSchema = new org.apache.spark.sql.types.StructType()
+    .add("user_id", LongType).add("req_us", LongType)
+
+  /** The unioned control+event stream feeding [[funnelStepCtrl]] —
+    * factored so the volume bench replays the identical relation
+    * through real micro-batches from its own fixture paths. */
+  private[graft] def ctrlUnion(s: SparkSession, events: DataFrame,
+      requests: DataFrame): Dataset[CtrlEvent] = {
+    import s.implicits._
+    events
+      .where(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"), lit(0).as("kind"))
+      .unionByName(requests.select(col("user_id"), col("req_us").as("ts_us"),
+        lit("erase_request").as("event_type"), lit(1).as("kind")))
+      .as[CtrlEvent]
+  }
+
+  /** The registered instance: events union the request stream, the
+    * handler learns each user's T from their request row, and the
+    * current-view projection is q127's [[funnelCurrent]] verbatim.
+    * The oracle recomputes each user's T inline and filters the
+    * cascade by it — the per-user-T generalization of q127's oracle —
+    * so the driver's hash gate re-proves control-stream erasure ==
+    * per-user filtered recompute cross-engine every round.
+    * StreamCtrlEraseSpec pins the before/between/after arrival shapes
+    * (request before the user's events, between them across
+    * micro-batches, after them over pure post-T state) and the
+    * mixed-era guard. */
+  val q130 = Q(
+    "q130_funnel_erase_requests",
+    "funnel erasure from a control stream: (user, request_ts) rows union into the event stream, per-user T held in state",
+    (s, dir) => {
+      import s.implicits._
+      val reqPath = eraseRequestsPath(s, dir)
+      val requests = s.readStream.schema(ReqSchema).parquet(reqPath)
+      val unioned = ctrlUnion(s, eventsStream(s, dir), requests)
+      val out = unioned.groupByKey(_.user_id)
+        .flatMapGroupsWithState(
+          OutputMode.Update(), GroupStateTimeout.NoTimeout)(funnelStepCtrl _)
+      funnelCurrent(runBatchesToParquet(s, out, OutputMode.Update(), "append"))
+    },
+    Some(s"""WITH req AS (
+        SELECT user_id, $Q130BaseUs +
+          (${oH60("'reqday:' || CAST(user_id AS VARCHAR)")} % $Q130RangeDays)
+            * 86400000000 AS t_us
+        FROM (SELECT DISTINCT user_id FROM events)
+        WHERE ${oH60("'erase:' || CAST(user_id AS VARCHAR)")} % 10 = 0),
+      ev AS (
+        SELECT e.user_id, e.event_type, e.ts FROM events e
+        LEFT JOIN req r ON e.user_id = r.user_id
+        WHERE r.user_id IS NULL OR epoch_us(e.ts) >= r.t_us),
+      v AS (
+        SELECT user_id, min(ts) AS t1 FROM ev
+        WHERE event_type = 'view' GROUP BY 1),
+      c AS (
+        SELECT e.user_id, min(e.ts) AS t2 FROM ev e
+        JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+      p AS (
+        SELECT e.user_id, min(e.ts) AS t3 FROM ev e
+        JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
+      SELECT v.user_id,
+        CAST(CASE WHEN p.t3 IS NOT NULL THEN 3
+                  WHEN c.t2 IS NOT NULL THEN 2 ELSE 1 END AS INTEGER) AS reached_step,
+        date_diff('microsecond', v.t1, c.t2) AS v2c_micros,
+        date_diff('microsecond', c.t2, p.t3) AS c2p_micros
+      FROM v LEFT JOIN c ON v.user_id = c.user_id
+             LEFT JOIN p ON v.user_id = p.user_id
+      ORDER BY v.user_id"""))
+
+  // ---- q132: WATERMARKED streaming retention with in-stream erasure
+  // — the registered answer to q128's two documented composition
+  // claims (r15 VERDICT task 4). The watermark is the deployment
+  // device q128's residual note points at: a straggler older than the
+  // watermark is dropped BEFORE the handler (stateful operators filter
+  // late input), so the late-new-day blind spot becomes explicit
+  // straggler-drop semantics instead of a silent undercount; the
+  // in-handler guard stays as the backstop for disorder inside the
+  // allowed lateness. Erasure composes exactly as q127's tombstone
+  // does. Retirement does NOT compose with retention and is
+  // deliberately absent: the cohort day is load-bearing forever — a
+  // retired-then-returning user would re-cohort at their return day
+  // and corrupt two cells — so state here is user-bounded by design,
+  // with timers used ONLY for the erase-by-T path (see q128's
+  // scaladoc, corrected this round).
+
+  /** [[RetState]] plus the erasure flag. */
+  final case class RetStateE(cohortDay: Int, maxDay: Int, erased: Boolean)
+
+  /** [[RetOut]] plus the erased flag; the tombstone is day = -1. */
+  final case class RetOutE(user_id: Long, day: Int, cohort_day: Int,
+      erased: Boolean)
+
+  /** [[retentionStep]] with IN-STREAM ERASURE at event-time `eraseUs`
+    * for the [[streamErased]] users (q127's pattern, retention store):
+    *
+    *   - the first post-T event applies the request BEFORE being
+    *     processed: the (cohort, max-day) state is forgotten, the
+    *     tombstone withdraws the user's previously-reported
+    *     (user, day) rows, and the user re-cohorts at that event's
+    *     day — an erased user's matrix contribution reflects ONLY
+    *     post-T activity (their new cohort is their first post-T day,
+    *     exactly the filtered recompute's);
+    *   - a pending user who never returns erases by event-time timer
+    *     at T (tombstone + state removal); timers are set ONLY while
+    *     an erasure is pending, so no other user pays timer state;
+    *   - a stale T timer that fires AFTER the user already erased by
+    *     event re-updates the state untouched (removing it would
+    *     forget the era flag and a later event would re-report
+    *     unflagged rows past the deletion);
+    *   - erasure works at EVENT granularity, not day granularity: a
+    *     day straddling T survives for the erased user iff a post-T
+    *     event exists on it, matching the oracle's `ts >= T` filter;
+    *   - pre-T stragglers arriving after the erasure applied are
+    *     skipped (erased by definition); for everyone else the
+    *     watermark drops stragglers pre-handler and the q128 cohort
+    *     guard backstops what the lateness bound admits. */
+  private[graft] def retentionStepErasing(eraseUs: Long)(
+      user: Long, rows: Iterator[SessionEventWm],
+      state: GroupState[RetStateE]): Iterator[RetOutE] = {
+    val pending = streamErased(user)
+    if (state.hasTimedOut) {
+      val st = state.get
+      if (pending && !st.erased) {
+        state.remove()
+        Iterator.single(RetOutE(user, -1, -1, erased = true)) // T-timer erase
+      } else {
+        state.update(st) // stale T timer after an event-applied erasure
+        Iterator.empty
+      }
+    } else {
+      val entry = state.getOption
+      var st = entry.orNull
+      val evs = rows.map(_.ts_us).toArray.sorted
+      var out = Vector.empty[RetOutE]
+      evs.foreach { ts =>
+        val d = (ts / 86400000000L).toInt
+        if (pending && (st == null || !st.erased) && ts >= eraseUs) {
+          // Apply the request: discard same-call pre-T emissions
+          // (never visible), withdraw prior-batch reports iff any
+          // exist (state at call entry), re-cohort at this event.
+          out = if (entry.exists(!_.erased))
+            Vector(RetOutE(user, -1, -1, erased = true))
+          else Vector.empty
+          st = RetStateE(d, d, erased = true)
+          out :+= RetOutE(user, d, d, erased = true)
+        } else if (st != null && st.erased && ts < eraseUs) {
+          () // pre-T straggler after erasure: erased by definition
+        } else if (st == null) {
+          st = RetStateE(d, d, erased = false)
+          out :+= RetOutE(user, d, d, erased = false)
+        } else if (d < st.cohortDay) {
+          throw new IllegalStateException(
+            s"q132 arrival-order violation: day $d for user $user predates " +
+              s"the standing cohort day ${st.cohortDay} inside the lateness bound")
+        } else if (d > st.maxDay) {
+          st = st.copy(maxDay = d)
+          out :+= RetOutE(user, d, st.cohortDay, st.erased)
+        }
+      }
+      if (st != null) {
+        state.update(st)
+        if (pending && !st.erased)
+          state.setTimeoutTimestamp(
+            math.max(eraseUs / 1000, state.getCurrentWatermarkMs() + 1))
+      }
+      out.iterator
+    }
+  }
+
+  /** q128's rollup over the era-compacted q132 emission log: per user
+    * keep the rows of their LATEST era (the flag disambiguates,
+    * order-free), drop tombstones, then count cells and normalize —
+    * each surviving (user, day) was emitted exactly once in its era,
+    * so count(*) equals the filtered recompute's countDistinct. */
+  private[graft] def retentionCurrent(raw: DataFrame): DataFrame = {
+    val he = raw.groupBy(col("user_id"))
+      .agg(max(col("erased").cast("int")).as("he"))
+    val pairs = raw.join(he, "user_id")
+      .where(col("erased").cast("int") === col("he") && col("day") >= 0)
+    val cells = pairs.groupBy(col("cohort_day"),
+        (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+    val sz = cells.where(col("day_offset") === 0)
+      .select(col("cohort_day"), col("n_users").as("cohort_size"))
+    cells.join(sz, "cohort_day")
+      .select(date_from_unix_date(col("cohort_day")).as("cohort_day"),
+        col("day_offset").cast("int").as("day_offset"), col("n_users"),
+        round(col("n_users").cast("double") / col("cohort_size"), 4).as("retention"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  /** The registered instance: q128's dataflow with a 0-delay watermark
+    * (the replay is time-ordered, so nothing drops at the sf scales
+    * and the machinery is exercised where multi-batch straggler
+    * replays exist — StreamRetentionSpec's watermark cases) and the
+    * erasing handler at [[StreamEraseUs]]. Oracle = q114's matrix over
+    * the erasure-filtered event relation, so the driver re-proves
+    * tombstone-then-recohort == filtered recompute cross-engine every
+    * round. */
+  val q132 = Q(
+    "q132_stream_retention_erase",
+    "watermarked streaming retention with in-stream user erasure: tombstone withdraws pre-T days, post-T re-cohorts",
+    (s, dir) => {
+      import s.implicits._
+      val events = eventsStream(s, dir)
+        .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"))
+        .withWatermark("ts", "0 seconds")
+        .as[SessionEventWm]
+      val out = events.groupByKey(_.user_id)
+        .flatMapGroupsWithState(
+          OutputMode.Update(), GroupStateTimeout.EventTimeTimeout)(
+          retentionStepErasing(StreamEraseUs))
+      retentionCurrent(runBatchesToParquet(s, out, OutputMode.Update(), "append"))
+    },
+    Some(s"""WITH d AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        WHERE ${oH60("'erase:' || CAST(user_id AS VARCHAR)")} % 10 <> 0
+           OR ts >= TIMESTAMP '2024-01-08 00:00:00'),
+      f AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1),
+      cells AS (
+        SELECT f.cohort_day, date_diff('day', f.cohort_day, d.day) AS day_offset,
+          CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users
+        FROM d JOIN f ON d.user_id = f.user_id
+        GROUP BY 1, 2),
+      sz AS (SELECT cohort_day, n_users AS cohort_size FROM cells WHERE day_offset = 0)
+      SELECT c.cohort_day, CAST(c.day_offset AS INTEGER) AS day_offset, c.n_users,
+        round(CAST(c.n_users AS DOUBLE) / sz.cohort_size, 4) AS retention
+      FROM cells c JOIN sz ON c.cohort_day = sz.cohort_day
+      ORDER BY c.cohort_day, c.day_offset"""))
 
   def all: Seq[Q] = Seq(q65, q66, q67, q68, q86)
 }

@@ -1,0 +1,122 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.Analytic
+
+/** q131's session-table merge: every branch of the interval sweep
+  * pinned on a crafted corpus — forward/backward extension, open,
+  * two-session bridge, chain bridge across three standing sessions,
+  * interior count increment — each equal to the event-level gap-split
+  * recompute, plus the out-of-order composition property (a backfill
+  * batch folded after a later batch still converges to the recompute,
+  * the no-arrival-contract claim). Then the sf pins: merge ==
+  * recompute on the registered 7/8-standing / 1/8-batch split, with
+  * the bridge branch firing non-vacuously at sf0.01. */
+class SessionMergeSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val MinMs = 60000L
+  private def df(rows: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    rows.map { case (u, m) => (u, new Timestamp(m * MinMs)) }
+      .toDF("user_id", "ts")
+  }
+  private def us(m: Long) = m * MinMs * 1000
+
+  test("crafted branches: extend fwd/bwd, open, bridge, chain bridge, interior") {
+    // Standing events per user (minutes); gap = 30 min.
+    val standingEvents = Seq[(Long, Long)](
+      (1, 0), (1, 10),            // u1: one session [0,10]
+      (2, 100),                   // u2: one session [100,100]
+      (3, 0),                     // u3: one session [0,0]
+      (4, 0), (4, 10), (4, 50), (4, 60), // u4: [0,10], [50,60] (gap 40)
+      (5, 0), (5, 5), (5, 60), (5, 65), (5, 120), (5, 125), // u5: three sessions
+      (6, 0), (6, 10), (6, 20))   // u6: one session [0,20]
+    val batchEvents = Seq[(Long, Long)](
+      (1, 35),  // extend forward: 35-10=25 <= 30
+      (2, 75),  // extend backward: 100-75=25 <= 30
+      (3, 200), // open: far beyond reach
+      (4, 30),  // bridge: 30-10=20 and 50-30=20
+      (5, 30), (5, 90), // chain bridge: connects all three sessions
+      (6, 15))  // interior: inside [0,20], count only
+    val standing = Analytic.sessionTable(df(standingEvents))
+    val got = Analytic.mergeSessions(standing, df(batchEvents))
+      .orderBy(col("user_id"), col("start_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val want = Analytic.sessionTable(df(standingEvents ++ batchEvents))
+      .orderBy(col("user_id"), col("start_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want, s"merge != recompute:\n got=$got\nwant=$want")
+    // Branch shapes, explicitly:
+    assert(got.contains((1L, 3L, us(0), us(35))), "forward extension")
+    assert(got.contains((2L, 2L, us(75), us(100))), "backward extension")
+    assert(got.contains((3L, 1L, us(0), us(0))) &&
+      got.contains((3L, 1L, us(200), us(200))), "open")
+    assert(got.contains((4L, 5L, us(0), us(60))),
+      "two standing sessions must bridge into one")
+    assert(got.contains((5L, 8L, us(0), us(125))),
+      "chain bridge must fuse all three standing sessions")
+    assert(got.contains((6L, 4L, us(0), us(20))), "interior count increment")
+  }
+
+  test("merges compose out of order: a later batch then a backfill == recompute") {
+    // u9's events split into standing + a LATER batch + a BACKFILL
+    // that bridges only once both are folded — exactness must not
+    // depend on fold order (the no-arrival-contract claim).
+    val standingEvents = Seq[(Long, Long)]((9, 0), (9, 100))
+    val later = Seq[(Long, Long)]((9, 160))     // beyond both (gap 60 > 30)
+    // The backfill chain 25-55-85 reaches 100 (gap 15) and 130 reaches
+    // both 100 and 160 — everything fuses only once BOTH folds ran.
+    val backfill = Seq[(Long, Long)]((9, 25), (9, 55), (9, 85), (9, 130))
+    val s0 = Analytic.sessionTable(df(standingEvents))
+    val s1 = Analytic.mergeSessions(s0, df(later))
+    val s2 = Analytic.mergeSessions(s1, df(backfill))
+      .orderBy(col("user_id"), col("start_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val want = Analytic.sessionTable(df(standingEvents ++ later ++ backfill))
+      .orderBy(col("user_id"), col("start_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(s2 == want, s"out-of-order composition broke: $s2 vs $want")
+    assert(s2 == Seq((9L, 7L, us(0), us(160))), "backfill must fuse everything")
+  }
+
+  for (sf <- Seq("sf0.001", "sf0.01")) {
+    test(s"$sf replay: registered q131 == full gap-split recompute") {
+      val dir = s"/root/testdata/$sf"
+      val got = Registry.queriesMap("q131_session_table_merge")(spark, dir)
+        .collect().map(_.toSeq).toSeq
+      val want = Analytic.sessionTable(queries.t(spark, dir, "events"))
+        .orderBy(col("user_id"), col("start_us"))
+        .collect().map(_.toSeq).toSeq
+      assert(got == want, s"q131 != recompute at $dir")
+      assert(got.nonEmpty)
+    }
+  }
+
+  test("sf0.01: the registered split fires the bridge branch non-vacuously") {
+    val dir = "/root/testdata/sf0.01"
+    val e = queries.t(spark, dir, "events")
+    val standing = Analytic.sessionTable(e.where(!Analytic.sessBatchEvents))
+    val full = Analytic.sessionTable(e)
+    // A bridge happened iff >= 2 standing sessions of one user land
+    // inside one recomputed session (their starts fall in its span).
+    val bridges = standing.as("s").join(full.as("f"),
+        col("s.user_id") === col("f.user_id") &&
+          col("s.start_us") >= col("f.start_us") &&
+          col("s.start_us") <= col("f.end_us"))
+      .groupBy(col("f.user_id"), col("f.start_us"))
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") >= 2).count()
+    assert(bridges >= 1,
+      "registered sf0.01 split fires no bridge — the branch is untested at sf")
+  }
+}

@@ -1,0 +1,164 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.StreamingOps
+import graft.queries.StreamingOps.{RetOutE, SessionEventWm}
+
+/** q132's watermarked retention-erasure semantics on crafted
+  * multi-batch replays: tombstone + re-cohort on the first post-T
+  * event, T-timer erasure for never-returning users, EVENT-granular
+  * erasure on a day straddling T, a stale T timer firing after an
+  * event-applied erasure (state and era flag must survive it), and
+  * the watermark dropping a straggler BEFORE the handler — the
+  * registered answer to q128's documented late-new-day residual (the
+  * same row would raise q128's guard). Then the sf pins: q132 ==
+  * the erasure-filtered recompute in-engine, non-vacuous vs q128. */
+class StreamRetentionEraseSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val DayUs = 86400000000L
+  // Pending users must satisfy the handler-side predicate; kept must not.
+  private lazy val erasedIds =
+    (1L to 300L).filter(StreamingOps.streamErased).toList
+  private lazy val keptIds =
+    (1L to 300L).filterNot(StreamingOps.streamErased).toList
+
+  private def sev(u: Long, day: Long, hour: Long) = {
+    val us = day * DayUs + hour * 3600000000L
+    SessionEventWm(u, new Timestamp(us / 1000), us)
+  }
+
+  private def writeFile(inputDir: java.nio.file.Path, rows: Seq[SessionEventWm],
+      name: String, mtime: Long): Unit = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rete_src_")
+    spark.createDataset(rows).coalesce(1).write.mode("overwrite").parquet(s"$tmp/d")
+    val part = new java.io.File(s"$tmp/d").listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+    val dest = inputDir.resolve(name)
+    java.nio.file.Files.move(part.toPath, dest)
+    assert(dest.toFile.setLastModified(mtime))
+  }
+
+  test("multi-batch: tombstone+recohort, T-timer erase, straddle day, stale timer, straggler drop") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_rete_")
+    val inputDir = java.nio.file.Files.createDirectory(root.resolve("in"))
+    val dataDir = s"$root/data"
+    val base = System.currentTimeMillis() - 60000
+    // T mid-day so a single day can straddle it.
+    val eraseUs = 20010L * DayUs + 12L * 3600000000L
+    val List(e1, e2, e3, e4) = erasedIds.take(4)
+    val List(k, w) = keptIds.take(2)
+    // e1: pre-T days 20000/20001 reported, post-T return on 20012
+    //     -> tombstone + re-cohort at 20012.
+    // e2: pre-T day 20000 only, never returns -> T-timer tombstone.
+    // e3: day 20010 straddles T (hour 1 pre, hour 20 post) -> the
+    //     day SURVIVES for the erased user, flagged, cohort 20010.
+    // e4: pre-T day 20000; post-T day 20012 applies the erasure; the
+    //     stale T timer then fires (watermark passes T via k's 20020)
+    //     and must NOT drop the erased state; day 20021 then extends
+    //     the flagged era with cohort 20012.
+    // k:  kept user advancing the watermark; plain q128 behavior.
+    // w:  kept user whose day-20014 row arrives AFTER the watermark
+    //     reached 20020 -> dropped pre-handler (q128's guard would
+    //     have killed the stream on this row).
+    writeFile(inputDir, Seq(
+      sev(e1, 20000, 1), sev(e1, 20001, 1),
+      sev(e2, 20000, 2),
+      sev(e3, 20010, 1),
+      sev(e4, 20000, 3),
+      sev(k, 20000, 4)), "f0.parquet", base)
+    writeFile(inputDir, Seq(
+      sev(e1, 20012, 1), sev(e3, 20010, 20), sev(e4, 20012, 2),
+      sev(w, 20016, 1)), "f1.parquet", base + 2000)
+    writeFile(inputDir, Seq(sev(k, 20020, 1)), "f2.parquet", base + 4000)
+    writeFile(inputDir, Seq(sev(e4, 20021, 1), sev(w, 20014, 1)),
+      "f3.parquet", base + 6000)
+    val chk = java.nio.file.Files.createTempDirectory("graft_rete_chk_").toString
+    val in = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[SessionEventWm]].schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inputDir.toString)
+      .withWatermark("ts", "0 seconds")
+      .as[SessionEventWm]
+    val q = in.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout)(
+        StreamingOps.retentionStepErasing(eraseUs))
+      .writeStream.outputMode(OutputMode.Update())
+      .option("checkpointLocation", chk)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[RetOutE], id: Long) =>
+        batch.toDF().write.mode("overwrite").parquet(s"$dataDir/b$id"); ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val raw = spark.read.option("recursiveFileLookup", "true")
+      .schema(implicitly[org.apache.spark.sql.Encoder[RetOutE]].schema)
+      .parquet(dataDir)
+    val rows = raw.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getBoolean(3))).toSeq
+    def tombs(u: Long) = rows.count { case (uu, d, _, e) => uu == u && d == -1 && e }
+    assert(tombs(e1) == 1 && rows.contains((e1, 20012, 20012, true)),
+      s"e1 must tombstone and re-cohort: $rows")
+    assert(tombs(e2) == 1, "never-returning pending user must erase by T timer")
+    assert(tombs(e3) == 1 && rows.contains((e3, 20010, 20010, true)),
+      "a day straddling T must survive flagged — erasure is event-granular")
+    assert(tombs(e4) == 1, "stale timer must not emit a second tombstone")
+    assert(rows.contains((e4, 20021, 20012, true)),
+      s"stale T timer dropped e4's erased state (cohort lost): $rows")
+    // The straggler was dropped pre-handler: no emission, no guard kill.
+    assert(rows.collect { case (u, d, _, _) if u == w => d } == Seq(20016),
+      s"w's straggler must be watermark-dropped: $rows")
+    // Era compaction: e1/e3/e4 keep only flagged days; e2 vanishes.
+    val cur = StreamingOps.retentionCurrent(raw)
+    val cohorts = cur.collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2))).toSet
+    assert(!rows.exists { case (u, d, _, e) => u == e2 && d >= 0 && e },
+      "e2 must have no flagged days")
+    // e1 and e4 re-cohorted at 20012 (2024-10-16): that cell holds both.
+    assert(cohorts.contains(("2024-10-16", 0, 2L)),
+      s"re-cohorted users missing from the matrix: $cohorts")
+  }
+
+  for (sf <- Seq("sf0.001", "sf0.01")) {
+    test(s"$sf replay: q132 == erasure-filtered recompute, non-vacuous") {
+      val dir = s"/root/testdata/$sf"
+      val got = Registry.queriesMap("q132_stream_retention_erase")(spark, dir)
+        .collect().map(_.toSeq).toSeq
+      // In-engine oracle twin: q114's matrix over the filtered events.
+      val e = queries.t(spark, dir, "events")
+      val d = e.where(
+          !(queries.h60(concat(lit("erase:"), col("user_id"))) % 10 === 0) ||
+            col("ts") >= lit("2024-01-08").cast("timestamp"))
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val f = d.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+      val cells = d.join(f, "user_id")
+        .groupBy(col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).as("day_offset"))
+        .agg(count(lit(1)).as("n_users"))
+      val sz = cells.where(col("day_offset") === 0)
+        .select(col("cohort_day"), col("n_users").as("cohort_size"))
+      val want = cells.join(sz, "cohort_day")
+        .select(col("cohort_day"), col("day_offset").cast("int").as("day_offset"),
+          col("n_users"),
+          round(col("n_users").cast("double") / col("cohort_size"), 4).as("retention"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+        .collect().map(_.toSeq).toSeq
+      assert(got == want, s"q132 != filtered recompute at $dir")
+      val plain = Registry.queriesMap("q128_stream_retention")(spark, dir)
+        .collect().map(_.toSeq).toSeq
+      assert(got != plain, s"erasure changed nothing at $dir — vacuous replay")
+    }
+  }
+}
