@@ -58,8 +58,16 @@ object Bench {
       // One-time layout setup (bucketed tables etc.) runs untimed: a
       // deployment pays it once and amortizes it over every subsequent
       // query, so timing it per-run would misrepresent the device.
+      // A failed prepare is survivable (the run body builds inline)
+      // but must be ATTRIBUTABLE: the query's timed row then includes
+      // the standing-artifact build, which would otherwise read as an
+      // unexplained regression (r15 ADVICE).
       Registry.preparesMap.get(name)
-        .foreach(p => try p(spark, sfDir) catch { case _: Throwable => () })
+        .foreach(p => try p(spark, sfDir) catch {
+          case e: Throwable => System.err.println(
+            s"[bench] WARN prepare($name) failed: ${e.getClass.getName}: " +
+              s"${e.getMessage} — this pass times the inline artifact build")
+        })
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9

@@ -2786,7 +2786,8 @@ object DedupOps {
     * where demotion provably fires. */
   private[graft] def removeFromCappedCluster(standingIdx: DataFrame,
       banded: DataFrame, sig: DataFrame, pairs: DataFrame,
-      standing: DataFrame, removed: DataFrame, cap: Int): DataFrame = {
+      standing: DataFrame, removed: DataFrame, cap: Int,
+      sigPidSize: Option[Long] = None): DataFrame = {
     val postIdx = removeFromIndexBuckets(standingIdx, banded, removed, cap)
     val demoted = standingIdx.where(size(col("ids")) === 0)
       .select(col("band"), col("key"))
@@ -2817,8 +2818,30 @@ object DedupOps {
     // layout phase's recordsRead census (CappedClusterVolBench): the
     // sig store was read 2× per takedown. Cached, the scan runs once
     // and the cache holds only the batch-bounded probe rows.
+    // When the signature relation is the doc_id-range-partitioned
+    // STORE (the registered q124 prepare layout, [[q124SigStore]]),
+    // prune its scan to the probe set's partitions BEFORE the
+    // semi-join: the distinct pid list is bounded by the store's
+    // partition count (<= Q124SigParts), so the driver-side collect is
+    // a constant-size planning action (the AQE-stats class, not a data
+    // collect), and the literal IN-list becomes a static
+    // PartitionFilter — a takedown whose batch has id locality reads
+    // only its neighborhood's FILES (ExplainR16 census), where the
+    // broadcast semi-join alone still scanned every file. A
+    // hash-spread batch (the registered instance's) touches every
+    // partition of any layout; its floor is the one full scan. DPP
+    // does not fire for this broadcast-semi-join shape (probed
+    // empirically — ProbeDpp), hence the explicit filter.
+    val sigScan = sigPidSize match {
+      case Some(w) =>
+        val pids = probeIds.select(floor(col("doc_id") / w).as("pid"))
+          .distinct().collect().map(_.getLong(0)).toIndexedSeq
+        (if (pids.isEmpty) sig.where(lit(false))
+         else sig.where(col("pid").isin(pids: _*))).drop("pid")
+      case None => sig
+    }
     val sigPruned = graft.Scratch.scoped(
-      sig.join(broadcast(probeIds), Seq("doc_id"), "left_semi"))
+      sigScan.join(broadcast(probeIds), Seq("doc_id"), "left_semi"))
     // Both inputs to the final merge are cached AND plan-fenced
     // (Scratch.fenced): the connected-components machinery inside
     // mergeComponents issues several actions over them, and with the
@@ -2845,13 +2868,45 @@ object DedupOps {
     * run (52k demotions at this cap) are where it fires. */
   /** q124's standing artifacts — the full capped pipeline's
     * (signatures, banding, capped index, verified pairs, component
-    * assignment). Every one plan-fenced: the takedown body issues
-    * many actions (index pass, reveal probe, two CC phases), and
-    * each would otherwise re-analyze the signature pipeline's full
-    * plan (see Scratch.fenced). The cascading counts materialize all
-    * five caches for the prepare handoff. */
+    * assignment). The SIGNATURE relation is handed to the takedown as
+    * the doc_id-range-partitioned on-disk store ([[q124SigStore]], the
+    * r15 CCVBPART layout made the registered layout — r15 VERDICT
+    * task 3), so a range-local takedown prunes its scan to the
+    * touched partitions' files; the rest are plan-fenced caches: the
+    * takedown body issues many actions (index pass, reveal probe, two
+    * CC phases), and each would otherwise re-analyze the signature
+    * pipeline's full plan (see Scratch.fenced). The cascading counts
+    * materialize the caches for the prepare handoff. */
+  /** Partition-count target for the q124 signature store: the CCVBPART
+    * layout (r15's doc_id-range partitioning evidence), now the
+    * REGISTERED prepare artifact's layout. */
+  private[graft] val Q124SigParts = 128L
+
+  /** Write-once doc_id-range-partitioned signature STORE (pid =
+    * doc_id / partSize, a directory-partition column): the registered
+    * q124 prepare persists the signature relation the way a deployment
+    * stores it — on disk, range-partitioned — so the recurring
+    * takedown's store scan is FILE-PRUNABLE when the removal batch has
+    * id locality (the legal/licensing range-takedown shape CCVBPART
+    * measured). Returns the read-back relation and the partition
+    * width; the one-row max-id lookup is schema-level planning, not a
+    * data collect. Reused across Bench passes via the localScratch
+    * fixture key (a store outlives any one query, like the deployment
+    * artifact it models). */
+  private[graft] def q124SigStore(s: org.apache.spark.sql.SparkSession,
+      dir: String, sig0: DataFrame): (DataFrame, Long) = {
+    val path = localScratch(s, "q124sig", dir)
+    val maxId = t(s, dir, "documents").agg(max(col("doc_id")))
+      .collect()(0).getLong(0)
+    val partSize = math.max(1L, (maxId + Q124SigParts) / Q124SigParts)
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      sig0.withColumn("pid", floor(col("doc_id") / partSize))
+        .write.partitionBy("pid").mode("overwrite").parquet(path)
+    (s.read.parquet(path), partSize)
+  }
+
   private def q124Arts(s: org.apache.spark.sql.SparkSession, dir: String)
-      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, Long) = {
     val (sig0, banded0) = sigBanded(s, dir)
     val sig = graft.Scratch.fenced(sig0)
     val banded = graft.Scratch.fenced(banded0)
@@ -2860,7 +2915,11 @@ object DedupOps {
     val pairs = graft.Scratch.fenced(pairs0)
     val standing = graft.Scratch.fenced(standing0)
     sig.count(); banded.count(); idx.count(); pairs.count(); standing.count()
-    (sig, banded, idx, pairs, standing)
+    // The takedown's signature relation is the PARTITIONED STORE (read
+    // back from disk, unfenced — the point is the prunable file scan),
+    // written from the already-materialized cache.
+    val (store, partSize) = q124SigStore(s, dir, sig)
+    (store, banded, idx, pairs, standing, partSize)
   }
 
   val q124 = Q(
@@ -2868,10 +2927,11 @@ object DedupOps {
     s"capped-pipeline takedown: demotion-revealed pairs folded into the cluster rebuild (cap $Q88Cap)",
     (s, dir) => {
       val rem = h60(concat(lit("remove:"), col("doc_id"))) % 10 === 0
-      val (sig, banded, idx, pairs, standing) =
+      val (sig, banded, idx, pairs, standing, pidSize) =
         prepTake(s, dir, "prep124")(q124Arts(s, dir))
       val removed = t(s, dir, "documents").where(rem).select(col("doc_id"))
-      removeFromCappedCluster(idx, banded, sig, pairs, standing, removed, Q88Cap)
+      removeFromCappedCluster(idx, banded, sig, pairs, standing, removed,
+          Q88Cap, Some(pidSize))
         .groupBy(col("comp"))
         .agg(min(col("id")).as("canonical_id"),
           count(lit(1)).as("n_docs"),

@@ -91,10 +91,22 @@ package object queries {
     prepMemo.put(prepKey(s, dir, tag), v); ()
   }
 
+  /** Eager class check at the handoff boundary (r15 ADVICE): drift
+    * between a prepare hook's stored value type and the run site's
+    * expectation fails HERE with both class names, not as a
+    * ClassCastException somewhere downstream. Tuple element types are
+    * erased, but every cross-query collision in practice differs in
+    * arity or top-level class, which this does catch; the tags are
+    * per-query constants, so same-tag put/take sites live lines apart. */
   private[queries] def prepTake[A <: AnyRef](s: SparkSession,
-      dir: String, tag: String)(build: => A): A =
-    Option(prepMemo.remove(prepKey(s, dir, tag)))
-      .map(_.asInstanceOf[A]).getOrElse(build)
+      dir: String, tag: String)(build: => A)(
+      implicit ct: scala.reflect.ClassTag[A]): A =
+    Option(prepMemo.remove(prepKey(s, dir, tag))).map {
+      case v if ct.runtimeClass.isInstance(v) => v.asInstanceOf[A]
+      case v => throw new IllegalStateException(
+        s"prepared-artifact type drift for '$tag': stored " +
+          s"${v.getClass.getName}, run site expects ${ct.runtimeClass.getName}")
+    }.getOrElse(build)
 
   /** Exact 2-dp decimal view of a stored-as-double money/qty column. */
   def money(c: Column): Column = c.cast(DecimalType(18, 2))
