@@ -76,7 +76,19 @@ object Bench {
     }
     def loadAvg(): Double =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    // MemAvailable in GiB — the page-cache-displacement indicator the
+    // round protocol reads to classify the capture window (a post-test
+    // run shows this depressed; r15 VERDICT item 5): recorded in the
+    // JSON so every BENCH_r{N} capture self-describes its window.
+    def memAvailGb(): Double =
+      try {
+        val line = java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get("/proc/meminfo")).stream()
+          .filter(_.startsWith("MemAvailable")).findFirst().orElse("")
+        math.round(line.replaceAll("[^0-9]", "").toDouble / 1048576 * 10) / 10.0
+      } catch { case _: Throwable => -1.0 }
     val load0 = loadAvg()
+    val mem0 = memAvailGb()
     val pass1 = timedPass()
     graft.queries.evictMemos(spark)
     Scratch.releaseAll()
@@ -92,7 +104,7 @@ object Bench {
     def full(m: Map[String, Double]) =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qs = full(results)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","timing":"min_of_2","load_avg_start":$load0,"load_avg_end":$load1,"queries":$qs,"pass1":${full(pass1)},"pass2":${full(pass2)},"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","timing":"min_of_2","load_avg_start":$load0,"load_avg_end":$load1,"mem_avail_gb_start":$mem0,"mem_avail_gb_end":${memAvailGb()},"queries":$qs,"pass1":${full(pass1)},"pass2":${full(pass2)},"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), line + "\n")
     catch { case _: Throwable => () }
     // The stdout line the driver parses is kept compact enough to fit
@@ -104,7 +116,7 @@ object Bench {
     val shortQs = results.map { case (k, v) => s"\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     spark.stop()
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","timing":"min_of_2","load":[${fmt(load0)},${fmt(load1)}],"queries":$shortQs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","timing":"min_of_2","load":[${fmt(load0)},${fmt(load1)}],"mem_gb":[$mem0,${memAvailGb()}],"queries":$shortQs,"sf":"$sfDir"}""")
     System.out.flush()
   }
 }

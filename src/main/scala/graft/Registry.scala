@@ -127,7 +127,9 @@ object Registry {
       // q131 (incremental batch sessionization) — same tail-append rule.
       queries.Analytic.q131 :+
       // q132 (watermarked streaming retention with in-stream erasure) — same tail-append rule.
-      queries.StreamingOps.q132
+      queries.StreamingOps.q132 :+
+      // q133 (redelivery-tolerant session fold) — same tail-append rule.
+      queries.Analytic.q133
 
   // ListMap: keep registry order. A HashMap would reshuffle the
   // bench's execution order whenever a query is added, which moves

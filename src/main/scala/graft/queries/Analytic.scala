@@ -1118,6 +1118,74 @@ object Analytic {
       ORDER BY user_id, start_us"""),
     prepare = Some((s, dir) => prepPut(s, dir, "prep131", q131Arts(s, dir))))
 
+  // ---- q133: REDELIVERY-TOLERANT session fold — the registered
+  // witness for q131's one input contract. q131 documents exactly-once
+  // ingest and sketches the recipe ("keys the batch by event_id and
+  // dedups it against a recent-ids side table"); q133 IS that recipe,
+  // registered and oracle-checked: the batch arrives WITH duplicates
+  // (in-batch redelivery AND redelivery of already-folded events), and
+  // the fold must still equal the duplicate-free recompute.
+
+  /** Drop redelivered rows from an event batch before the session
+    * fold: in-batch duplicates collapse by event_id; rows whose
+    * event_id the standing side store already absorbed are dropped by
+    * the two-step broadcast device (the q116 persisted-banding probe
+    * shape) — the corpus-sized id store is SCANNED once and probed
+    * with the broadcast batch ids, giving the batch-bounded
+    * intersection, which then anti-joins the batch; the store itself
+    * never shuffles and is never on the build side of anything. A
+    * deployment bounds the store to its redelivery horizon (ids older
+    * than the maximum redelivery delay can be aged out, exactly like
+    * a q101 tombstone horizon); the registered instance keeps the
+    * full standing id set, the horizonless worst case. */
+  private[graft] def dedupBatch(batch: DataFrame,
+      standingIds: DataFrame): DataFrame = {
+    val uniq = batch.dropDuplicates("event_id")
+    val seen = standingIds.join(broadcast(uniq.select(col("event_id"))),
+      Seq("event_id"), "left_semi")
+    uniq.join(broadcast(seen), Seq("event_id"), "left_anti")
+  }
+
+  /** The registered q133 redelivery: every event whose
+    * h60("redeliver:"||event_id) % 4 == 0 arrives AGAIN in the batch —
+    * including ALREADY-FOLDED standing events (the at-least-once
+    * delivery a checkpoint replay produces) and second copies of the
+    * batch's own rows. ~25 % duplicate pressure. */
+  private[graft] val redelivered: Column =
+    h60(concat(lit("redeliver:"), col("event_id"))) % 4 === 0
+
+  /** q133's standing artifacts — q131's session table plus the
+    * standing event-id store the dedup probes. */
+  private def q133Arts(s: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    val standingEvents = t(s, dir, "events").where(!sessBatchEvents)
+    val st = graft.Scratch.fenced(sessionTable(standingEvents))
+    val ids = graft.Scratch.fenced(standingEvents.select(col("event_id")))
+    st.count(); ids.count()
+    (st, ids)
+  }
+
+  /** The registered instance: the q131 batch UNIONED with the
+    * redelivered rows (duplicates of standing AND batch events) folds
+    * through [[dedupBatch]] into the same standing table; the oracle
+    * is q131's VERBATIM (the full duplicate-free recompute), so the
+    * driver's hash gate re-proves that redelivery changes NOTHING —
+    * the whole point of the witness. SessionMergeSpec's redelivery
+    * cases pin both duplicate classes and the sf replay asserts the
+    * duplicate pressure is real (non-vacuous). */
+  val q133 = Q(
+    "q133_session_merge_redelivery",
+    "redelivery-tolerant session fold: duplicate batch rows dropped against the standing id store == recompute",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      val (standing, ids) = prepTake(s, dir, "prep133")(q133Arts(s, dir))
+      val batch = e.where(sessBatchEvents).unionByName(e.where(redelivered))
+      mergeSessions(standing, dedupBatch(batch, ids))
+        .orderBy(col("user_id"), col("start_us"))
+    },
+    q131.oracle,
+    prepare = Some((s, dir) => prepPut(s, dir, "prep133", q133Arts(s, dir))))
+
   val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q29, q39, q70)
 }

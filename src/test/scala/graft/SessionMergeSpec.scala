@@ -102,6 +102,46 @@ class SessionMergeSpec extends AnyFunSuite {
     }
   }
 
+  test("q133 dedup: in-batch duplicates and already-folded redeliveries both drop") {
+    import spark.implicits._
+    // Standing: u1 events (ids 1,2) -> one session [0,10]. Batch: a
+    // fresh event (id 3, t=35), a REDELIVERY of standing id 1, and id
+    // 3 delivered twice. Only the fresh event may fold.
+    def edf(rows: Seq[(Long, Long, Long)]) =
+      rows.map { case (id, u, m) => (id, u, new Timestamp(m * MinMs)) }
+        .toDF("event_id", "user_id", "ts")
+    val standingEvents = edf(Seq((1L, 1L, 0L), (2L, 1L, 10L)))
+    val standing = Analytic.sessionTable(standingEvents)
+    val ids = standingEvents.select(col("event_id"))
+    val batch = edf(Seq((3L, 1L, 35L), (1L, 1L, 0L), (3L, 1L, 35L)))
+    val deduped = Analytic.dedupBatch(batch, ids)
+    assert(deduped.select(col("event_id")).collect().map(_.getLong(0)).toSeq == Seq(3L),
+      "dedup must keep exactly the fresh event")
+    val got = Analytic.mergeSessions(standing, deduped)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq((1L, 3L, us(0), us(35))),
+      s"redelivered rows leaked into the fold: $got")
+  }
+
+  for (sf <- Seq("sf0.001", "sf0.01")) {
+    test(s"$sf replay: q133 under ~25% redelivery == q131 == recompute, pressure non-vacuous") {
+      val dir = s"/root/testdata/$sf"
+      val got = Registry.queriesMap("q133_session_merge_redelivery")(spark, dir)
+        .collect().map(_.toSeq).toSeq
+      val clean = Registry.queriesMap("q131_session_table_merge")(spark, dir)
+        .collect().map(_.toSeq).toSeq
+      assert(got == clean, s"redelivery changed the fold at $dir")
+      // Non-vacuity: the redelivered set must hit BOTH duplicate
+      // classes — already-folded standing events and batch events.
+      val e = queries.t(spark, dir, "events")
+      val redel = e.where(Analytic.redelivered)
+      assert(redel.where(!Analytic.sessBatchEvents).count() > 0,
+        "no standing event redelivered — the store probe is untested")
+      assert(redel.where(Analytic.sessBatchEvents).count() > 0,
+        "no batch event duplicated — the in-batch dedup is untested")
+    }
+  }
+
   test("sf0.01: the registered split fires the bridge branch non-vacuously") {
     val dir = "/root/testdata/sf0.01"
     val e = queries.t(spark, dir, "events")

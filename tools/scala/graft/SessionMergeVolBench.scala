@@ -84,6 +84,35 @@ object SessionMergeVolBench {
       f"branch census: $bridges%,d bridges, $opens%,d opens, " +
       f"${nMerged - opens - unchanged}%,d extended/bridged/interior-grown, " +
       f"$unchanged%,d untouched-or-identical")
+
+    // ---- q133 phase: the same fold under ~25% redelivery pressure
+    // (duplicates of standing AND batch events), deduped against the
+    // STORED standing id set with the two-step broadcast probe. Must
+    // equal the same recompute; the id store is scanned once, never
+    // shuffled.
+    e.where(!isBatch).select(col("event_id"))
+      .write.mode("overwrite").parquet(s"$scratch/ids")
+    val ids = spark.read.parquet(s"$scratch/ids")
+    val nIds = ids.count()
+    val redelivered = e.where(
+      queries.h60(concat(lit("redeliver:"), col("event_id"))) % 4 === 0)
+    val dirty = batch.unionByName(redelivered)
+    val nDirty = dirty.count()
+    shufWrite.set(0)
+    val t2 = System.nanoTime()
+    queries.Analytic.mergeSessions(standing,
+        queries.Analytic.dedupBatch(dirty, ids))
+      .write.mode("overwrite").parquet(s"$scratch/merged133")
+    val wall133 = (System.nanoTime() - t2) / 1e9
+    val merged133 = spark.read.parquet(s"$scratch/merged133")
+    val bad133 = merged133.union(recompute)
+      .groupBy(col("user_id"), col("n_events"), col("start_us"), col("end_us"))
+      .agg(count(lit(1)).as("n")).where(col("n") =!= 2).count()
+    require(bad133 == 0,
+      s"$bad133 session rows differ from the recompute under redelivery")
+    println(f"SMVREDEL  $nDirty%,d-row dirty batch (${nDirty - nBatch}%,d redelivered " +
+      f"dupes) deduped against the $nIds%,d-id store and folded in $wall133%5.1f s  " +
+      f"shufWrite=${shufWrite.get / 1e9}%.2f GB; fold == recompute, 0 mismatches")
     spark.stop()
   }
 }
