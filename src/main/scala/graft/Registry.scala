@@ -129,7 +129,9 @@ object Registry {
       // q132 (watermarked streaming retention with in-stream erasure) — same tail-append rule.
       queries.StreamingOps.q132 :+
       // q133 (redelivery-tolerant session fold) — same tail-append rule.
-      queries.Analytic.q133
+      queries.Analytic.q133 :+
+      // q134 (session-store erasure from the control stream) — same tail-append rule.
+      queries.StreamingOps.q134
 
   // ListMap: keep registry order. A HashMap would reshuffle the
   // bench's execution order whenever a query is added, which moves

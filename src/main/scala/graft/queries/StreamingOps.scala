@@ -1442,6 +1442,210 @@ object StreamingOps {
              LEFT JOIN p ON v.user_id = p.user_id
       ORDER BY v.user_id"""))
 
+  // ---- q134: the control stream against the SESSION store — q129's
+  // generalization, sharing q130's request fixture (ONE privacy feed,
+  // two stores, which is how a deployment wires it). Unlike the
+  // funnel, the session state needs NO era flag and NO stored erase
+  // instant: session state is transient (flush removes it), so the
+  // handler's whole job is to wipe the pre-T open session when the
+  // request row arrives and emit the tombstone; era separation
+  // happens at the CONSUMER, which compacts the emission log against
+  // the requests relation it already holds (a session of a requested
+  // user survives iff it starts at/after that user's T). A pre-T
+  // straggler that slips past the watermark can only open a session
+  // the compaction drops — the handler stays exact without
+  // remembering anything about the erasure.
+
+  /** One row of the unioned session control+event stream (`ts` kept
+    * for the watermark; kind 1 = erase request at `ts_us`). */
+  final case class CtrlSessEvent(user_id: Long, ts: java.sql.Timestamp,
+      ts_us: Long, kind: Int)
+
+  /** [[sessionizeFlushing]] driven by the unioned stream: a kind-1
+    * row forgets the user's open session — entirely pre-T by the
+    * time-order contract; an open session REACHING the instant means
+    * post-T events outran the request and raises in-handler (the
+    * q130 guard, session edition) — and emits the unconditional
+    * tombstone (q129's argument: closed sessions left state when they
+    * were emitted, so the handler cannot know whether prior reports
+    * exist). Ties at exactly T need no special case: the sort puts
+    * the request first, and a same-call pre-T event sorts before it
+    * by timestamp regardless of file order. Flush timers are q122's
+    * verbatim — with the request in-band there is no T timer to
+    * interleave, which is what dissolves q129's timer-slot dance.
+    *
+    * DELIVERY CONTRACT — stricter than q130's, because this handler
+    * deliberately keeps NO per-user memory after the wipe (that is
+    * what lets erased users' state drain completely): the request
+    * must arrive AT its event-time position, not early. A LATE
+    * request is guarded (the straddling-open-session raise below); an
+    * EARLY one is exact for every isolated pre-T session (the
+    * consumer's request-log compaction drops what the handler could
+    * not know to wipe — pinned in spec) EXCEPT when the user's first
+    * post-T event lands within the gap of later-arriving pre-T events
+    * and the two eras fuse into one session, whose post-T remainder
+    * the compaction then over-drops (measured: exactly the fused
+    * boundary sessions on an early-by-a-day volume feed). A feed that
+    * cannot place requests in stream order needs the q130 pattern — a
+    * persistent per-user erase register — instead; StreamCtrlErase-
+    * VolBench's SESS phase shows the in-order feed (requests aligned
+    * to their trigger window) is exact at 28.7M events. */
+  private[graft] def sessionizeCtrl(user: Long, rows: Iterator[CtrlSessEvent],
+      state: GroupState[OpenSession]): Iterator[SessionOutE] = {
+    if (state.hasTimedOut) {
+      val o = state.get
+      state.remove()
+      Iterator.single(SessionOutE(user, o.n_events, o.start_us, o.end_us,
+        erased = false)) // watermark flush (q122)
+    } else {
+      val evs = rows.toArray.sortBy(e => (e.ts_us, -e.kind))
+      var open = state.getOption.orNull
+      var out = Vector.empty[SessionOutE]
+      var touched = false // did any EVENT mutate the open session?
+      evs.foreach { e =>
+        if (e.kind == 1) {
+          if (open != null && open.start_us < e.ts_us) {
+            // An open session STRADDLING the instant is the one
+            // irrecoverable arrival shape (its per-event history is
+            // gone, so the post-T remainder cannot be reconstructed);
+            // an entirely pre-T one is simply forgotten, and an
+            // entirely post-T one (a late request) survives untouched
+            // — the consumer's start >= T rule keeps it.
+            if (open.end_us >= e.ts_us)
+              throw new IllegalStateException(
+                s"q134 arrival-order violation: user $user has an open " +
+                  s"session straddling the erase instant ${e.ts_us} " +
+                  s"([${open.start_us}, ${open.end_us}]) — post-T events " +
+                  "preceded the request row")
+            open = null // the pre-T open session is forgotten, unreported
+          }
+          out = out :+ SessionOutE(user, 0, 0, 0, erased = true)
+        } else {
+          touched = true
+          open match {
+            case null => open = OpenSession(1, e.ts_us, e.ts_us)
+            case o if e.ts_us - o.end_us > GapUs =>
+              out = out :+ SessionOutE(user, o.n_events, o.start_us, o.end_us,
+                erased = false)
+              open = OpenSession(1, e.ts_us, e.ts_us)
+            case o =>
+              open = OpenSession(o.n_events + 1, o.start_us,
+                math.max(o.end_us, e.ts_us))
+          }
+        }
+      }
+      if (open != null) {
+        // Re-arm the flush timer only when an EVENT advanced the
+        // session: a request-only call that KEEPS a post-T open
+        // session must leave its standing flush timer intact — the
+        // session's flush instant did not move, and re-setting it
+        // would race the watermark when the timer matures in this
+        // very batch (setTimeoutTimestamp rejects values at/under
+        // the current watermark).
+        if (touched) {
+          state.update(open)
+          state.setTimeoutTimestamp(open.end_us / 1000 + GapUs / 1000 + 1)
+        }
+      } else if (state.exists) state.remove()
+      out.iterator
+    }
+  }
+
+  /** The deletion-aware consumer's compaction for q134: tombstones
+    * drop, and a requested user's sessions survive iff they start
+    * at/after that user's OWN instant (the requests relation is
+    * batch-bounded — broadcast). This is where era separation lives
+    * when the store keeps no flag: the consumer holds the request log
+    * anyway (it received the deletions), so the join replaces q129's
+    * in-row flag without any per-user state surviving in the store. */
+  private[graft] def sessionsCurrentByRequests(raw: DataFrame,
+      requests: DataFrame): DataFrame =
+    raw.where(col("n_events") > 0)
+      .join(broadcast(requests.select(col("user_id"), col("req_us"))),
+        Seq("user_id"), "left")
+      .where(col("req_us").isNull || col("start_us") >= col("req_us"))
+      .select(col("user_id"), col("n_events"), col("start_us"), col("end_us"))
+      .orderBy(col("user_id"), col("start_us"))
+
+  /** The unioned session control+event stream (volume bench reuses it
+    * with its own fixture paths, like [[ctrlUnion]]). The watermark is
+    * applied to the EVENT branch BEFORE the union — deliberately:
+    * request rows carry their erase instant as event time, and a
+    * privacy feed delivers requests EARLY relative to the event
+    * replay position (the volume feed does), so letting them advance
+    * the stream watermark would mass-drop perfectly-on-time events as
+    * late. Union keeps the left branch's watermark tag, so requests
+    * neither advance the watermark nor get dropped by it while it
+    * trails their instant. */
+  private[graft] def ctrlSessUnion(s: SparkSession, events: DataFrame,
+      requests: DataFrame): Dataset[CtrlSessEvent] = {
+    import s.implicits._
+    events
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"),
+        lit(0).as("kind"))
+      .withWatermark("ts", "0 seconds")
+      .unionByName(requests.select(col("user_id"),
+        timestamp_micros(col("req_us")).as("ts"), col("req_us").as("ts_us"),
+        lit(1).as("kind")))
+      .as[CtrlSessEvent]
+  }
+
+  /** The registered instance: q122's dataflow through the
+    * control-stream handler, requests from q130's SHARED fixture
+    * (per-user instants, one feed for both stores). Oracle = the
+    * gap-split + strict flush rule over the per-user-T filtered
+    * relation (wm from the FULL stream), the per-user-T
+    * generalization of q129's oracle. StreamCtrlEraseSpec's session
+    * cases pin wipe/tombstone/guard/straggler-compaction on
+    * multi-batch replays. */
+  val q134 = Q(
+    "q134_session_erase_requests",
+    "session-store erasure from the control stream: request row wipes the pre-T open session, consumer compacts by request log",
+    (s, dir) => {
+      import s.implicits._
+      val reqPath = eraseRequestsPath(s, dir)
+      val requests = s.readStream.schema(ReqSchema).parquet(reqPath)
+      val unioned = ctrlSessUnion(s, eventsStream(s, dir), requests)
+      val out = unioned.groupByKey(_.user_id)
+        .flatMapGroupsWithState(
+          OutputMode.Update(), GroupStateTimeout.EventTimeTimeout)(
+          sessionizeCtrl _)
+      sessionsCurrentByRequests(
+        runBatchesToParquet(s, out, OutputMode.Update(), "append"),
+        s.read.parquet(reqPath))
+    },
+    Some(s"""WITH req AS (
+        SELECT user_id, $Q130BaseUs +
+          (${oH60("'reqday:' || CAST(user_id AS VARCHAR)")} % $Q130RangeDays)
+            * 86400000000 AS t_us
+        FROM (SELECT DISTINCT user_id FROM events)
+        WHERE ${oH60("'erase:' || CAST(user_id AS VARCHAR)")} % 10 = 0),
+      x AS (
+        SELECT e.user_id, epoch_us(e.ts) AS ts_us FROM events e
+        LEFT JOIN req r ON e.user_id = r.user_id
+        WHERE r.user_id IS NULL OR epoch_us(e.ts) >= r.t_us),
+      b AS (
+        SELECT user_id, ts_us,
+          CASE WHEN lag(ts_us) OVER w IS NULL
+                 OR ts_us - lag(ts_us) OVER w > $GapUs THEN 1 ELSE 0 END AS brk
+        FROM x WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+      sess AS (
+        SELECT user_id, ts_us,
+          sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+                         ROWS UNBOUNDED PRECEDING) AS sid
+        FROM b),
+      g AS (
+        SELECT user_id, sid, count(*) AS n_events,
+          min(ts_us) AS start_us, max(ts_us) AS end_us
+        FROM sess GROUP BY 1, 2),
+      m AS (SELECT user_id, max(sid) AS last_sid FROM g GROUP BY 1),
+      wm AS (SELECT max(epoch_us(ts)) // 1000 AS w FROM events)
+      SELECT g.user_id AS user_id, n_events, start_us, end_us
+      FROM g JOIN m ON g.user_id = m.user_id
+      WHERE g.sid < m.last_sid
+         OR (g.end_us // 1000) + ${GapUs / 1000} + 1 < (SELECT w FROM wm)
+      ORDER BY g.user_id, start_us"""))
+
   // ---- q132: WATERMARKED streaming retention with in-stream erasure
   // — the registered answer to q128's two documented composition
   // claims (r15 VERDICT task 4). The watermark is the deployment

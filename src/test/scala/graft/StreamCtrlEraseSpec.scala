@@ -168,6 +168,206 @@ class StreamCtrlEraseSpec extends AnyFunSuite {
       s"guard must surface, got: ${msgs(ex).take(300)}")
   }
 
+  // ---- q134: the session store against the same control stream.
+
+  import graft.queries.StreamingOps.{CtrlSessEvent, SessionOutE}
+  // Epoch-0 watermark guard (StreamRetireSpec's Off device): crafted
+  // minutes are offset so no event sits at the initial watermark.
+  private val SOff = 100000L
+  private def sevc(u: Long, m: Long) =
+    CtrlSessEvent(u, new java.sql.Timestamp((SOff + m) * 60000), (SOff + m) * MinUs, 0)
+  private def sreq(u: Long, m: Long) =
+    CtrlSessEvent(u, new java.sql.Timestamp((SOff + m) * 60000), (SOff + m) * MinUs, 1)
+
+  private def writeSess(inputDir: java.nio.file.Path, rows: Seq[CtrlSessEvent],
+      name: String, mtime: Long): Unit = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cse_src_")
+    spark.createDataset(rows).coalesce(1).write.mode("overwrite").parquet(s"$tmp/d")
+    val part = new java.io.File(s"$tmp/d").listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+    val dest = inputDir.resolve(name)
+    java.nio.file.Files.move(part.toPath, dest)
+    assert(dest.toFile.setLastModified(mtime))
+  }
+
+  private def runSessStream(inputDir: java.nio.file.Path, dataDir: String,
+      delay: String): Unit = {
+    import spark.implicits._
+    val chk = java.nio.file.Files.createTempDirectory("graft_cse_chk_").toString
+    val in = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[CtrlSessEvent]].schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inputDir.toString)
+      .withWatermark("ts", delay)
+      .as[CtrlSessEvent]
+    val q = in.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout)(
+        StreamingOps.sessionizeCtrl _)
+      .writeStream.outputMode(OutputMode.Update())
+      .option("checkpointLocation", chk)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[SessionOutE], id: Long) =>
+        batch.toDF().write.mode("overwrite").parquet(s"$dataDir/b$id"); ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
+  test("q134 multi-batch: wipe + tombstone, fresh post-T session, flush, compaction") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_cse_")
+    val inputDir = java.nio.file.Files.createDirectory(root.resolve("in"))
+    val dataDir = s"$root/data"
+    val base = System.currentTimeMillis() - 60000
+    val (s1, s2, w, k) = (11L, 12L, 13L, 14L)
+    // s1 (T=100): pre-T closed session [0,5] reported, open [50] wiped
+    //     at the request; returns post-T at 150 (flushes at the end).
+    // s2 (T=100): open [0] wiped; never returns -> absent everywhere.
+    // w  (T=95, request in the SAME batch as its pre-T event at 80):
+    //     the event sorts before the request by timestamp, the wipe
+    //     forgets it -> absent from current.
+    // k:  no request; [0] closes by successor at 400.
+    writeSess(inputDir, Seq(
+      sevc(s1, 0), sevc(s1, 5), sevc(s2, 0), sevc(k, 0), sevc(s1, 50)),
+      "f0.parquet", base)
+    writeSess(inputDir, Seq(
+      sreq(s1, 100), sreq(s2, 100), sreq(w, 95), sevc(w, 80)),
+      "f1.parquet", base + 2000)
+    writeSess(inputDir, Seq(sevc(s1, 150)), "f2.parquet", base + 4000)
+    writeSess(inputDir, Seq(sevc(k, 400)), "f3.parquet", base + 6000)
+    runSessStream(inputDir, dataDir, "0 seconds")
+    val raw = spark.read.option("recursiveFileLookup", "true")
+      .schema(implicitly[org.apache.spark.sql.Encoder[SessionOutE]].schema)
+      .parquet(dataDir)
+    val rows = raw.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSet
+    def us(m: Long) = (SOff + m) * MinUs
+    assert(rows.contains((s1, 0L, 0L, 0L, true)) &&
+      rows.contains((s2, 0L, 0L, 0L, true)) &&
+      rows.contains((w, 0L, 0L, 0L, true)), s"missing tombstones: $rows")
+    assert(rows.contains((s1, 2L, us(0), us(5), false)), "pre-T closed report")
+    assert(rows.contains((s1, 1L, us(150), us(150), false)),
+      "post-T session must flush once the watermark passes its gap")
+    assert(!rows.exists(r => r._1 == w && r._2 > 0),
+      s"w's wiped pre-T session must never surface: $rows")
+    val requests = Seq((s1, us(100)), (s2, us(100)), (w, us(95)))
+      .toDF("user_id", "req_us")
+    val cur = StreamingOps.sessionsCurrentByRequests(raw, requests)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(cur == Set((s1, 1L, us(150), us(150)), (k, 1L, us(0), us(0))),
+      s"unexpected current log: $cur")
+  }
+
+  test("q134 lagging watermark: late request keeps a pure post-T open session; compaction drops handler-invisible pre-T sessions") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_cse2_")
+    val inputDir = java.nio.file.Files.createDirectory(root.resolve("in"))
+    val dataDir = s"$root/data"
+    val base = System.currentTimeMillis() - 60000
+    val (s3, v) = (21L, 22L)
+    // 10h watermark delay: requests may trail events (production
+    // lateness). s3's request (T=100) arrives AFTER its post-T open
+    // session [120,125] exists -> kept untouched (the graceful
+    // branch). v's request (T=70) arrives BEFORE its pre-T straggler
+    // at 60 -> the handler, which remembers nothing, opens [60,60];
+    // the successor at 160 closes and REPORTS it; the consumer's
+    // request-log compaction is what drops it.
+    writeSess(inputDir, Seq(sreq(v, 70)), "f0.parquet", base)
+    writeSess(inputDir, Seq(sevc(s3, 120), sevc(s3, 125), sevc(v, 60)),
+      "f1.parquet", base + 2000)
+    writeSess(inputDir, Seq(sreq(s3, 100), sevc(v, 160)), "f2.parquet", base + 4000)
+    runSessStream(inputDir, dataDir, "10 hours")
+    val raw = spark.read.option("recursiveFileLookup", "true")
+      .schema(implicitly[org.apache.spark.sql.Encoder[SessionOutE]].schema)
+      .parquet(dataDir)
+    val rows = raw.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSet
+    def us(m: Long) = (SOff + m) * MinUs
+    assert(rows.contains((v, 1L, us(60), us(60), false)),
+      s"v's straggler session must be reported (closed by successor): $rows")
+    assert(rows.contains((s3, 0L, 0L, 0L, true)), "late request still tombstones")
+    val requests = Seq((s3, us(100)), (v, us(70))).toDF("user_id", "req_us")
+    val cur = StreamingOps.sessionsCurrentByRequests(raw, requests)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // s3's post-T session is still OPEN (the lagging watermark never
+    // flushes it in this replay); v's pre-T session is compacted away.
+    assert(cur.isEmpty, s"compaction must drop v's pre-T session: $cur")
+  }
+
+  test("q134 guard: an open session straddling the instant raises in-handler") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_cse3_")
+    val inputDir = java.nio.file.Files.createDirectory(root.resolve("in"))
+    val base = System.currentTimeMillis() - 60000
+    writeSess(inputDir, Seq(sevc(31L, 90), sevc(31L, 110)), "f0.parquet", base)
+    writeSess(inputDir, Seq(sreq(31L, 100)), "f1.parquet", base + 2000)
+    val chk = java.nio.file.Files.createTempDirectory("graft_cse3_chk_").toString
+    val in = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[CtrlSessEvent]].schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inputDir.toString)
+      .withWatermark("ts", "10 hours")
+      .as[CtrlSessEvent]
+    val q = in.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout)(
+        StreamingOps.sessionizeCtrl _)
+      .writeStream.outputMode(OutputMode.Update())
+      .option("checkpointLocation", chk)
+      .format("noop")
+      .trigger(Trigger.AvailableNow()).start()
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + msgs(t.getCause)
+    assert(msgs(ex).contains("q134 arrival-order violation"),
+      s"guard must surface, got: ${msgs(ex).take(300)}")
+  }
+
+  for (sf <- Seq("sf0.001", "sf0.01")) {
+    test(s"$sf replay: q134 == per-user-T filtered session recompute, non-vacuous") {
+      import org.apache.spark.sql.expressions.Window
+      val dir = s"/root/testdata/$sf"
+      val got = Registry.queriesMap("q134_session_erase_requests")(spark, dir)
+        .collect().map(_.toSeq).toSeq
+      val e = queries.t(spark, dir, "events")
+      val gapUs = 30L * 60 * 1000000
+      val reqT = lit(StreamingOps.Q130BaseUs) +
+        (queries.h60(concat(lit("reqday:"), col("user_id")))
+          % StreamingOps.Q130RangeDays) * lit(86400000000L)
+      val x = e.where(
+          !(queries.h60(concat(lit("erase:"), col("user_id"))) % 10 === 0) ||
+            unix_micros(col("ts")) >= reqT)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      val sess = x.withColumn("brk",
+          when(lag(col("ts_us"), 1).over(w).isNull ||
+            col("ts_us") - lag(col("ts_us"), 1).over(w) > gapUs, 1).otherwise(0))
+        .withColumn("sid", sum(col("brk")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val g = sess.groupBy(col("user_id"), col("sid"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"))
+      val lastSid = g.groupBy(col("user_id")).agg(max(col("sid")).as("last_sid"))
+      val wmMs = e.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0) / 1000
+      val want = g.join(lastSid, "user_id")
+        .where(col("sid") < col("last_sid") ||
+          (col("end_us") / 1000).cast("long") + gapUs / 1000 + 1 < wmMs)
+        .select(col("user_id"), col("n_events"), col("start_us"), col("end_us"))
+        .orderBy(col("user_id"), col("start_us"))
+        .collect().map(_.toSeq).toSeq
+      assert(got == want, s"q134 != filtered recompute at $dir")
+      val fixedT = Registry.queriesMap("q129_stream_sessions_user_erase")(spark, dir)
+        .collect().map(_.toSeq).toSeq
+      assert(got != fixedT,
+        s"q134 == q129 at $dir — per-user instants changed nothing")
+    }
+  }
+
   for (sf <- Seq("sf0.001", "sf0.01")) {
     test(s"$sf replay: q130 == per-user-T filtered recompute, non-vacuous") {
       val dir = s"/root/testdata/$sf"

@@ -126,6 +126,96 @@ object StreamCtrlEraseVolBench {
     println(f"CTRLVERIFY current state (${cur.count()}%,d users) == per-user-T " +
       "filtered batch funnel, steps AND latencies, 0 mismatches " +
       "(requests as data, no compile-time erase set anywhere)")
+
+    // ---- SESS phase: q134, the same request POPULATION against the
+    // session store (one privacy feed, two stores) — but delivered IN
+    // EVENT-TIME ORDER, the session handler's contract: file k of
+    // this dir holds the requests whose instant falls inside trigger
+    // k's event-time window (8 parts/trigger over 64 parts of a 7-day
+    // span = 0.875-day windows; day-d instants land in trigger d for
+    // d = 1..5, so file 0 is EMPTY), and the in-batch sort places
+    // each request at its exact position between its user's pre- and
+    // post-T events. The funnel phase above deliberately kept the
+    // EARLY feed — its handler stores the instant and tolerates it;
+    // this handler keeps no memory (state drains), so an early feed
+    // fuses boundary sessions across T (the scaladoc's documented
+    // hazard, observed here at 496/4.7M rows before the alignment).
+    val reqDirOrd = java.nio.file.Files.createTempDirectory("ctrl_req_ord_").toString
+    val reqSchema = new org.apache.spark.sql.types.StructType()
+      .add("user_id", org.apache.spark.sql.types.LongType)
+      .add("req_us", org.apache.spark.sql.types.LongType)
+    for (k <- 0 until 6) {
+      val winStart = baseUs - DayUs + math.round(k * 0.875 * DayUs)
+      val winEnd = baseUs - DayUs + math.round((k + 1) * 0.875 * DayUs)
+      reqAll.where(col("req_us") >= winStart && col("req_us") < winEnd)
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/w$k")
+      val part = new java.io.File(s"$tmp/w$k").listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+      val dest = new java.io.File(reqDirOrd, f"req_$k%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      require(dest.setLastModified(t0 + k * 1000))
+    }
+    val sessScratch = java.nio.file.Files.createTempDirectory("ctrl_sess_").toString
+    val (sData, sChk) = (s"$sessScratch/data", s"$sessScratch/chk")
+    val t2 = System.nanoTime()
+    val sevents = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 8)
+      .parquet(parts)
+    val srequests = spark.readStream
+      .schema(reqSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(reqDirOrd)
+    val sout = queries.StreamingOps.ctrlSessUnion(spark, sevents, srequests)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout)(
+        queries.StreamingOps.sessionizeCtrl _)
+    val sq = sout.writeStream.outputMode(OutputMode.Update())
+      .option("checkpointLocation", sChk)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[queries.StreamingOps.SessionOutE], id: Long) =>
+        b.toDF().write.mode("append").parquet(sData); ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    sq.awaitTermination()
+    val sStateRows = sq.recentProgress.toSeq.sortBy(_.batchId)
+      .filter(_.stateOperators.nonEmpty)
+      .map(p => p.stateOperators.map(_.numRowsTotal).sum)
+    val sRaw = spark.read.schema(org.apache.spark.sql.Encoders
+      .product[queries.StreamingOps.SessionOutE].schema).parquet(sData)
+    val sTombs = sRaw.where(col("n_events") === 0).count()
+    println(f"CTRLSESS  28.7M events + $nReq%,d requests session-replayed in " +
+      f"${(System.nanoTime() - t2) / 1e9}%5.1f s  tombstones=$sTombs%,d  " +
+      f"state peak=${sStateRows.max}%,d final=${sStateRows.last}%,d")
+    require(sTombs == nReq,
+      s"every request row must tombstone exactly once: $sTombs != $nReq")
+    val sCur = queries.StreamingOps.sessionsCurrentByRequests(
+      sRaw, spark.read.parquet(reqDir))
+    val gapUs = 30L * 60 * 1000000
+    val x = filtered.select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_us"))
+    val sess = x.withColumn("brk",
+        when(lag(col("ts_us"), 1).over(w).isNull ||
+          col("ts_us") - lag(col("ts_us"), 1).over(w) > gapUs, 1).otherwise(0))
+      .withColumn("sid", sum(col("brk")).over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)))
+    val g = sess.groupBy(col("user_id"), col("sid"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"))
+    val lastSid = g.groupBy(col("user_id")).agg(max(col("sid")).as("last_sid"))
+    val wmMs = e.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0) / 1000
+    val sWant = g.join(lastSid, "user_id")
+      .where(col("sid") < col("last_sid") ||
+        (col("end_us") / 1000).cast("long") + gapUs / 1000 + 1 < wmMs)
+      .select(col("user_id"), col("n_events"), col("start_us"), col("end_us"))
+    val sBad = sCur.union(sWant)
+      .groupBy(col("user_id"), col("n_events"), col("start_us"), col("end_us"))
+      .agg(count(lit(1)).as("n")).where(col("n") =!= 2).count()
+    require(sBad == 0,
+      s"$sBad session rows differ from the per-user-T filtered gap-split + flush rule")
+    println(f"CTRLVERIFY SESS: current session log (${sCur.count()}%,d rows) == " +
+      "per-user-T filtered gap-split + strict flush rule, 0 mismatches")
     spark.stop()
   }
 }
