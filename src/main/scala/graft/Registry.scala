@@ -131,7 +131,11 @@ object Registry {
       // q133 (redelivery-tolerant session fold) — same tail-append rule.
       queries.Analytic.q133 :+
       // q134 (session-store erasure from the control stream) — same tail-append rule.
-      queries.StreamingOps.q134
+      queries.StreamingOps.q134 :+
+      // q135 (session-table whole-user erasure) — same tail-append rule.
+      queries.Analytic.q135 :+
+      // q136 (partial session-table erasure at per-user T) — same tail-append rule.
+      queries.Analytic.q136
 
   // ListMap: keep registry order. A HashMap would reshuffle the
   // bench's execution order whenever a query is added, which moves

@@ -1186,6 +1186,139 @@ object Analytic {
     q131.oracle,
     prepare = Some((s, dir) => prepPut(s, dir, "prep133", q133Arts(s, dir))))
 
+  // ---- q135/q136: the session table's ERASE halves — the matrix
+  // rule (every standing artifact gets add, remove, and user-erase
+  // halves) applied to the artifact q131 introduced. q135 is the
+  // whole-user delete; q136 is the PARTIAL erasure at each user's own
+  // request instant (the q130/q134 privacy feed's batch half), where
+  // the batch shape can do what the q134 stream handler provably
+  // cannot: SPLIT a session straddling T, because the event store
+  // still holds the user's post-T events to rebuild from.
+
+  /** q135's standing artifact — the FULL-corpus session table. */
+  private def q135Arts(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val st = graft.Scratch.fenced(sessionTable(t(s, dir, "events")))
+    st.count()
+    st
+  }
+
+  /** WHOLE-USER erasure from the session table — trivial, and
+    * provably so (q126's argument, interval edition): sessions never
+    * look across users, so erasing a user IS deleting their rows via
+    * a broadcast anti-join on the batch-bounded removal set. The
+    * oracle recomputes the gap-split over the survivors' events, so
+    * the driver re-proves delete == rebuild cross-engine every
+    * round. */
+  val q135 = Q(
+    "q135_session_table_user_erase",
+    "user erasure from the standing session table: broadcast anti-join row delete == recompute over survivors",
+    (s, dir) => {
+      val removed = t(s, dir, "events").where(erasedUsers)
+        .select(col("user_id")).distinct()
+      prepTake(s, dir, "prep135")(q135Arts(s, dir))
+        .join(broadcast(removed), Seq("user_id"), "left_anti")
+        .orderBy(col("user_id"), col("start_us"))
+    },
+    Some(s"""WITH x AS (
+        SELECT user_id, epoch_us(ts) AS ts_us FROM events
+        WHERE ${oH60("'erase:' || CAST(user_id AS VARCHAR)")} % 10 <> 0),
+      b AS (
+        SELECT user_id, ts_us,
+          CASE WHEN lag(ts_us) OVER w IS NULL
+                 OR ts_us - lag(ts_us) OVER w > $SessGapUs THEN 1 ELSE 0 END AS brk
+        FROM x WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+      sess AS (
+        SELECT user_id, ts_us,
+          sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+                         ROWS UNBOUNDED PRECEDING) AS sid
+        FROM b)
+      SELECT user_id, count(*) AS n_events,
+        min(ts_us) AS start_us, max(ts_us) AS end_us
+      FROM sess GROUP BY user_id, sid
+      ORDER BY user_id, start_us"""),
+    prepare = Some((s, dir) => prepPut(s, dir, "prep135", q135Arts(s, dir))))
+
+  /** The q130/q134 per-user request instants, batch-side: T(u) =
+    * base + (h60("reqday:"+u) % range) days over the [[erasedUsers]]
+    * cohort — ONE privacy feed across the stream and batch halves. */
+  private[graft] val reqInstantUs: Column =
+    lit(1704326400000000L) + // 2024-01-04T00:00:00Z, q130's base
+      (h60(concat(lit("reqday:"), col("user_id"))) % 8) * lit(86400000000L)
+
+  /** q136's standing artifact — the same full-corpus table under its
+    * own prepare tag (prepTake consumes entries, so sharing q135's
+    * would leave whichever query runs second building inline). */
+  private def q136Arts(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val st = graft.Scratch.fenced(sessionTable(t(s, dir, "events")))
+    st.count()
+    st
+  }
+
+  /** PARTIAL session-table erasure at per-user instants — forget each
+    * requested user's history BEFORE their own T while keeping their
+    * post-T sessions. The touched users' rows are dropped wholesale
+    * (broadcast anti-join) and REBUILT from their post-T events: the
+    * event store is scanned once, pruned to the touched users by a
+    * broadcast semi-join (the q116 store-probe shape), and the
+    * gap-split runs over that batch-bounded slice only — so a session
+    * STRADDLING a user's T is split exactly at its first post-T
+    * event, the reconstruction the q134 stream handler cannot perform
+    * (no event history in session state; its scaladoc documents the
+    * hazard, this operator is the batch answer). Untouched users'
+    * rows are bit-identical passthrough; the oracle recomputes the
+    * gap-split over the per-user-T filtered relation, so erase ==
+    * rebuild is re-proven cross-engine every round. */
+  private[graft] def eraseSessionsBeforeT(standing: DataFrame,
+      events: DataFrame, requests: DataFrame): DataFrame = {
+    val touched = requests.select(col("user_id"))
+    val postT = events
+      .join(broadcast(touched), Seq("user_id"), "left_semi")
+      .join(broadcast(requests), Seq("user_id"))
+      .where(unix_micros(col("ts")) >= col("req_us"))
+      .select(col("user_id"), col("ts"))
+    standing.join(broadcast(touched), Seq("user_id"), "left_anti")
+      .unionByName(sessionTable(postT))
+  }
+
+  val q136 = Q(
+    "q136_session_table_erase_before_t",
+    "partial session-table erasure at per-user T: touched rows rebuilt from post-T events (straddling sessions split) == recompute",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      val requests = e.where(erasedUsers).select(col("user_id")).distinct()
+        .select(col("user_id"), reqInstantUs.as("req_us"))
+      eraseSessionsBeforeT(
+        prepTake(s, dir, "prep136")(q136Arts(s, dir)), e, requests)
+        .orderBy(col("user_id"), col("start_us"))
+    },
+    Some(s"""WITH req AS (
+        SELECT user_id, 1704326400000000 +
+          (${oH60("'reqday:' || CAST(user_id AS VARCHAR)")} % 8)
+            * 86400000000 AS t_us
+        FROM (SELECT DISTINCT user_id FROM events)
+        WHERE ${oH60("'erase:' || CAST(user_id AS VARCHAR)")} % 10 = 0),
+      x AS (
+        SELECT e.user_id, epoch_us(e.ts) AS ts_us FROM events e
+        LEFT JOIN req r ON e.user_id = r.user_id
+        WHERE r.user_id IS NULL OR epoch_us(e.ts) >= r.t_us),
+      b AS (
+        SELECT user_id, ts_us,
+          CASE WHEN lag(ts_us) OVER w IS NULL
+                 OR ts_us - lag(ts_us) OVER w > $SessGapUs THEN 1 ELSE 0 END AS brk
+        FROM x WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+      sess AS (
+        SELECT user_id, ts_us,
+          sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+                         ROWS UNBOUNDED PRECEDING) AS sid
+        FROM b)
+      SELECT user_id, count(*) AS n_events,
+        min(ts_us) AS start_us, max(ts_us) AS end_us
+      FROM sess GROUP BY user_id, sid
+      ORDER BY user_id, start_us"""),
+    prepare = Some((s, dir) => prepPut(s, dir, "prep136", q136Arts(s, dir))))
+
   val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q29, q39, q70)
 }

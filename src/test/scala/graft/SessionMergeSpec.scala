@@ -142,6 +142,51 @@ class SessionMergeSpec extends AnyFunSuite {
     }
   }
 
+  test("q136 crafted: partial erasure splits a straddling session at the first post-T event") {
+    import spark.implicits._
+    // u1 (requested, T=100): sessions [0,10], [90,110] (straddles T),
+    // [200,210]. The rebuild from post-T events must drop [0,10],
+    // SPLIT [90,110] into its post-T remainder [110,110], and keep
+    // [200,210]. u2 (no request): bit-identical passthrough.
+    val events = df(Seq[(Long, Long)](
+      (1, 0), (1, 10), (1, 90), (1, 110), (1, 200), (1, 210),
+      (2, 0), (2, 5)))
+    val standing = Analytic.sessionTable(events)
+    val requests = Seq((1L, us(100))).toDF("user_id", "req_us")
+    val got = Analytic.eraseSessionsBeforeT(standing, events, requests)
+      .orderBy(col("user_id"), col("start_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      (1L, 1L, us(110), us(110)), // the straddle's post-T remainder
+      (1L, 2L, us(200), us(210)),
+      (2L, 2L, us(0), us(5))), s"unexpected erased table: $got")
+  }
+
+  for (sf <- Seq("sf0.001", "sf0.01")) {
+    test(s"$sf replay: q135 whole-user erase and q136 partial erase == filtered recomputes") {
+      val dir = s"/root/testdata/$sf"
+      val e = queries.t(spark, dir, "events")
+      val erased = queries.h60(concat(lit("erase:"), col("user_id"))) % 10 === 0
+      val got135 = Registry.queriesMap("q135_session_table_user_erase")(spark, dir)
+        .collect().map(_.toSeq).toSeq
+      val want135 = Analytic.sessionTable(e.where(!erased))
+        .orderBy(col("user_id"), col("start_us"))
+        .collect().map(_.toSeq).toSeq
+      assert(got135 == want135, s"q135 != survivor recompute at $dir")
+      val got136 = Registry.queriesMap("q136_session_table_erase_before_t")(spark, dir)
+        .collect().map(_.toSeq).toSeq
+      val want136 = Analytic.sessionTable(e.where(!erased ||
+          unix_micros(col("ts")) >= Analytic.reqInstantUs))
+        .orderBy(col("user_id"), col("start_us"))
+        .collect().map(_.toSeq).toSeq
+      assert(got136 == want136, s"q136 != per-user-T filtered recompute at $dir")
+      // Non-vacuity: both erasures changed the table.
+      val full = Analytic.sessionTable(e).orderBy(col("user_id"), col("start_us"))
+        .collect().map(_.toSeq).toSeq
+      assert(got135 != full && got136 != full, s"erasure vacuous at $dir")
+    }
+  }
+
   test("sf0.01: the registered split fires the bridge branch non-vacuously") {
     val dir = "/root/testdata/sf0.01"
     val e = queries.t(spark, dir, "events")

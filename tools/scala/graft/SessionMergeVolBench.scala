@@ -113,6 +113,61 @@ object SessionMergeVolBench {
     println(f"SMVREDEL  $nDirty%,d-row dirty batch (${nDirty - nBatch}%,d redelivered " +
       f"dupes) deduped against the $nIds%,d-id store and folded in $wall133%5.1f s  " +
       f"shufWrite=${shufWrite.get / 1e9}%.2f GB; fold == recompute, 0 mismatches")
+
+    // ---- q135/q136 phases: the session table's erase halves. The
+    // standing table here is the VERIFIED full-corpus table (the
+    // merged output proven == recompute above). Requests are the
+    // q130/q134 volume population: erased cohort, per-user instants
+    // over corpus days 1-5.
+    val standingFull = merged
+    val baseUs = java.time.Instant.parse("2025-01-02T00:00:00Z").toEpochMilli * 1000
+    val erased = queries.h60(concat(lit("erase:"), col("user_id"))) % 10 === 0
+    val reqT = lit(baseUs) +
+      (queries.h60(concat(lit("reqday:"), col("user_id"))) % 5) * lit(86400000000L)
+    val requests = e.where(erased).select(col("user_id")).distinct()
+      .select(col("user_id"), reqT.as("req_us"))
+    val nReq = requests.count()
+
+    // q135: whole-user delete.
+    shufWrite.set(0)
+    val t3 = System.nanoTime()
+    standingFull.join(broadcast(requests.select(col("user_id"))),
+        Seq("user_id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$scratch/erased135")
+    val wall135 = (System.nanoTime() - t3) / 1e9
+    val got135 = spark.read.parquet(s"$scratch/erased135")
+    val want135 = queries.Analytic.sessionTable(e.where(!erased))
+    val bad135 = got135.union(want135)
+      .groupBy(col("user_id"), col("n_events"), col("start_us"), col("end_us"))
+      .agg(count(lit(1)).as("n")).where(col("n") =!= 2).count()
+    require(bad135 == 0, s"$bad135 rows differ after whole-user erase")
+    println(f"SMVERASE  $nReq%,d users' sessions deleted from the " +
+      f"${nMerged}%,d-session table in $wall135%5.1f s  " +
+      f"shufWrite=${shufWrite.get / 1e9}%.2f GB; == survivor recompute")
+
+    // q136: partial erasure at per-user T (straddling sessions split).
+    shufWrite.set(0)
+    val t4 = System.nanoTime()
+    queries.Analytic.eraseSessionsBeforeT(standingFull, e, requests)
+      .write.mode("overwrite").parquet(s"$scratch/erased136")
+    val wall136 = (System.nanoTime() - t4) / 1e9
+    val got136 = spark.read.parquet(s"$scratch/erased136")
+    val want136 = queries.Analytic.sessionTable(
+      e.where(!erased || unix_micros(col("ts")) >= reqT))
+    val bad136 = got136.union(want136)
+      .groupBy(col("user_id"), col("n_events"), col("start_us"), col("end_us"))
+      .agg(count(lit(1)).as("n")).where(col("n") =!= 2).count()
+    require(bad136 == 0, s"$bad136 rows differ after partial erase")
+    // Straddle-split census: touched users' standing sessions whose
+    // span crosses their own instant — the branch the q134 stream
+    // handler cannot reconstruct and this batch operator must.
+    val splits = standingFull.join(broadcast(requests), "user_id")
+      .where(col("start_us") < col("req_us") && col("end_us") >= col("req_us"))
+      .count()
+    require(splits > 0, "no standing session straddles its user's T — split branch vacuous")
+    println(f"SMVPARTIAL per-user-T partial erase of $nReq%,d users in " +
+      f"$wall136%5.1f s  shufWrite=${shufWrite.get / 1e9}%.2f GB; " +
+      f"== filtered recompute; $splits%,d straddling sessions split at T")
     spark.stop()
   }
 }
