@@ -135,7 +135,9 @@ object Registry {
       // q135 (session-table whole-user erasure) — same tail-append rule.
       queries.Analytic.q135 :+
       // q136 (partial session-table erasure at per-user T) — same tail-append rule.
-      queries.Analytic.q136
+      queries.Analytic.q136 :+
+      // q137 (partial retention erasure: cohort move) — same tail-append rule.
+      queries.Analytic.q137
 
   // ListMap: keep registry order. A HashMap would reshuffle the
   // bench's execution order whenever a query is added, which moves

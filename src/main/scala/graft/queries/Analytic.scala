@@ -1319,6 +1319,121 @@ object Analytic {
       ORDER BY user_id, start_us"""),
     prepare = Some((s, dir) => prepPut(s, dir, "prep136", q136Arts(s, dir))))
 
+  // ---- q137: PARTIAL RETENTION ERASURE at per-user instants — the
+  // cohort-move shape, and the batch half of q132 (as q136 is of
+  // q134). Forgetting a user's pre-T activity is NOT a plain
+  // decrement: their cohort day itself may be pre-T, so the user must
+  // LEAVE their old cohort entirely and RE-COHORT at their first
+  // post-T day — a delete+reinsert over the additive cells.
+
+  /** Erase each requested user's pre-T activity from the standing
+    * retention state. Two already-proven steps compose:
+    *
+    *   1. [[eraseRetention]] — the FULL removal of the touched users
+    *      (q125 verbatim: per-cell decrement over their complete
+    *      standing activity, zero-cell drop, and q125's in-plan
+    *      guards against foreign/incomplete activity input);
+    *   2. the re-add of their post-T activity as FRESH users: new
+    *      cohort = first post-T day, cells merge by plain addition.
+    *      No q120-style max-day guard applies or is needed — after
+    *      step 1 the touched users have no standing rows, so their
+    *      re-added pairs cannot double-count, and a re-added user
+    *      landing on an existing cohort day merges into that cohort's
+    *      cells additively (including its (c, 0) size cell).
+    *
+    * Equality with the per-user-T filtered recompute holds user by
+    * user: an untouched user's rows never move (both steps touch only
+    * requested users' contributions); a touched user's post-step
+    * contribution is exactly the filtered relation's (their post-T
+    * distinct days, offset against their first post-T day). The one
+    * day-granularity subtlety is carried by the INPUTS, not the
+    * arithmetic: `postTActivity` must be the distinct (user, day)
+    * pairs of the FILTERED events — a day straddling a user's T
+    * belongs in it iff a post-T event exists on that day — which the
+    * registered instance recovers from the event store with the q136
+    * pruned-scan shape. Scale: both activity relations and every
+    * aggregation here are bounded by the request batch; the standing
+    * state never rescans history. */
+  private[graft] def eraseRetentionBeforeT(f: DataFrame, cells: DataFrame,
+      fullActivity: DataFrame, postTActivity: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val (f1, c1) = eraseRetention(f, cells, fullActivity)
+    val fNew = postTActivity.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    val delta = postTActivity.join(fNew, "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+    val merged = c1
+      .select(col("cohort_day"), col("day_offset"), col("n_users").as("c_old"))
+      .join(delta.select(col("cohort_day"), col("day_offset"),
+          col("n_users").as("c_new")),
+        Seq("cohort_day", "day_offset"), "full")
+      .select(col("cohort_day"), col("day_offset"),
+        (coalesce(col("c_old"), lit(0L)) + coalesce(col("c_new"), lit(0L)))
+          .as("n_users"))
+    (f1.unionByName(fNew), merged)
+  }
+
+  /** q137's standing artifacts — the full-corpus retention state
+    * (q125Arts' shape under its own prepare tag). */
+  private def q137Arts(s: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    val (f0, c0) = retentionState(t(s, dir, "events"))
+    val f = graft.Scratch.fenced(f0)
+    val cells = graft.Scratch.fenced(c0)
+    f.count(); cells.count()
+    (f, cells)
+  }
+
+  /** The registered instance: the q130/q134/q136 privacy feed's
+    * per-user instants against the standing retention state; oracle =
+    * q114's matrix over the per-user-T filtered relation (q132's
+    * oracle generalized to per-user instants), so the driver re-proves
+    * delete+re-cohort == filtered recompute cross-engine every round.
+    * AnalyticEraseSpec pins cohort-move / vanish / straddle-day /
+    * same-cohort-rejoin; EraseVolBench's partial phase runs it at
+    * 28.7M events. */
+  val q137 = Q(
+    "q137_retention_erase_before_t",
+    "partial retention erasure at per-user T: full decrement + post-T re-cohort (cohort move) == filtered recompute",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      val (f, cells) = prepTake(s, dir, "prep137")(q137Arts(s, dir))
+      val requests = e.where(erasedUsers).select(col("user_id")).distinct()
+        .select(col("user_id"), reqInstantUs.as("req_us"))
+      val fullActivity = e
+        .join(broadcast(requests.select(col("user_id"))), Seq("user_id"), "left_semi")
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val postT = e.join(broadcast(requests), Seq("user_id"))
+        .where(unix_micros(col("ts")) >= col("req_us"))
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val (_, after) = eraseRetentionBeforeT(f, cells, fullActivity, postT)
+      retentionReport(after)
+    },
+    Some(s"""WITH req AS (
+        SELECT user_id, 1704326400000000 +
+          (${oH60("'reqday:' || CAST(user_id AS VARCHAR)")} % 8)
+            * 86400000000 AS t_us
+        FROM (SELECT DISTINCT user_id FROM events)
+        WHERE ${oH60("'erase:' || CAST(user_id AS VARCHAR)")} % 10 = 0),
+      d AS (
+        SELECT DISTINCT e.user_id, CAST(e.ts AS DATE) AS day FROM events e
+        LEFT JOIN req r ON e.user_id = r.user_id
+        WHERE r.user_id IS NULL OR epoch_us(e.ts) >= r.t_us),
+      f AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1),
+      cells AS (
+        SELECT f.cohort_day, date_diff('day', f.cohort_day, d.day) AS day_offset,
+          CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users
+        FROM d JOIN f ON d.user_id = f.user_id
+        GROUP BY 1, 2),
+      sz AS (SELECT cohort_day, n_users AS cohort_size FROM cells WHERE day_offset = 0)
+      SELECT c.cohort_day, CAST(c.day_offset AS INTEGER) AS day_offset, c.n_users,
+        round(CAST(c.n_users AS DOUBLE) / sz.cohort_size, 4) AS retention
+      FROM cells c JOIN sz ON c.cohort_day = sz.cohort_day
+      ORDER BY c.cohort_day, c.day_offset"""),
+    prepare = Some((s, dir) => prepPut(s, dir, "prep137", q137Arts(s, dir))))
+
   val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q29, q39, q70)
 }

@@ -151,4 +151,84 @@ class AnalyticEraseSpec extends AnyFunSuite {
       assert(gotFun.size < fullFun, "q126 erased nobody with a funnel row")
     }
   }
+
+  // ---- q137: partial erasure at per-user T (the cohort-move shape).
+
+  test("q137 crafted: cohort move, vanish, straddle day, same-cohort rejoin") {
+    val s = spark
+    import s.implicits._
+    // Minutes: day boundaries at 1440. Per-user T (minutes):
+    //   u1 T=2000 (mid day 1): active d0, d1(pre+post T!), d2 ->
+    //      cohort MOVES d0->d1; d1 survives (post-T event on it).
+    //   u2 T=2000: active d0 only -> vanishes.
+    //   u3 T=1000 (mid day 0): active d0 post-T only at minute 1200 ->
+    //      re-cohorts at d0, i.e. SAME cohort day (full-remove then
+    //      identical re-add must be a net no-op).
+    //   u4: no request; active d0, d2 — untouched.
+    val e = events(
+      (1L, "view", 10), (1L, "view", 1500), (1L, "view", 2100), (1L, "view", 3000),
+      (2L, "view", 20),
+      (3L, "view", 1200),
+      (4L, "view", 30), (4L, "view", 3100))
+    val (f, cells) = queries.Analytic.retentionState(e)
+    val requests = Seq(
+      (1L, 1700000000000000L + 2000L * 60000000L),
+      (2L, 1700000000000000L + 2000L * 60000000L),
+      (3L, 1700000000000000L + 1000L * 60000000L)).toDF("user_id", "req_us")
+    val fullActivity = activityOf(e, 1L, 2L, 3L)
+    val postT = e.join(requests, "user_id")
+      .where(unix_micros(col("ts")) >= col("req_us"))
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val (f2, after) = queries.Analytic.eraseRetentionBeforeT(
+      f, cells, fullActivity, postT)
+    // Filtered recompute: u1 keeps d1 (post-T event at 2100), d2; u2
+    // gone; u3 keeps d0; u4 untouched.
+    val filtered = e.join(requests, Seq("user_id"), "left")
+      .where(col("req_us").isNull || unix_micros(col("ts")) >= col("req_us"))
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val (wantF, wantC) = queries.Analytic.retentionState(filtered)
+    assert(cellMap(after) == cellMap(wantC),
+      s"cells != filtered recompute: ${cellMap(after)} vs ${cellMap(wantC)}")
+    val fMap = f2.collect().map(r => r.getLong(0) -> r.get(1).toString).toMap
+    val wantFMap = wantF.collect().map(r => r.getLong(0) -> r.get(1).toString).toMap
+    assert(fMap == wantFMap, s"first-seen != filtered recompute: $fMap vs $wantFMap")
+    // The moves themselves, explicitly:
+    assert(fMap(1L) != f.collect().find(_.getLong(0) == 1L).get.get(1).toString,
+      "u1's cohort day must MOVE")
+    assert(!fMap.contains(2L), "u2 must vanish")
+    assert(fMap(3L) == f.collect().find(_.getLong(0) == 3L).get.get(1).toString,
+      "u3 must re-cohort at the SAME day (net no-op)")
+  }
+
+  for (sf <- Seq("sf0.001", "sf0.01")) {
+    test(s"$sf replay: q137 == per-user-T filtered recompute, cohorts moved") {
+      val dir = s"/root/testdata/$sf"
+      val e = queries.t(spark, dir, "events")
+      val filtered = e.where(
+        !(queries.h60(concat(lit("erase:"), col("user_id"))) % 10 === 0) ||
+          unix_micros(col("ts")) >= queries.Analytic.reqInstantUs)
+      val (_, cells) = queries.Analytic.retentionState(filtered)
+      val sz = cells.where(col("day_offset") === 0)
+        .select(col("cohort_day"), col("n_users").as("cohort_size"))
+      val want = cells.join(sz, "cohort_day")
+        .select(col("cohort_day"), col("day_offset").cast("int").as("day_offset"),
+          col("n_users"),
+          round(col("n_users").cast("double") / col("cohort_size"), 4).as("retention"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+        .collect().map(_.toSeq).toSeq
+      val got = Registry.queriesMap("q137_retention_erase_before_t")(spark, dir)
+        .collect().map(_.toSeq).toSeq
+      assert(got == want, s"q137 != filtered recompute at $dir")
+      // Non-vacuity in both directions: differs from the full matrix
+      // (erasure did something) AND from the whole-user erase (the
+      // re-cohort half did something q125 doesn't do).
+      val full = Registry.queriesMap("q114_retention")(spark, dir)
+        .collect().map(_.toSeq).toSeq
+      assert(got != full, s"q137 vacuous at $dir")
+      val whole = Registry.queriesMap("q125_retention_erase")(spark, dir)
+        .collect().map(_.toSeq).toSeq
+      assert(got != whole,
+        s"q137 == q125 at $dir — no erased user re-cohorted")
+    }
+  }
 }

@@ -161,6 +161,54 @@ object EraseVolBench {
       f"applied in $erase2S%5.1f s  shufWrite=${shufWrite.get / 1e9}%.2f GB")
     println(f"EVBVERIFY cohort erasure == survivor recompute: ${dropped2.size}%,d cells " +
       f"dropped, ${cohortsGone.size}%,d cohort(s) gone, first-seen -> ${f2.count()}%,d")
+
+    // ---- q137 phase: PARTIAL erasure at per-user instants (the
+    // cohort-move shape) over the ORIGINAL standing state. Requests
+    // are the q130/q134 volume population: the erased cohort with
+    // instants over corpus days 1-5, so thousands of users re-cohort
+    // at their first post-T day (including day-straddlers whose T-day
+    // survives only via a post-T event on it).
+    val baseUs = java.time.Instant.parse("2025-01-02T00:00:00Z").toEpochMilli * 1000
+    val reqT = lit(baseUs) +
+      (queries.h60(concat(lit("reqday:"), col("user_id"))) % 5) * lit(86400000000L)
+    val requests = removed.select(col("user_id"), reqT.as("req_us"))
+    shufWrite.set(0)
+    val ((f3, c3), erase3S) = timed {
+      val postT = e.join(broadcast(requests), Seq("user_id"))
+        .where(unix_micros(col("ts")) >= col("req_us"))
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val (fA, cA) = queries.Analytic.eraseRetentionBeforeT(
+        spark.read.parquet(s"$scratch/f"), spark.read.parquet(s"$scratch/c"),
+        removedActivity, postT)
+      fA.write.mode("overwrite").parquet(s"$scratch/f_after3")
+      cA.write.mode("overwrite").parquet(s"$scratch/c_after3")
+      (spark.read.parquet(s"$scratch/f_after3"), spark.read.parquet(s"$scratch/c_after3"))
+    }
+    println(f"EVBPARTIAL q137 per-user-T partial erasure applied in $erase3S%5.1f s  " +
+      f"shufWrite=${shufWrite.get / 1e9}%.2f GB")
+    val filtered = e.join(broadcast(requests), Seq("user_id"), "left")
+      .where(col("req_us").isNull || unix_micros(col("ts")) >= col("req_us"))
+    val (fWant3, cWant3) = queries.Analytic.retentionState(
+      filtered.select(col("user_id"), col("ts")))
+    require(cellMap(c3) == cellMap(cWant3),
+      "q137 partial erasure != per-user-T filtered recompute")
+    val fJoin = f3.withColumnRenamed("cohort_day", "got")
+      .join(fWant3.withColumnRenamed("cohort_day", "want"), Seq("user_id"), "full")
+    require(fJoin.where(!(col("got") <=> col("want"))).count() == 0,
+      "q137 first-seen != filtered recompute")
+    // Census: cohort moves and vanishes among the requested users.
+    val fOld = spark.read.parquet(s"$scratch/f")
+      .join(broadcast(requests.select(col("user_id"))), Seq("user_id"), "left_semi")
+      .withColumnRenamed("cohort_day", "old")
+    val moves = fOld.join(f3.withColumnRenamed("cohort_day", "new"), Seq("user_id"), "left")
+    val moved = moves.where(col("new").isNotNull && col("new") =!= col("old")).count()
+    val vanished = moves.where(col("new").isNull).count()
+    val stayed = moves.where(col("new") <=> col("old")).count()
+    require(moved > 0 && vanished >= 0 && stayed > 0,
+      "cohort-move census vacuous at volume")
+    println(f"EVBVERIFY q137 == filtered recompute (cells + first-seen): of " +
+      f"$nRm%,d requested users, $moved%,d re-cohorted, $vanished%,d vanished, " +
+      f"$stayed%,d kept their cohort day")
     spark.stop()
   }
 }
