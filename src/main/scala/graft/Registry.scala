@@ -137,7 +137,9 @@ object Registry {
       // q136 (partial session-table erasure at per-user T) — same tail-append rule.
       queries.Analytic.q136 :+
       // q137 (partial retention erasure: cohort move) — same tail-append rule.
-      queries.Analytic.q137
+      queries.Analytic.q137 :+
+      // q138 (control-stream funnel erasure with retirement) — same tail-append rule.
+      queries.StreamingOps.q138
 
   // ListMap: keep registry order. A HashMap would reshuffle the
   // bench's execution order whenever a query is added, which moves

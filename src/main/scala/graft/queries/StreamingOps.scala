@@ -1284,10 +1284,11 @@ object StreamingOps {
     * the request itself reaches the handler as a data row — the
     * never-returning user q127 had to erase by event-time timer is
     * erased HERE the moment their request row is processed. State is
-    * NoTimeout/user-bounded like q115; a deployment bounds it with
-    * q121's retirement device, accepting q121's documented restart
-    * deviation (a retired user's stored reqUs is forgotten with the
-    * rest of their state). */
+    * NoTimeout/user-bounded like q115; the retirement composition is
+    * REGISTERED as [[q138]], whose design keeps the erase register
+    * retirement-proof (idle timers arm only for unapplied state), so
+    * erased users stay exact and only non-erased users carry q121's
+    * documented restart deviation. */
   private[graft] def funnelStepCtrl(user: Long, rows: Iterator[CtrlEvent],
       state: GroupState[FunnelStateC]): Iterator[FunnelOutE] = {
     // Requests sort BEFORE events at the same instant (kind desc).
@@ -1441,6 +1442,140 @@ object StreamingOps {
       FROM v LEFT JOIN c ON v.user_id = c.user_id
              LEFT JOIN p ON v.user_id = p.user_id
       ORDER BY v.user_id"""))
+
+  /** [[CtrlEvent]] with the raw `ts` kept for the watermark (the
+    * [[FunnelEventWm]] device, control-stream edition). */
+  final case class CtrlEventWm(user_id: Long, ts: java.sql.Timestamp,
+      ts_us: Long, event_type: String, kind: Int)
+
+  // ---- q138: q130 WITH STATE RETIREMENT — the registered witness
+  // for q130's composition claim (the r15 q128 lesson: a scaladoc
+  // "composes" without a registered twin is a gap). The design point:
+  // the ERASE REGISTER IS RETIREMENT-PROOF. Idle timers arm only for
+  // UNAPPLIED state; once a user's erasure has applied, their state
+  // row (the register + any post-T progress) never times out — a
+  // privacy register is exactly the thing a deployment keeps, and it
+  // is bounded by the REQUEST log, not by lifetime users. So state =
+  // users active inside the horizon + the erased registers, q121's
+  // boundedness with q130's erasure exactness intact: erased users
+  // are EXACT unconditionally (their state never retires), and
+  // non-erased users carry exactly q121's documented restart
+  // deviation — nothing new, nothing silent.
+
+  /** q130's [[funnelStepCtrl]] with idle retirement for UNAPPLIED
+    * state: a state untouched by events for `idleHorizonUs` of event
+    * time retires silently (its max-reached row was already emitted —
+    * q121's argument); a stale timer firing on an applied-erasure
+    * state re-updates it untouched (the register must survive, and
+    * with it any post-T funnel progress). Timers are armed from the
+    * last EVENT's time — a request-only call arms nothing and
+    * disturbs nothing. */
+  private[graft] def funnelStepCtrlRetiring(
+      idleHorizonUs: Long = FunnelIdleHorizonUs)(
+      user: Long, rows: Iterator[CtrlEventWm],
+      state: GroupState[FunnelStateC]): Iterator[FunnelOutE] = {
+    if (state.hasTimedOut) {
+      val st = state.get
+      if (st.applied) { state.update(st); Iterator.empty } // register survives
+      else { state.remove(); Iterator.empty } // q121 idle retirement, silent
+    } else {
+      val evs = rows.toArray.sortBy(e => (e.ts_us, -e.kind))
+      var st = state.getOption.getOrElse(
+        FunnelStateC(-1L, -1L, -1L, -1L, applied = false))
+      val before = st
+      var tomb = false
+      evs.foreach { e =>
+        if (e.kind == 1) {
+          if (!st.applied) {
+            if (st.t1 >= e.ts_us) {
+              st = st.copy(reqUs = e.ts_us, applied = true)
+            } else if (math.max(st.t2, st.t3) >= e.ts_us) {
+              throw new IllegalStateException(
+                s"q138 arrival-order violation: user $user has funnel anchors " +
+                  s"straddling the erase instant ${e.ts_us} " +
+                  s"(t1=${st.t1}, t2=${st.t2}, t3=${st.t3})")
+            } else {
+              if (st.t1 >= 0) tomb = true
+              st = FunnelStateC(-1L, -1L, -1L, e.ts_us, applied = true)
+            }
+          }
+        } else if (st.applied && e.ts_us < st.reqUs) {
+          () // pre-T straggler: the PERSISTENT register still knows
+        } else {
+          if (st.t1 < 0) {
+            if (e.event_type == "view") st = st.copy(t1 = e.ts_us)
+          } else if (st.t2 < 0) {
+            if (e.event_type == "click" && e.ts_us > st.t1) st = st.copy(t2 = e.ts_us)
+          } else if (st.t3 < 0) {
+            if (e.event_type == "purchase" && e.ts_us > st.t2) st = st.copy(t3 = e.ts_us)
+          }
+        }
+      }
+      val out = Seq.newBuilder[FunnelOutE]
+      if (tomb) out += FunnelOutE(user, 0, null, null, erased = true)
+      if (st != before) {
+        state.update(st)
+        if (st.t1 >= 0) out += FunnelOutE(user,
+          if (st.t3 >= 0) 3 else if (st.t2 >= 0) 2 else 1,
+          if (st.t2 >= 0) java.lang.Long.valueOf(st.t2 - st.t1) else null,
+          if (st.t3 >= 0) java.lang.Long.valueOf(st.t3 - st.t2) else null,
+          erased = st.applied)
+      }
+      // Arm the idle timer only when a state row actually exists
+      // (t1 set => created now or in a prior batch): Spark rejects a
+      // timeout on an undefined state, and a no-progress group has
+      // nothing to retire anyway.
+      if (!st.applied && st.t1 >= 0) {
+        val lastEv = evs.reverseIterator.find(_.kind == 0)
+        lastEv.foreach(e => state.setTimeoutTimestamp(
+          e.ts_us / 1000 + idleHorizonUs / 1000))
+      }
+      out.result().iterator
+    }
+  }
+
+  /** [[ctrlUnion]] with the event branch watermarked (the q134
+    * lesson applied back: requests must neither advance nor be
+    * dropped by the watermark the timers run on). */
+  private[graft] def ctrlUnionWm(s: SparkSession, events: DataFrame,
+      requests: DataFrame): Dataset[CtrlEventWm] = {
+    import s.implicits._
+    events
+      .where(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"), lit(0).as("kind"))
+      .withWatermark("ts", "0 seconds")
+      .unionByName(requests.select(col("user_id"),
+        timestamp_micros(col("req_us")).as("ts"), col("req_us").as("ts_us"),
+        lit("erase_request").as("event_type"), lit(1).as("kind")))
+      .as[CtrlEventWm]
+  }
+
+  /** The registered instance: q130's dataflow through the retiring
+    * handler (EventTimeTimeout + 0-delay watermark on the event
+    * branch). On the single-data-batch sf replay no restart can
+    * happen and timers only ever remove state silently, so the
+    * oracle is q130's VERBATIM — the same device q121 uses against
+    * q115's oracle. The retirement/register branches are exercised
+    * where multi-batch replays exist (StreamCtrlEraseSpec's retiring
+    * cases; the volume RETIRE phase censuses q121's deviation class
+    * for non-erased users and proves the erased cohort stays EXACT,
+    * because applied registers never time out). */
+  val q138 = Q(
+    "q138_funnel_erase_requests_retire",
+    "control-stream funnel erasure with state retirement: idle unerased state retires, erase registers persist",
+    (s, dir) => {
+      import s.implicits._
+      val reqPath = eraseRequestsPath(s, dir)
+      val requests = s.readStream.schema(ReqSchema).parquet(reqPath)
+      val unioned = ctrlUnionWm(s, eventsStream(s, dir), requests)
+      val out = unioned.groupByKey(_.user_id)
+        .flatMapGroupsWithState(
+          OutputMode.Update(), GroupStateTimeout.EventTimeTimeout)(
+          funnelStepCtrlRetiring())
+      funnelCurrent(runBatchesToParquet(s, out, OutputMode.Update(), "append"))
+    },
+    q130.oracle)
 
   // ---- q134: the control stream against the SESSION store — q129's
   // generalization, sharing q130's request fixture (ONE privacy feed,

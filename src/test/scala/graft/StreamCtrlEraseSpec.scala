@@ -168,6 +168,101 @@ class StreamCtrlEraseSpec extends AnyFunSuite {
       s"guard must surface, got: ${msgs(ex).take(300)}")
   }
 
+  // ---- q138: q130 with retirement (the retirement-proof register).
+
+  import graft.queries.StreamingOps.CtrlEventWm
+  private def evw(u: Long, m: Long, ty: String) =
+    CtrlEventWm(u, new java.sql.Timestamp((100000L + m) * 60000),
+      (100000L + m) * MinUs, ty, 0)
+  private def reqw(u: Long, m: Long) =
+    CtrlEventWm(u, new java.sql.Timestamp((100000L + m) * 60000),
+      (100000L + m) * MinUs, "erase_request", 1)
+
+  private def writeFile2(inputDir: java.nio.file.Path, rows: Seq[CtrlEventWm],
+      name: String, mtime: Long): Unit = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ctrlr_src_")
+    spark.createDataset(rows).coalesce(1).write.mode("overwrite").parquet(s"$tmp/d")
+    val part = new java.io.File(s"$tmp/d").listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+    val dest = inputDir.resolve(name)
+    java.nio.file.Files.move(part.toPath, dest)
+    assert(dest.toFile.setLastModified(mtime))
+  }
+
+  test("q138: idle unerased state retires; applied registers survive idle AND stale timers") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_ctrlr_")
+    val inputDir = java.nio.file.Files.createDirectory(root.resolve("in"))
+    val dataDir = s"$root/data"
+    val base = System.currentTimeMillis() - 60000
+    val (u1, u3, u4, k) = (41L, 43L, 44L, 46L)
+    // Horizon 60 min; T = 100 for crafted requests.
+    // u1 (no request): view@0 reported; idles past the horizon
+    //     (retired); its click@500 then builds NOTHING (no view in
+    //     state) — where q130 would have reported step 2.
+    // u3 (request@100, no events before): the applied register idles
+    //     arbitrarily long with NO timer; view@800 must still come
+    //     out FLAGGED — the register survived.
+    // u4: view@0 (arms the idle timer), request@100 in the next batch
+    //     (applied, tombstone, no new timer); the STALE timer then
+    //     fires once the watermark passes minute 60 and must not drop
+    //     the register; view@700 comes out flagged.
+    // k:  watermark mover.
+    writeFile2(inputDir, Seq(evw(u1, 0, "view"), evw(u4, 0, "view"),
+      evw(k, 0, "view")), "f0.parquet", base)
+    writeFile2(inputDir, Seq(reqw(u3, 100), reqw(u4, 100)),
+      "f1.parquet", base + 2000)
+    writeFile2(inputDir, Seq(evw(k, 500, "click")), "f2.parquet", base + 4000)
+    writeFile2(inputDir, Seq(evw(u1, 500, "click"), evw(u4, 700, "view"),
+      evw(u3, 800, "view")), "f3.parquet", base + 6000)
+    val chk = java.nio.file.Files.createTempDirectory("graft_ctrlr_chk_").toString
+    val in = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[CtrlEventWm]].schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inputDir.toString)
+      .withWatermark("ts", "0 seconds")
+      .as[CtrlEventWm]
+    val q = in.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout)(
+        StreamingOps.funnelStepCtrlRetiring(60 * MinUs))
+      .writeStream.outputMode(OutputMode.Update())
+      .option("checkpointLocation", chk)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[FunnelOutE], id: Long) =>
+        batch.toDF().write.mode("overwrite").parquet(s"$dataDir/b$id"); ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val raw = spark.read.option("recursiveFileLookup", "true")
+      .schema(implicitly[org.apache.spark.sql.Encoder[FunnelOutE]].schema)
+      .parquet(dataDir)
+    val rows = raw.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(4))).toSeq
+    assert(!rows.contains((u1, 2, false)),
+      s"u1's post-retirement click must not resurrect the funnel: $rows")
+    assert(rows.contains((u3, 1, true)),
+      s"u3's register must survive idle (flagged restart): $rows")
+    assert(rows.count { case (u, st, e) => u == u4 && st == 0 && e } == 1 &&
+      rows.contains((u4, 1, true)),
+      s"u4's register must survive the stale timer: $rows")
+    val cur = StreamingOps.funnelCurrent(raw)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cur(u1) == 1 && cur(u3) == 1 && cur(u4) == 1, s"current: $cur")
+  }
+
+  for (sf <- Seq("sf0.001", "sf0.01")) {
+    test(s"$sf replay: q138 == q130 (single-batch; timers only remove silently)") {
+      val dir = s"/root/testdata/$sf"
+      val got = Registry.queriesMap("q138_funnel_erase_requests_retire")(spark, dir)
+        .collect().map(_.toSeq).toSeq
+      val want = Registry.queriesMap("q130_funnel_erase_requests")(spark, dir)
+        .collect().map(_.toSeq).toSeq
+      assert(got == want, s"q138 != q130 at $dir")
+      assert(got.nonEmpty)
+    }
+  }
+
   // ---- q134: the session store against the same control stream.
 
   import graft.queries.StreamingOps.{CtrlSessEvent, SessionOutE}

@@ -216,6 +216,59 @@ object StreamCtrlEraseVolBench {
       s"$sBad session rows differ from the per-user-T filtered gap-split + flush rule")
     println(f"CTRLVERIFY SESS: current session log (${sCur.count()}%,d rows) == " +
       "per-user-T filtered gap-split + strict flush rule, 0 mismatches")
+
+    // ---- RETIRE phase: q138, the retirement composition. The EARLY
+    // request feed is deliberate here too — the funnel register
+    // tolerates it — and the claim under test is the split guarantee:
+    // ERASED users stay EXACT (applied registers never time out),
+    // non-erased users carry exactly q121's restart deviation class.
+    val rScratch = java.nio.file.Files.createTempDirectory("ctrl_ret_").toString
+    val (rData, rChk) = (s"$rScratch/data", s"$rScratch/chk")
+    val t3 = System.nanoTime()
+    val revents = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 8).parquet(parts)
+    val rrequests = spark.readStream.schema(reqSchema)
+      .option("maxFilesPerTrigger", 1).parquet(reqDir)
+    val rout = queries.StreamingOps.ctrlUnionWm(spark, revents, rrequests)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout)(
+        queries.StreamingOps.funnelStepCtrlRetiring())
+    val rq = rout.writeStream.outputMode(OutputMode.Update())
+      .option("checkpointLocation", rChk)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[queries.StreamingOps.FunnelOutE], id: Long) =>
+        b.toDF().write.mode("append").parquet(rData); ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    rq.awaitTermination()
+    val rStateRows = rq.recentProgress.toSeq.sortBy(_.batchId)
+      .filter(_.stateOperators.nonEmpty)
+      .map(p => p.stateOperators.map(_.numRowsTotal).sum)
+    val rRaw = spark.read.schema(org.apache.spark.sql.Encoders
+      .product[queries.StreamingOps.FunnelOutE].schema).parquet(rData)
+    val rCur = queries.StreamingOps.funnelCurrent(rRaw)
+    println(f"CTRLRETIRE 28.7M events with 1h idle retirement replayed in " +
+      f"${(System.nanoTime() - t3) / 1e9}%5.1f s  state peak=${rStateRows.max}%,d " +
+      f"final=${rStateRows.last}%,d (registers + horizon-active of $users%,d users)")
+    require(rStateRows.last < users / 2,
+      "retirement did not drain state — the horizon path is vacuous")
+    // Erased cohort EXACT: their registers never retire.
+    val erasedPred = queries.h60(concat(lit("erase:"), col("user_id"))) % 10 === 0
+    val eBad = rCur.where(erasedPred).join(want.where(erasedPred),
+        Seq("user_id"), "full")
+      .where(!(col("reached_step") <=> col("w_step")) ||
+             !(col("v2c_micros") <=> col("w_v2c")) ||
+             !(col("c2p_micros") <=> col("w_c2p"))).count()
+    require(eBad == 0,
+      s"$eBad ERASED users deviate under retirement — the register leaked")
+    // Non-erased: the q121 census (reached-step agreement).
+    val agree = rCur.join(want, Seq("user_id"), "full")
+      .select(when(col("reached_step") <=> col("w_step"), 1L).otherwise(0L).as("ok"))
+      .agg(sum(col("ok")).as("ok"), count(lit(1)).as("n")).collect()(0)
+    println(f"CTRLVERIFY RETIRE: erased cohort EXACT (0 of $nReq%,d deviate — " +
+      f"applied registers never time out); overall reached-step agreement " +
+      f"${agree.getLong(0)}%,d / ${agree.getLong(1)}%,d " +
+      "(shortfall = q121's restart deviation class, non-erased users only)")
     spark.stop()
   }
 }
