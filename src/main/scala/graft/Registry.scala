@@ -139,7 +139,9 @@ object Registry {
       // q137 (partial retention erasure: cohort move) — same tail-append rule.
       queries.Analytic.q137 :+
       // q138 (control-stream funnel erasure with retirement) — same tail-append rule.
-      queries.StreamingOps.q138
+      queries.StreamingOps.q138 :+
+      // q139 (control-stream retention erasure) — same tail-append rule.
+      queries.StreamingOps.q139
 
   // ListMap: keep registry order. A HashMap would reshuffle the
   // bench's execution order whenever a query is added, which moves

@@ -1942,5 +1942,124 @@ object StreamingOps {
       FROM cells c JOIN sz ON c.cohort_day = sz.cohort_day
       ORDER BY c.cohort_day, c.day_offset"""))
 
+  // ---- q139: the control stream against the RETENTION store —
+  // completing control-stream erasure across ALL THREE stateful
+  // store families (funnel q130/q138, sessions q134, retention here),
+  // one privacy feed throughout. Like the funnel, the retention state
+  // is a register-carrying store: the cohort day must survive
+  // forever anyway (q128's boundedness argument), so storing the
+  // user's erase instant beside it costs nothing and makes the
+  // handler exact under ANY request arrival except the one guarded
+  // shape. No timers and no watermark: the request row itself erases
+  // (q130's argument), and q132's T-timer existed only because its T
+  // was out-of-band.
+
+  /** [[RetState]] plus the register: `lastUs` is the latest PROCESSED
+    * event's micros — the witness that makes the mixed-era guard
+    * exact at EVENT granularity (day granularity cannot distinguish
+    * pre-T from post-T activity on the instant's own day; the
+    * timestamp can). */
+  final case class RetStateC(cohortDay: Int, maxDay: Int, lastUs: Long,
+      reqUs: Long, applied: Boolean)
+
+  /** [[retentionStep]] driven by the unioned control+event stream:
+    *
+    *   - a kind-1 row stores the user's instant and applies it —
+    *     same-call pre-T emissions are discarded (never visible), the
+    *     tombstone withdraws prior-batch reports iff entry state had
+    *     any, and later events re-cohort at their first post-T day;
+    *   - once the register is set, a pre-T straggler event is skipped
+    *     outright (erased by definition) — the register PERSISTS with
+    *     the cohort state, so early request feeds are exact;
+    *   - the guard: a processed event at/after the instant BEFORE the
+    *     request row arrives (st.lastUs >= T) is the irrecoverable
+    *     arrival shape — the wiped state would lose post-T days the
+    *     re-cohort cannot recover — and raises in-handler; in-batch
+    *     ties are immune (the sort puts the request before same-ts
+    *     events), so only genuine cross-batch disorder trips it;
+    *   - non-requested users run q128's handler verbatim, including
+    *     its pre-cohort-day guard. */
+  private[graft] def retentionStepCtrl(user: Long, rows: Iterator[CtrlEvent],
+      state: GroupState[RetStateC]): Iterator[RetOutE] = {
+    val evs = rows.toArray.sortBy(e => (e.ts_us, -e.kind))
+    val entry = state.getOption
+    var st = entry.getOrElse(RetStateC(-1, -1, -1L, -1L, applied = false))
+    val before = st
+    var out = Vector.empty[RetOutE]
+    evs.foreach { e =>
+      if (e.kind == 1) {
+        if (!st.applied) {
+          if (st.lastUs >= e.ts_us)
+            throw new IllegalStateException(
+              s"q139 arrival-order violation: user $user has processed an " +
+                s"event at ${st.lastUs}, at/after the erase instant " +
+                s"${e.ts_us} — post-T events preceded the request row")
+          out = if (entry.exists(s => s.cohortDay >= 0 && !s.applied))
+            Vector(RetOutE(user, -1, -1, erased = true))
+          else Vector.empty
+          st = RetStateC(-1, -1, st.lastUs, e.ts_us, applied = true)
+        } // duplicate requests: first-wins (one per user in the fixture)
+      } else if (st.applied && e.ts_us < st.reqUs) {
+        () // pre-T straggler: the register remembers
+      } else {
+        val d = (e.ts_us / 86400000000L).toInt
+        if (st.cohortDay < 0) {
+          st = st.copy(cohortDay = d, maxDay = d,
+            lastUs = math.max(st.lastUs, e.ts_us))
+          out :+= RetOutE(user, d, d, st.applied)
+        } else if (d < st.cohortDay) {
+          throw new IllegalStateException(
+            s"q139 arrival-order violation: day $d for user $user predates " +
+              s"the standing cohort day ${st.cohortDay}")
+        } else {
+          if (d > st.maxDay) {
+            st = st.copy(maxDay = d)
+            out :+= RetOutE(user, d, st.cohortDay, st.applied)
+          }
+          st = st.copy(lastUs = math.max(st.lastUs, e.ts_us))
+        }
+      }
+    }
+    if (st != before) state.update(st)
+    out.iterator
+  }
+
+  /** The unioned retention control+event stream: ALL event types
+    * count as activity (q114's rule), kind-tagged like [[ctrlUnion]].
+    * No watermark — NoTimeout state, requests in-band. */
+  private[graft] def ctrlRetUnion(s: SparkSession, events: DataFrame,
+      requests: DataFrame): Dataset[CtrlEvent] = {
+    import s.implicits._
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        lit("activity").as("event_type"), lit(0).as("kind"))
+      .unionByName(requests.select(col("user_id"), col("req_us").as("ts_us"),
+        lit("erase_request").as("event_type"), lit(1).as("kind")))
+      .as[CtrlEvent]
+  }
+
+  /** The registered instance: q128's dataflow through the
+    * control-stream handler, requests from the SHARED fixture
+    * ([[eraseRequestsPath]] — the same privacy feed q130/q134/q138
+    * consume), rolled up by [[retentionCurrent]]. Oracle = the
+    * retention matrix over the per-user-T filtered relation — q137's
+    * VERBATIM, so the driver re-proves the stream control-stream
+    * erasure == the batch cohort-move == the filtered recompute,
+    * three-way cross-engine, every round. */
+  val q139 = Q(
+    "q139_retention_erase_requests",
+    "retention erasure from the control stream: request row wipes pre-T days (tombstone), later activity re-cohorts",
+    (s, dir) => {
+      import s.implicits._
+      val reqPath = eraseRequestsPath(s, dir)
+      val requests = s.readStream.schema(ReqSchema).parquet(reqPath)
+      val unioned = ctrlRetUnion(s, eventsStream(s, dir), requests)
+      val out = unioned.groupByKey(_.user_id)
+        .flatMapGroupsWithState(
+          OutputMode.Update(), GroupStateTimeout.NoTimeout)(retentionStepCtrl _)
+      retentionCurrent(runBatchesToParquet(s, out, OutputMode.Update(), "append"))
+    },
+    Analytic.q137.oracle)
+
   def all: Seq[Q] = Seq(q65, q66, q67, q68, q86)
 }

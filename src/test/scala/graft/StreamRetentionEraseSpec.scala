@@ -131,6 +131,146 @@ class StreamRetentionEraseSpec extends AnyFunSuite {
       s"re-cohorted users missing from the matrix: $cohorts")
   }
 
+  // ---- q139: the control stream against the retention store.
+
+  import graft.queries.StreamingOps.CtrlEvent
+  private def rev(u: Long, day: Long, hour: Long) =
+    CtrlEvent(u, day * DayUs + hour * 3600000000L, "activity", 0)
+  private def rreq(u: Long, us: Long) =
+    CtrlEvent(u, us, "erase_request", 1)
+
+  private def writeCtrl(inputDir: java.nio.file.Path, rows: Seq[CtrlEvent],
+      name: String, mtime: Long): Unit = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_retc_src_")
+    spark.createDataset(rows).coalesce(1).write.mode("overwrite").parquet(s"$tmp/d")
+    val part = new java.io.File(s"$tmp/d").listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+    val dest = inputDir.resolve(name)
+    java.nio.file.Files.move(part.toPath, dest)
+    assert(dest.toFile.setLastModified(mtime))
+  }
+
+  private def runCtrl(inputDir: java.nio.file.Path, dataDir: String): Unit = {
+    import spark.implicits._
+    val chk = java.nio.file.Files.createTempDirectory("graft_retc_chk_").toString
+    val in = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[CtrlEvent]].schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inputDir.toString)
+      .as[CtrlEvent]
+    val q = in.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)(
+        StreamingOps.retentionStepCtrl _)
+      .writeStream.outputMode(OutputMode.Update())
+      .option("checkpointLocation", chk)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[RetOutE], id: Long) =>
+        batch.toDF().write.mode("overwrite").parquet(s"$dataDir/b$id"); ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
+  test("q139 multi-batch: tombstone+re-cohort, early request, never-returns, straddle day") {
+    val root = java.nio.file.Files.createTempDirectory("graft_retc_")
+    val inputDir = java.nio.file.Files.createDirectory(root.resolve("in"))
+    val dataDir = s"$root/data"
+    val base = System.currentTimeMillis() - 60000
+    val T = 20010L * DayUs + 12L * 3600000000L // mid-day instant
+    val (e1, e2, e3, e4, k) = (51L, 52L, 53L, 54L, 56L)
+    // e1: days 20000/20001 reported, request, returns day 20012 ->
+    //     tombstone at the request row + flagged re-cohort.
+    // e2: request FIRST; pre-T day 20000 arrives later (skipped — the
+    //     register remembers); day 20012 -> flagged, NO tombstone.
+    // e3: day 20000 reported, request, never returns -> tombstone on
+    //     the request row itself (no timer in this handler at all).
+    // e4: pre-T activity on T's OWN day (hour 1), request, post-T
+    //     activity the same day (hour 20) -> the day survives flagged.
+    // k:  no request.
+    writeCtrl(inputDir, Seq(
+      rev(e1, 20000, 1), rev(e1, 20001, 1),
+      rreq(e2, T),
+      rev(e3, 20000, 2),
+      rev(e4, 20010, 1),
+      rev(k, 20000, 3)), "f0.parquet", base)
+    writeCtrl(inputDir, Seq(rreq(e1, T), rreq(e3, T), rreq(e4, T),
+      rev(e2, 20000, 4)), "f1.parquet", base + 2000)
+    writeCtrl(inputDir, Seq(rev(e1, 20012, 1), rev(e2, 20012, 2),
+      rev(e4, 20010, 20), rev(k, 20001, 1)), "f2.parquet", base + 4000)
+    runCtrl(inputDir, dataDir)
+    import spark.implicits._
+    val raw = spark.read.option("recursiveFileLookup", "true")
+      .schema(implicitly[org.apache.spark.sql.Encoder[RetOutE]].schema)
+      .parquet(dataDir)
+    val rows = raw.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getBoolean(3))).toSeq
+    def tombs(u: Long) = rows.count { case (uu, d, _, e) => uu == u && d == -1 && e }
+    assert(tombs(e1) == 1 && rows.contains((e1, 20012, 20012, true)),
+      s"e1 must tombstone and re-cohort: $rows")
+    assert(tombs(e2) == 0 && rows.contains((e2, 20012, 20012, true)) &&
+      !rows.exists { case (u, d, _, _) => u == e2 && d == 20000 },
+      s"e2's early request must skip the pre-T straggler without a tombstone: $rows")
+    assert(tombs(e3) == 1, "never-returning user must tombstone on the request row")
+    assert(tombs(e4) == 1 && rows.contains((e4, 20010, 20010, true)),
+      s"e4's straddling day must survive flagged: $rows")
+    val cur = StreamingOps.retentionCurrent(raw)
+    val curRows = cur.collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2))).toSet
+    // Era compaction: e1/e2 cohort at 2024-10-16 (day 20012), e4 at
+    // 2024-10-14 (day 20010), e3 gone, k at 2024-10-04 with 2 days.
+    assert(curRows.contains(("2024-10-16", 0, 2L)), s"re-cohort cell: $curRows")
+    assert(curRows.contains(("2024-10-14", 0, 1L)), s"straddle cell: $curRows")
+    assert(!rows.exists { case (u, d, _, e) => u == e3 && d >= 0 && e },
+      "e3 must have no flagged days")
+  }
+
+  test("q139 guard: a post-T event processed before the request raises in-handler") {
+    val root = java.nio.file.Files.createTempDirectory("graft_retcg_")
+    val inputDir = java.nio.file.Files.createDirectory(root.resolve("in"))
+    val base = System.currentTimeMillis() - 60000
+    val T = 20010L * DayUs + 12L * 3600000000L
+    writeCtrl(inputDir, Seq(rev(57L, 20012, 1)), "f0.parquet", base)
+    writeCtrl(inputDir, Seq(rreq(57L, T)), "f1.parquet", base + 2000)
+    import spark.implicits._
+    val chk = java.nio.file.Files.createTempDirectory("graft_retcg_chk_").toString
+    val in = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[CtrlEvent]].schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inputDir.toString)
+      .as[CtrlEvent]
+    val q = in.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)(
+        StreamingOps.retentionStepCtrl _)
+      .writeStream.outputMode(OutputMode.Update())
+      .option("checkpointLocation", chk)
+      .format("noop")
+      .trigger(Trigger.AvailableNow()).start()
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + msgs(t.getCause)
+    assert(msgs(ex).contains("q139 arrival-order violation"),
+      s"guard must surface, got: ${msgs(ex).take(300)}")
+  }
+
+  for (sf <- Seq("sf0.001", "sf0.01")) {
+    test(s"$sf replay: q139 == q137 (stream control-stream == batch cohort move)") {
+      val dir = s"/root/testdata/$sf"
+      val got = Registry.queriesMap("q139_retention_erase_requests")(spark, dir)
+        .collect().map(_.toSeq).toSeq
+      val batch = Registry.queriesMap("q137_retention_erase_before_t")(spark, dir)
+        .collect().map(_.toSeq).toSeq
+      assert(got == batch, s"q139 != q137 at $dir — stream and batch halves disagree")
+      val fixedT = Registry.queriesMap("q132_stream_retention_erase")(spark, dir)
+        .collect().map(_.toSeq).toSeq
+      assert(got != fixedT,
+        s"q139 == q132 at $dir — per-user instants changed nothing")
+    }
+  }
+
   for (sf <- Seq("sf0.001", "sf0.01")) {
     test(s"$sf replay: q132 == erasure-filtered recompute, non-vacuous") {
       val dir = s"/root/testdata/$sf"

@@ -120,6 +120,87 @@ object StreamRetentionEraseVolBench {
     println(f"SREVERIFY matrix (${cur.count()}%,d cells) == filtered batch " +
       f"recompute cell-for-cell; $straddlers%,d erased users straddle the " +
       "erase instant's own day (event-granular erasure exercised)")
+
+    // ---- CTRL phase: q139, the control stream against the retention
+    // store (per-user instants as DATA). The EARLY request feed is
+    // deliberate — the retention register (reqUs beside the cohort
+    // day) tolerates it like the funnel's does. Identity: the rolled
+    // up era-compacted matrix == the per-user-T filtered recompute.
+    val baseUs = java.time.Instant.parse("2025-01-02T00:00:00Z").toEpochMilli * 1000
+    val DayUs = 86400000000L
+    val reqT = lit(baseUs) +
+      (queries.h60(concat(lit("reqday:"), col("user_id"))) % 5) * lit(DayUs)
+    val reqAll = e.where(erased).select(col("user_id")).distinct()
+      .select(col("user_id"), reqT.as("req_us"))
+    val reqDir = java.nio.file.Files.createTempDirectory("retc_req_").toString
+    val rtmp = java.nio.file.Files.createTempDirectory("retc_req_tmp_").toString
+    val t0r = System.currentTimeMillis() - 3600000
+    for (d <- 0 until 5) {
+      reqAll.where(col("req_us") === baseUs + d * DayUs)
+        .coalesce(1).write.mode("overwrite").parquet(s"$rtmp/d$d")
+      val part = new java.io.File(s"$rtmp/d$d").listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+      val dest = new java.io.File(reqDir, f"req_$d%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      require(dest.setLastModified(t0r + d * 1000))
+    }
+    val nReq = reqAll.count()
+    val cScratch = java.nio.file.Files.createTempDirectory("retc_").toString
+    val (cData, cChk) = (s"$cScratch/data", s"$cScratch/chk")
+    val t2 = System.nanoTime()
+    val cevents = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 8).parquet(parts)
+    val crequests = spark.readStream
+      .schema(new org.apache.spark.sql.types.StructType()
+        .add("user_id", org.apache.spark.sql.types.LongType)
+        .add("req_us", org.apache.spark.sql.types.LongType))
+      .option("maxFilesPerTrigger", 1).parquet(reqDir)
+    val cout = queries.StreamingOps.ctrlRetUnion(spark, cevents, crequests)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)(
+        queries.StreamingOps.retentionStepCtrl _)
+    val cq = cout.writeStream.outputMode(OutputMode.Update())
+      .option("checkpointLocation", cChk)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[queries.StreamingOps.RetOutE], id: Long) =>
+        b.toDF().write.mode("append").parquet(cData); ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    cq.awaitTermination()
+    val cStateRows = cq.recentProgress.toSeq.sortBy(_.batchId)
+      .filter(_.stateOperators.nonEmpty)
+      .map(p => p.stateOperators.map(_.numRowsTotal).sum)
+    val cRaw = spark.read.schema(org.apache.spark.sql.Encoders
+      .product[queries.StreamingOps.RetOutE].schema).parquet(cData)
+    val cTombs = cRaw.where(col("day") === -1).count()
+    println(f"SREVCTRL  28.7M events + $nReq%,d in-band erase requests replayed " +
+      f"in ${(System.nanoTime() - t2) / 1e9}%5.1f s  tombstones=$cTombs%,d  " +
+      f"state peak=${cStateRows.max}%,d final=${cStateRows.last}%,d")
+    require(cTombs > 0, "no tombstone fired at volume")
+    require(cStateRows.max <= 2 * users, "state not user-bounded")
+    val cCur = queries.StreamingOps.retentionCurrent(cRaw)
+    val cFiltered = e.join(broadcast(reqAll), Seq("user_id"), "left")
+      .where(col("req_us").isNull || unix_micros(col("ts")) >= col("req_us"))
+    val cd = cFiltered.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val cf = cd.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    val cCells = cd.join(cf, "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+    val cSz = cCells.where(col("day_offset") === 0)
+      .select(col("cohort_day"), col("n_users").as("cohort_size"))
+    val cWant = cCells.join(cSz, "cohort_day")
+      .select(col("cohort_day"), col("day_offset").cast("int").as("day_offset"),
+        col("n_users"),
+        round(col("n_users").cast("double") / col("cohort_size"), 4).as("retention"))
+    val cBad = cCur.union(cWant)
+      .groupBy(col("cohort_day"), col("day_offset"), col("n_users"), col("retention"))
+      .agg(count(lit(1)).as("n")).where(col("n") =!= 2).count()
+    require(cBad == 0,
+      s"$cBad matrix cells differ from the per-user-T filtered recompute")
+    println(f"SREVCTRL  matrix (${cCur.count()}%,d cells) == per-user-T filtered " +
+      "recompute cell-for-cell — the q137 batch identity, now held by the " +
+      "control-stream store under an EARLY request feed (the register absorbs it)")
     spark.stop()
   }
 }
