@@ -1242,9 +1242,7 @@ object Analytic {
   /** The q130/q134 per-user request instants, batch-side: T(u) =
     * base + (h60("reqday:"+u) % range) days over the [[erasedUsers]]
     * cohort — ONE privacy feed across the stream and batch halves. */
-  private[graft] val reqInstantUs: Column =
-    lit(1704326400000000L) + // 2024-01-04T00:00:00Z, q130's base
-      (h60(concat(lit("reqday:"), col("user_id"))) % 8) * lit(86400000000L)
+  private[graft] val reqInstantUs: Column = privacyInstantUs
 
   /** q136's standing artifact — the same full-corpus table under its
     * own prepare tag (prepTake consumes entries, so sharing q135's
@@ -1294,11 +1292,9 @@ object Analytic {
         .orderBy(col("user_id"), col("start_us"))
     },
     Some(s"""WITH req AS (
-        SELECT user_id, 1704326400000000 +
-          (${oH60("'reqday:' || CAST(user_id AS VARCHAR)")} % 8)
-            * 86400000000 AS t_us
+        SELECT user_id, ${oPrivacyInstantUs("user_id")} AS t_us
         FROM (SELECT DISTINCT user_id FROM events)
-        WHERE ${oH60("'erase:' || CAST(user_id AS VARCHAR)")} % 10 = 0),
+        WHERE ${oPrivacyRequested("user_id")}),
       x AS (
         SELECT e.user_id, epoch_us(e.ts) AS ts_us FROM events e
         LEFT JOIN req r ON e.user_id = r.user_id
@@ -1412,11 +1408,9 @@ object Analytic {
       retentionReport(after)
     },
     Some(s"""WITH req AS (
-        SELECT user_id, 1704326400000000 +
-          (${oH60("'reqday:' || CAST(user_id AS VARCHAR)")} % 8)
-            * 86400000000 AS t_us
+        SELECT user_id, ${oPrivacyInstantUs("user_id")} AS t_us
         FROM (SELECT DISTINCT user_id FROM events)
-        WHERE ${oH60("'erase:' || CAST(user_id AS VARCHAR)")} % 10 = 0),
+        WHERE ${oPrivacyRequested("user_id")}),
       d AS (
         SELECT DISTINCT e.user_id, CAST(e.ts AS DATE) AS day FROM events e
         LEFT JOIN req r ON e.user_id = r.user_id

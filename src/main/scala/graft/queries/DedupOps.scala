@@ -2810,8 +2810,13 @@ object DedupOps {
     // THROUGHPUT r14): this prune alone cut the takedown's shuffle
     // 4.72 -> 1.9 GB; the committed 0.92 GB final row includes the
     // plan fence below on top of it.
-    val probeIds = revealedCand.select(col("doc_a").as("doc_id"))
-      .union(revealedCand.select(col("doc_b").as("doc_id"))).distinct()
+    // Scratch-scoped (r16 ADVICE): the probe feeds BOTH the pid
+    // collect below and the broadcast semi-join — uncached, the pid
+    // collect evaluated the union+distinct a second time inside the
+    // timed takedown body.
+    val probeIds = graft.Scratch.scoped(
+      revealedCand.select(col("doc_a").as("doc_id"))
+        .union(revealedCand.select(col("doc_b").as("doc_id"))).distinct())
     // Scratch-scoped: verifiedPairs joins this twice (the doc_a and
     // doc_b sides), and each join re-ran the corpus-sized store scan
     // that produces it — measured at 2M docs via the r15 partitioned-

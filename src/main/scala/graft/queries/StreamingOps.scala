@@ -1345,9 +1345,8 @@ object StreamingOps {
     * request instant spread over [base, base + rangeDays) by a second
     * hash — so requests land before, inside, and after each user's
     * activity window. Cross-engine deterministic (h60 on both sides). */
-  private[graft] val Q130BaseUs: Long =
-    java.time.Instant.parse("2024-01-04T00:00:00Z").toEpochMilli * 1000
-  private[graft] val Q130RangeDays = 8
+  private[graft] val Q130BaseUs: Long = PrivacyBaseUs
+  private[graft] val Q130RangeDays: Int = PrivacyRangeDays
 
   /** Build (once per session+dir) the erase-request fixture the
     * control stream replays: one (user_id, req_us) row per erased
@@ -1414,11 +1413,9 @@ object StreamingOps {
       funnelCurrent(runBatchesToParquet(s, out, OutputMode.Update(), "append"))
     },
     Some(s"""WITH req AS (
-        SELECT user_id, $Q130BaseUs +
-          (${oH60("'reqday:' || CAST(user_id AS VARCHAR)")} % $Q130RangeDays)
-            * 86400000000 AS t_us
+        SELECT user_id, ${oPrivacyInstantUs("user_id")} AS t_us
         FROM (SELECT DISTINCT user_id FROM events)
-        WHERE ${oH60("'erase:' || CAST(user_id AS VARCHAR)")} % 10 = 0),
+        WHERE ${oPrivacyRequested("user_id")}),
       ev AS (
         SELECT e.user_id, e.event_type, e.ts FROM events e
         LEFT JOIN req r ON e.user_id = r.user_id
@@ -1495,7 +1492,17 @@ object StreamingOps {
                   s"straddling the erase instant ${e.ts_us} " +
                   s"(t1=${st.t1}, t2=${st.t2}, t3=${st.t3})")
             } else {
-              if (st.t1 >= 0) tomb = true
+              // Tombstone UNCONDITIONALLY (r16 ADVICE, high): with
+              // retirement in play, absent state does NOT mean no
+              // prior report — the user's pre-T progress may have
+              // idle-retired before the request arrived (request
+              // lagging last activity by more than the horizon, the
+              // common multi-batch shape). q129's own argument: after
+              // retirement the handler cannot know whether prior
+              // reports exist, and a spurious tombstone is harmless —
+              // step-0 rows are filtered by [[funnelCurrent]] and
+              // post-T emissions already carry erased=true.
+              tomb = true
               st = FunnelStateC(-1L, -1L, -1L, e.ts_us, applied = true)
             }
           }
@@ -1750,11 +1757,9 @@ object StreamingOps {
         s.read.parquet(reqPath))
     },
     Some(s"""WITH req AS (
-        SELECT user_id, $Q130BaseUs +
-          (${oH60("'reqday:' || CAST(user_id AS VARCHAR)")} % $Q130RangeDays)
-            * 86400000000 AS t_us
+        SELECT user_id, ${oPrivacyInstantUs("user_id")} AS t_us
         FROM (SELECT DISTINCT user_id FROM events)
-        WHERE ${oH60("'erase:' || CAST(user_id AS VARCHAR)")} % 10 = 0),
+        WHERE ${oPrivacyRequested("user_id")}),
       x AS (
         SELECT e.user_id, epoch_us(e.ts) AS ts_us FROM events e
         LEFT JOIN req r ON e.user_id = r.user_id

@@ -141,6 +141,36 @@ package object queries {
   def oH60(e: String): String =
     s"CAST(('0x' || substring(md5($e), 1, 15)) AS BIGINT)"
 
+  // ---- The ONE privacy feed (r16 ADVICE: hoisted so the stream
+  // fixture, the batch derivations, and every oracle interpolation
+  // share literally the same constants — changing them cannot
+  // desynchronize the halves). Requested users are ~10 % of the
+  // event population; each gets an OWN erase instant spread over
+  // [base, base + rangeDays) days by a second hash.
+  /** Base instant of the shared erase-request feed
+    * (2024-01-04T00:00:00Z), q130's fixture epoch. */
+  val PrivacyBaseUs: Long =
+    java.time.Instant.parse("2024-01-04T00:00:00Z").toEpochMilli * 1000
+  /** Width in days of the per-user request-instant spread. */
+  val PrivacyRangeDays = 8
+
+  /** Spark column: the requested user's erase instant T (µs), as a
+    * function of `user_id` — the batch-side twin of the streamed
+    * fixture relation. */
+  def privacyInstantUs: Column =
+    lit(PrivacyBaseUs) +
+      (h60(concat(lit("reqday:"), col("user_id"))) % PrivacyRangeDays) *
+        lit(86400000000L)
+
+  /** DuckDB text of [[privacyInstantUs]] over a user-id expression. */
+  def oPrivacyInstantUs(userExpr: String): String =
+    s"$PrivacyBaseUs + (${oH60(s"'reqday:' || CAST($userExpr AS VARCHAR)")} " +
+      s"% $PrivacyRangeDays) * 86400000000"
+
+  /** DuckDB predicate: is this user in the requested (~10 %) cohort. */
+  def oPrivacyRequested(userExpr: String): String =
+    s"${oH60(s"'erase:' || CAST($userExpr AS VARCHAR)")} % 10 = 0"
+
   /** JIT-compiled distinct word n-gram [[h60]] hashes over a token
     * array — bit-identical to
     * `h60(concat_ws(" ", tok_i, …, tok_{i+n-1}))` per position (md5 →

@@ -251,6 +251,60 @@ class StreamCtrlEraseSpec extends AnyFunSuite {
     assert(cur(u1) == 1 && cur(u3) == 1 && cur(u4) == 1, s"current: $cur")
   }
 
+  test("q138: request arriving AFTER idle retirement still tombstones (r16 ADVICE)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_ctrlrl_")
+    val inputDir = java.nio.file.Files.createDirectory(root.resolve("in"))
+    val dataDir = s"$root/data"
+    val base = System.currentTimeMillis() - 60000
+    val (u5, k) = (55L, 56L)
+    // Horizon 60 min. u5: view@0 reported erased=false; k's click@61
+    // pushes the watermark past the horizon so u5's idle timer fires
+    // (state RETIRED); only then does u5's request@100 arrive — it
+    // applies over ABSENT state, so the handler has no memory of the
+    // pre-T report. The unconditional tombstone must withdraw it:
+    // funnelCurrent must DROP u5 (the erased user's exact answer —
+    // no post-T events). Pre-fix the tombstone was gated on st.t1>=0
+    // and u5 silently kept the pre-T step-1 row.
+    writeFile2(inputDir, Seq(evw(u5, 0, "view"), evw(k, 0, "view")),
+      "f0.parquet", base)
+    writeFile2(inputDir, Seq(evw(k, 61, "click")), "f1.parquet", base + 2000)
+    writeFile2(inputDir, Seq(evw(k, 62, "purchase")), "f2.parquet", base + 4000)
+    writeFile2(inputDir, Seq(reqw(u5, 100)), "f3.parquet", base + 6000)
+    val chk = java.nio.file.Files.createTempDirectory("graft_ctrlrl_chk_").toString
+    val in = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[CtrlEventWm]].schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inputDir.toString)
+      .withWatermark("ts", "0 seconds")
+      .as[CtrlEventWm]
+    val q = in.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout)(
+        StreamingOps.funnelStepCtrlRetiring(60 * MinUs))
+      .writeStream.outputMode(OutputMode.Update())
+      .option("checkpointLocation", chk)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[FunnelOutE], id: Long) =>
+        batch.toDF().write.mode("overwrite").parquet(s"$dataDir/b$id"); ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val raw = spark.read.option("recursiveFileLookup", "true")
+      .schema(implicitly[org.apache.spark.sql.Encoder[FunnelOutE]].schema)
+      .parquet(dataDir)
+    val rows = raw.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(4))).toSeq
+    assert(rows.contains((u5, 1, false)),
+      s"u5's pre-T progress must have been reported before retirement: $rows")
+    assert(rows.count { case (u, st, e) => u == u5 && st == 0 && e } == 1,
+      s"u5's post-retirement request must emit the tombstone: $rows")
+    val cur = StreamingOps.funnelCurrent(raw)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(!cur.contains(u5),
+      s"funnelCurrent must DROP the erased u5 (no post-T events): $cur")
+    assert(cur(k) == 3, s"the watermark mover is untouched: $cur")
+  }
+
   for (sf <- Seq("sf0.001", "sf0.01")) {
     test(s"$sf replay: q138 == q130 (single-batch; timers only remove silently)") {
       val dir = s"/root/testdata/$sf"
