@@ -141,7 +141,9 @@ object Registry {
       // q138 (control-stream funnel erasure with retirement) — same tail-append rule.
       queries.StreamingOps.q138 :+
       // q139 (control-stream retention erasure) — same tail-append rule.
-      queries.StreamingOps.q139
+      queries.StreamingOps.q139 :+
+      // q141 (range-local capped takedown) — same tail-append rule.
+      queries.DedupOps.q141
 
   // ListMap: keep registry order. A HashMap would reshuffle the
   // bench's execution order whenever a query is added, which moves

@@ -1139,11 +1139,39 @@ object Analytic {
     * a q101 tombstone horizon); the registered instance keeps the
     * full standing id set, the horizonless worst case. */
   private[graft] def dedupBatch(batch: DataFrame,
-      standingIds: DataFrame): DataFrame = {
-    val uniq = batch.dropDuplicates("event_id")
-    val seen = standingIds.join(broadcast(uniq.select(col("event_id"))),
-      Seq("event_id"), "left_semi")
-    uniq.join(broadcast(seen), Seq("event_id"), "left_anti")
+      standingIds: DataFrame): DataFrame =
+    dedupBatchGated(batch, standingIds, DedupBroadcastIdCap)
+
+  /** Batch-id ceiling for [[dedupBatch]]'s broadcast probe: the r16
+    * volume run pushed 10.8M ids (~86 MB serialized) through the
+    * broadcast path successfully, but the probe is proportional to
+    * the BATCH, so at 100× it outgrows any driver (r16 VERDICT watch
+    * item). 20M longs ≈ 160 MB serialized is the measured comfortable
+    * ceiling's neighborhood; above it the plan flips to a shuffle
+    * anti-join — never a driver-side set (the q51
+    * [[DedupOps.DeferredBroadcastIdCap]] argument, session edition). */
+  private[graft] val DedupBroadcastIdCap = 20000000L
+
+  /** [[dedupBatch]] with the gate exposed for tests: cap 0 forces the
+    * shuffle branch; a huge cap forces the broadcast branch. The
+    * probe count doubles as the action that materializes the deduped
+    * batch's cache, which both joins reuse — the q51 probe-then-pick
+    * pattern, so the gate costs no extra pass. */
+  private[graft] def dedupBatchGated(batch: DataFrame,
+      standingIds: DataFrame, broadcastIdCap: Long): DataFrame = {
+    val uniq = graft.Scratch.scoped(batch.dropDuplicates("event_id"))
+    if (uniq.count() <= broadcastIdCap) {
+      val seen = standingIds.join(broadcast(uniq.select(col("event_id"))),
+        Seq("event_id"), "left_semi")
+      uniq.join(broadcast(seen), Seq("event_id"), "left_anti")
+    } else {
+      // Oversized batch: both sides exchange on event_id once
+      // (sort-merge anti-join). The store-scanned-once property is
+      // kept — the price of a batch too big to broadcast is its own
+      // shuffle, which is the batch's write amplification floor
+      // anyway.
+      uniq.join(standingIds, Seq("event_id"), "left_anti")
+    }
   }
 
   /** The registered q133 redelivery: every event whose

@@ -123,6 +123,23 @@ class SessionMergeSpec extends AnyFunSuite {
       s"redelivered rows leaked into the fold: $got")
   }
 
+  test("q133 size gate: broadcast and shuffle dedup branches are identical (r16 VERDICT)") {
+    val dir = "/root/testdata/sf0.001"
+    val e = queries.t(spark, dir, "events")
+    val standingEvents = e.where(!Analytic.sessBatchEvents)
+    val ids = standingEvents.select(col("event_id"))
+    val batch = e.where(Analytic.sessBatchEvents)
+      .unionByName(e.where(Analytic.redelivered))
+    def run(cap: Long) =
+      Analytic.dedupBatchGated(batch, ids, cap)
+        .orderBy(col("event_id")).collect().map(_.toSeq).toSeq
+    val viaBroadcast = run(Long.MaxValue) // forces the broadcast probe
+    val viaShuffle = run(0L)              // forces the shuffle anti-join
+    assert(viaBroadcast == viaShuffle,
+      "the size-gated branches must produce the identical deduped batch")
+    assert(viaBroadcast.nonEmpty)
+  }
+
   for (sf <- Seq("sf0.001", "sf0.01")) {
     test(s"$sf replay: q133 under ~25% redelivery == q131 == recompute, pressure non-vacuous") {
       val dir = s"/root/testdata/$sf"

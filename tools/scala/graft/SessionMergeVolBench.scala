@@ -114,6 +114,26 @@ object SessionMergeVolBench {
       f"dupes) deduped against the $nIds%,d-id store and folded in $wall133%5.1f s  " +
       f"shufWrite=${shufWrite.get / 1e9}%.2f GB; fold == recompute, 0 mismatches")
 
+    // ---- q133 GATED phase (r16 VERDICT task 2): the same dirty batch
+    // with the broadcast cap forced BELOW it, so the size gate takes
+    // the shuffle anti-join branch — the plan an over-broadcast-budget
+    // batch gets at 100×. Must equal the same recompute.
+    shufWrite.set(0)
+    val t2b = System.nanoTime()
+    queries.Analytic.mergeSessions(standing,
+        queries.Analytic.dedupBatchGated(dirty, ids, 0L))
+      .write.mode("overwrite").parquet(s"$scratch/merged133s")
+    val wall133s = (System.nanoTime() - t2b) / 1e9
+    val bad133s = spark.read.parquet(s"$scratch/merged133s").union(recompute)
+      .groupBy(col("user_id"), col("n_events"), col("start_us"), col("end_us"))
+      .agg(count(lit(1)).as("n")).where(col("n") =!= 2).count()
+    require(bad133s == 0,
+      s"$bad133s session rows differ from the recompute (shuffle dedup branch)")
+    println(f"SMVGATE   same dirty batch above the broadcast gate (cap forced 0, " +
+      f"shuffle anti-join dedup): folded in $wall133s%5.1f s  " +
+      f"shufWrite=${shufWrite.get / 1e9}%.2f GB; fold == recompute, 0 mismatches")
+    graft.Scratch.releaseAll()
+
     // ---- q135/q136 phases: the session table's erase halves. The
     // standing table here is the VERIFIED full-corpus table (the
     // merged output proven == recompute above). Requests are the
