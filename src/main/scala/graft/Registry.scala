@@ -143,7 +143,12 @@ object Registry {
       // q139 (control-stream retention erasure) — same tail-append rule.
       queries.StreamingOps.q139 :+
       // q141 (range-local capped takedown) — same tail-append rule.
-      queries.DedupOps.q141
+      queries.DedupOps.q141 :+
+      // q140 (unified maintenance epoch; registered after q141, whose
+      // takedown it embeds) — same tail-append rule.
+      queries.EpochOps.q140 :+
+      // q142 (redelivery-tolerant retention fold) — same tail-append rule.
+      queries.Analytic.q142
 
   // ListMap: keep registry order. A HashMap would reshuffle the
   // bench's execution order whenever a query is added, which moves

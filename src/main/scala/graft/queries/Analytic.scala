@@ -635,7 +635,7 @@ object Analytic {
 
   /** q113's presentation projection over a (user_id, t1, t2, t3)
     * state relation — factored so q113 and q119 render identically. */
-  private def funnelReport(states: DataFrame): DataFrame =
+  private[graft] def funnelReport(states: DataFrame): DataFrame =
     states.select(col("user_id"),
         when(col("t3").isNotNull, 3).when(col("t2").isNotNull, 2)
           .otherwise(1).cast("int").as("reached_step"),
@@ -747,7 +747,7 @@ object Analytic {
 
   /** q114's presentation (normalize by cohort size, 4-dp ratio) over
     * a cells relation — factored so q114 and q120 render identically. */
-  private def retentionReport(cells: DataFrame): DataFrame = {
+  private[graft] def retentionReport(cells: DataFrame): DataFrame = {
     val sz = cells.where(col("day_offset") === 0)
       .select(col("cohort_day"), col("n_users").as("cohort_size"))
     cells.join(sz, "cohort_day")
@@ -808,6 +808,29 @@ object Analytic {
   private[graft] def eraseFunnelUsers(states: DataFrame,
       removed: DataFrame): DataFrame =
     states.join(removed.select(col("user_id")), Seq("user_id"), "left_anti")
+
+  /** PARTIAL funnel-state erasure at per-user T — the batch half of
+    * q130 (as [[eraseSessionsBeforeT]] is of q134): the (t1,t2,t3)
+    * state cannot be truncated at T from state alone (the post-T
+    * cascade's own anchors are unknowable — the q130 straddle guard's
+    * argument), so touched users' states are REBUILT from their
+    * post-T events with the q136 pruned-scan shape: the event store
+    * is probed once via broadcast semi-join on the request set, the
+    * cascade recomputes over that batch-bounded slice, and untouched
+    * users pass through anti-joined, bit-identical. Introduced by the
+    * q140 epoch driver, which needed the funnel matrix cell that the
+    * stream side (q130/q138) had and the batch side lacked. */
+  private[graft] def eraseFunnelBeforeT(states: DataFrame,
+      events: DataFrame, requests: DataFrame): DataFrame = {
+    val touched = requests.select(col("user_id"))
+    val postT = events
+      .join(broadcast(touched), Seq("user_id"), "left_semi")
+      .join(broadcast(requests), Seq("user_id"))
+      .where(unix_micros(col("ts")) >= col("req_us"))
+      .select(col("user_id"), col("ts"), col("event_type"))
+    states.join(broadcast(touched), Seq("user_id"), "left_anti")
+      .unionByName(funnelStates(postT))
+  }
 
   /** RETENTION ERASURE — the non-trivial half: the cells table is an
     * AGGREGATE over users, so a user's traces are spread across every
@@ -1455,6 +1478,65 @@ object Analytic {
       FROM cells c JOIN sz ON c.cohort_day = sz.cohort_day
       ORDER BY c.cohort_day, c.day_offset"""),
     prepare = Some((s, dir) => prepPut(s, dir, "prep137", q137Arts(s, dir))))
+
+  // ---- q142: REDELIVERY-TOLERANT retention fold — q133's recipe
+  // applied to the analytic family (r16 VERDICT task 5). The two
+  // families answer redelivery differently, and the split is now
+  // proven rather than assumed:
+  //
+  //   * The FUNNEL fold needs NO front-end: mergeFunnelStates is
+  //     redelivery-IDEMPOTENT. Every anchor is a min over events
+  //     strictly later than the previous anchor, so a redelivered
+  //     copy of any already-folded event can only reproduce the min
+  //     it set (guards compare with <, not <=, so equality passes
+  //     untouched) — pinned in AnalyticMergeSpec's idempotence case.
+  //
+  //   * The RETENTION fold is GUARDED but not tolerant: a
+  //     cross-epoch redelivery (yesterday's batch replayed today)
+  //     lands on days <= the standing max activity day and
+  //     raise_error()s loudly (never a silent double-count — the
+  //     in-batch distinct already collapses same-batch dupes). A
+  //     deployment that wants the fold to PROCEED drops redelivered
+  //     rows first; q142 registers that front-end: [[dedupBatch]]
+  //     against the standing event-id store, then q120's fold.
+
+  /** q142's standing artifacts — q120's (first-seen, cells) pair plus
+    * the standing event-id store the dedup probes (q133's device,
+    * retention edition). */
+  private def q142Arts(s: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, DataFrame, DataFrame) = {
+    val standingEvents =
+      t(s, dir, "events").where(col("ts") < lit(AnalyticCutoff).cast("timestamp"))
+    val (f0, c0) = retentionState(standingEvents)
+    val f = graft.Scratch.fenced(f0)
+    val cells = graft.Scratch.fenced(c0)
+    val ids = graft.Scratch.fenced(standingEvents.select(col("event_id")))
+    f.count(); cells.count(); ids.count()
+    (f, cells, ids)
+  }
+
+  /** The registered instance: q120's suffix batch UNIONED with the
+    * q133 redelivery set (~25 % of ALL events — pre-cutoff rows are
+    * the cross-epoch class that would raise q120's max-day guard,
+    * suffix rows are second copies the in-batch dedup collapses),
+    * deduped through the size-gated [[dedupBatch]] and folded; the
+    * oracle is q120's VERBATIM (the full recompute), so the driver's
+    * hash gate re-proves that redelivery changes NOTHING once the
+    * front-end runs. AnalyticMergeSpec pins the guard raising
+    * WITHOUT the front-end on the same dirty batch. */
+  val q142 = Q(
+    "q142_retention_merge_redelivery",
+    "redelivery-tolerant retention fold: dirty suffix batch deduped against the standing id store == recompute",
+    (s, dir) => {
+      val cut = lit(AnalyticCutoff).cast("timestamp")
+      val e = t(s, dir, "events")
+      val (f, cells, ids) = prepTake(s, dir, "prep142")(q142Arts(s, dir))
+      val dirty = e.where(col("ts") >= cut).unionByName(e.where(redelivered))
+      val (_, merged) = mergeRetention(f, cells, dedupBatch(dirty, ids))
+      retentionReport(merged)
+    },
+    q120.oracle,
+    prepare = Some((s, dir) => prepPut(s, dir, "prep142", q142Arts(s, dir))))
 
   val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q29, q39, q70)

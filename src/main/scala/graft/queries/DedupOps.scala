@@ -2924,7 +2924,7 @@ object DedupOps {
     (s.read.parquet(path), partSize)
   }
 
-  private def q124Arts(s: org.apache.spark.sql.SparkSession, dir: String,
+  private[graft] def q124Arts(s: org.apache.spark.sql.SparkSession, dir: String,
       cap: Int = Q88Cap)
       : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, Long) = {
     val (sig0, banded0) = sigBanded(s, dir)
@@ -3034,7 +3034,7 @@ object DedupOps {
     * `//` for non-negative ids, so both engines draw the identical
     * range. The max-id lookup is the memoized [[maxDocId]] (paid once
     * per dir, at prepare time), not a per-run scan. */
-  private def q141Range(s: org.apache.spark.sql.SparkSession,
+  private[graft] def q141Range(s: org.apache.spark.sql.SparkSession,
       dir: String): (Long, Long) = {
     val maxId = maxDocId(s, dir)
     ((maxId + 1) * 2 / 5, (maxId + 1) * 3 / 5)

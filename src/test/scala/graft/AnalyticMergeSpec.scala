@@ -253,6 +253,95 @@ class AnalyticMergeSpec extends AnyFunSuite {
     assert(cells(cl2) == cells(clFull))
   }
 
+  test("funnel fold is redelivery-idempotent: re-folding already-folded events is a no-op (r16 VERDICT task 5)") {
+    // The claimed split: the funnel needs no q133 front-end because
+    // every anchor is a min over events strictly later than the
+    // previous anchor, and every guard compares with <, not <= — a
+    // redelivered copy can only reproduce the min it set. Standing
+    // anchors from BOTH eras: u1's view in standing, click/purchase in
+    // the first batch; u2 entirely in the first batch.
+    val all = Seq[(Long, String, Int)](
+      (1L, "view", 10),
+      (1L, "click", 110), (1L, "purchase", 120),
+      (2L, "view", 105), (2L, "click", 115))
+    val e = events(all: _*)
+    val cut = lit(new Timestamp(1700000000000L + CutMin * 60000L))
+    val st1 = queries.Analytic.mergeFunnelStates(
+      queries.Analytic.funnelStates(e.where(col("ts") < cut)),
+      e.where(col("ts") >= cut))
+    def render(st: org.apache.spark.sql.DataFrame) =
+      st.collect().map(r => r.getLong(0) ->
+        ((String.valueOf(r.get(1)), String.valueOf(r.get(2)),
+          String.valueOf(r.get(3))))).toMap
+    // Redeliver the ENTIRE already-folded batch (the checkpoint-replay
+    // shape), plus a fresh event, into the post-fold state: the dupes
+    // must change nothing and the fresh event must fold.
+    val redelivered = e.where(col("ts") >= cut)
+      .unionByName(events((2L, "purchase", 130)))
+    val st2 = queries.Analytic.mergeFunnelStates(st1, redelivered)
+    val want = queries.Analytic.funnelStates(
+      e.unionByName(events((2L, "purchase", 130))))
+    assert(render(st2) == render(want),
+      "redelivered batch changed the funnel fold — idempotence broken")
+    // And the pure-dupe fold is an exact no-op.
+    assert(render(queries.Analytic.mergeFunnelStates(st1, e.where(col("ts") >= cut)))
+      == render(st1))
+  }
+
+  test("retention fold raises loudly on cross-epoch redelivery; q142's front-end makes it proceed") {
+    // Without the front-end the max-day guard REJECTS a replayed
+    // batch (never a silent double-count); with dedupBatch the fold
+    // proceeds and equals the recompute — q142's registered claim,
+    // pinned here on a crafted epoch. event_ids are explicit so the
+    // id store can recognize the redelivered rows.
+    val s = spark
+    import s.implicits._
+    def evId(rows: (Long, Long, String, Int)*) =
+      rows.map { case (id, u, ty, m) =>
+        (id, u, ty, new Timestamp(1700000000000L + m * 60000L)) }
+        .toDF("event_id", "user_id", "event_type", "ts")
+    val standingE = evId((1L, 1L, "view", 0), (2L, 2L, "view", 30))
+    val freshE = evId((3L, 1L, "view", 1540), (4L, 3L, "view", 1550))
+    // Dirty batch: both fresh rows, a redelivery of standing id 2,
+    // and a second copy of fresh id 3.
+    val dirty = freshE.unionByName(evId((2L, 2L, "view", 30), (3L, 1L, "view", 1540)))
+    val (f, cells) = queries.Analytic.retentionState(standingE)
+    val ex = intercept[Exception] {
+      queries.Analytic.mergeRetention(f, cells, dirty)._2.collect()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + msgs(t.getCause)
+    assert(msgs(ex).contains("q120 ingest-contract violation"),
+      s"guard must surface on the replayed day, got: ${msgs(ex).take(300)}")
+    val deduped = queries.Analytic.dedupBatch(dirty,
+      standingE.select(col("event_id")))
+    val (_, merged) = queries.Analytic.mergeRetention(f, cells, deduped)
+    def cellsOf(c: org.apache.spark.sql.DataFrame) =
+      c.collect().map(r => (r.get(0).toString, r.get(1).toString) -> r.getLong(2)).toMap
+    val (_, full) = queries.Analytic.retentionState(standingE.unionByName(freshE))
+    assert(cellsOf(merged) == cellsOf(full),
+      "front-ended fold != duplicate-free recompute")
+  }
+
+  for (sf <- Seq("sf0.001", "sf0.01")) {
+    test(s"$sf replay: q142 under redelivery == q120 == q114, both dupe classes non-vacuous") {
+      val dir = s"/root/testdata/$sf"
+      val got = Registry.queriesMap("q142_retention_merge_redelivery")(spark, dir)
+        .collect().map(_.toSeq).toSeq
+      val clean = Registry.queriesMap("q120_retention_merge")(spark, dir)
+        .collect().map(_.toSeq).toSeq
+      assert(got == clean, s"redelivery changed the retention fold at $dir")
+      val e = queries.t(spark, dir, "events")
+      val cut = lit(queries.Analytic.AnalyticCutoff).cast("timestamp")
+      val redel = e.where(queries.Analytic.redelivered)
+      assert(redel.where(col("ts") < cut).count() > 0,
+        "no cross-epoch redelivery at this sf — the store probe is untested")
+      assert(redel.where(col("ts") >= cut).count() > 0,
+        "no in-batch duplicate at this sf — the batch dedup is untested")
+      graft.Scratch.releaseAll()
+    }
+  }
+
   // Real-data replays: the registered q119/q120 must equal the
   // registered q113/q114 row-for-row (same presentation, same corpus,
   // merge vs full recompute).

@@ -190,6 +190,82 @@ class StreamCtrlEraseSpec extends AnyFunSuite {
     assert(dest.toFile.setLastModified(mtime))
   }
 
+  test("q130: kill and resume from checkpoint mid-stream — the erase register survives recovery (r16 VERDICT task 6)") {
+    import spark.implicits._
+    // Every streaming volume row replays micro-batches in ONE process;
+    // this is the missing witness: the query is STOPPED between
+    // triggers and a NEW query resumes from the checkpoint. The erase
+    // register is the state a deployment cannot afford to lose — u1's
+    // request applies in run 1, and run 2's pre-T straggler can only
+    // be skipped if the recovered state still holds the register.
+    // u2 carries plain funnel state (view in run 1, click in run 2)
+    // across the restart.
+    val root = java.nio.file.Files.createTempDirectory("graft_ctrlrec_")
+    val inputDir = java.nio.file.Files.createDirectory(root.resolve("in"))
+    val dataDir = s"$root/data"
+    val chk = s"$root/chk"
+    val base = System.currentTimeMillis() - 60000
+    val (u1, u2) = (71L, 72L)
+    def start() = {
+      val in = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[CtrlEvent]].schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inputDir.toString)
+        .as[CtrlEvent]
+      in.groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Update(),
+          org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)(
+          StreamingOps.funnelStepCtrl _)
+        .writeStream.outputMode(OutputMode.Update())
+        .option("checkpointLocation", chk)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[FunnelOutE], id: Long) =>
+          batch.toDF().write.mode("overwrite").parquet(s"$dataDir/b$id"); ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+    }
+    // Run 1: u1's request (T=100) and u2's view, then STOP (AvailableNow
+    // drains exactly the files present and terminates).
+    writeFile(inputDir, Seq(req(u1, 100), ev(u2, 10, "view")), "f0.parquet", base)
+    val q1 = start(); q1.awaitTermination()
+    // Run 2: a NEW query from the same checkpoint. u1's pre-T straggler
+    // (view@50 < T) must be SKIPPED — only possible if the register
+    // survived recovery — and the post-T view@150 reported flagged;
+    // u2's click@20 must complete step 2 on the recovered anchor.
+    writeFile(inputDir, Seq(ev(u1, 50, "view"), ev(u2, 20, "click")),
+      "f1.parquet", base + 2000)
+    writeFile(inputDir, Seq(ev(u1, 150, "view")), "f2.parquet", base + 4000)
+    val q2 = start(); q2.awaitTermination()
+    val raw = spark.read.option("recursiveFileLookup", "true")
+      .schema(implicitly[org.apache.spark.sql.Encoder[FunnelOutE]].schema)
+      .parquet(dataDir)
+    val rows = raw.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(4))).toSeq
+    assert(!rows.contains((u1, 1, false)),
+      s"u1's pre-T straggler leaked past the recovered register: $rows")
+    assert(rows.contains((u1, 1, true)),
+      s"u1's post-T view must report flagged after recovery: $rows")
+    assert(rows.contains((u2, 2, false)),
+      s"u2's recovered anchor must complete step 2: $rows")
+    val cur = StreamingOps.funnelCurrent(raw)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cur == Map(u1 -> 1, u2 -> 2), s"current after recovery: $cur")
+    // Control: the same files through ONE uninterrupted process give
+    // the identical final relation.
+    val root2 = java.nio.file.Files.createTempDirectory("graft_ctrlrec1_")
+    val in2 = java.nio.file.Files.createDirectory(root2.resolve("in"))
+    writeFile(in2, Seq(req(u1, 100), ev(u2, 10, "view")), "f0.parquet", base)
+    writeFile(in2, Seq(ev(u1, 50, "view"), ev(u2, 20, "click")),
+      "f1.parquet", base + 2000)
+    writeFile(in2, Seq(ev(u1, 150, "view")), "f2.parquet", base + 4000)
+    runStream(in2, s"$root2/data")
+    val raw2 = spark.read.option("recursiveFileLookup", "true")
+      .schema(implicitly[org.apache.spark.sql.Encoder[FunnelOutE]].schema)
+      .parquet(s"$root2/data")
+    val cur2 = StreamingOps.funnelCurrent(raw2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cur2 == cur, s"restart run diverged from the uninterrupted run: $cur2 vs $cur")
+  }
+
   test("q138: idle unerased state retires; applied registers survive idle AND stale timers") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_ctrlr_")
