@@ -655,12 +655,13 @@ object Analytic {
     * reads the stored state table; the timed body is the batch
     * merge). Built inline when unprepared. */
   private def q119Arts(s: org.apache.spark.sql.SparkSession,
-      dir: String): DataFrame = {
-    val st = graft.Scratch.fenced(funnelStates(
+      dir: String): DataFrame =
+    // Persisted user-bucketed STORE (r16 VERDICT task 4): the merge's
+    // full-outer joins key on user_id, so the standing side's scan
+    // carries the hash distribution and contributes zero exchange —
+    // the fold shuffles only the batch aggregates (ExplainR17 audit).
+    bucketedStore(s, dir, "funstates_pre", "user_id")(funnelStates(
       t(s, dir, "events").where(col("ts") < lit(AnalyticCutoff).cast("timestamp"))))
-    st.count()
-    st
-  }
 
   val q119 = Q(
     "q119_funnel_merge",
@@ -765,11 +766,13 @@ object Analytic {
     * pair (q119's prepare note applies). */
   private def q120Arts(s: org.apache.spark.sql.SparkSession,
       dir: String): (DataFrame, DataFrame) = {
-    val (f0, c0) = retentionState(
-      t(s, dir, "events").where(col("ts") < lit(AnalyticCutoff).cast("timestamp")))
-    val f = graft.Scratch.fenced(f0)
-    val cells = graft.Scratch.fenced(c0)
-    f.count(); cells.count()
+    // first-seen is per-user and joins on user_id -> bucketed store;
+    // cells are days^2-bounded -> plain store (r16 VERDICT task 4).
+    def pre = t(s, dir, "events")
+      .where(col("ts") < lit(AnalyticCutoff).cast("timestamp"))
+    val f = bucketedStore(s, dir, "retfirst_pre", "user_id")(
+      retentionState(pre)._1)
+    val cells = plainStore(s, dir, "retcells_pre")(retentionState(pre)._2)
     (f, cells)
   }
 
@@ -1099,12 +1102,13 @@ object Analytic {
     * standing events (q119's prepare note applies; the timed body is
     * the recurring batch fold). */
   private def q131Arts(s: org.apache.spark.sql.SparkSession,
-      dir: String): DataFrame = {
-    val st = graft.Scratch.fenced(
+      dir: String): DataFrame =
+    // Persisted user-bucketed STORE (r16 VERDICT task 4): the standing
+    // side already flowed exchange-free (broadcast semi/anti split);
+    // the store makes it a durable deployment artifact, and the
+    // touched-rows scan arrives bucket-sorted by user.
+    bucketedStore(s, dir, "sess_pre8", "user_id")(
       sessionTable(t(s, dir, "events").where(!sessBatchEvents)))
-    st.count()
-    st
-  }
 
   /** The registered instance: the standing 7/8 session table absorbs
     * the held-out 1/8 batch; the oracle is the full gap-split
@@ -1209,10 +1213,13 @@ object Analytic {
     * standing event-id store the dedup probes. */
   private def q133Arts(s: org.apache.spark.sql.SparkSession,
       dir: String): (DataFrame, DataFrame) = {
-    val standingEvents = t(s, dir, "events").where(!sessBatchEvents)
-    val st = graft.Scratch.fenced(sessionTable(standingEvents))
-    val ids = graft.Scratch.fenced(standingEvents.select(col("event_id")))
-    st.count(); ids.count()
+    // The id store is bucketed by event_id so the size-gated dedup's
+    // SHUFFLE branch (an over-cap batch) exchanges only the batch —
+    // the store-side anti-join reads its distribution from the scan.
+    val st = bucketedStore(s, dir, "sess_pre8", "user_id")(
+      sessionTable(t(s, dir, "events").where(!sessBatchEvents)))
+    val ids = bucketedStore(s, dir, "evids_pre8", "event_id")(
+      t(s, dir, "events").where(!sessBatchEvents).select(col("event_id")))
     (st, ids)
   }
 
@@ -1248,11 +1255,9 @@ object Analytic {
 
   /** q135's standing artifact — the FULL-corpus session table. */
   private def q135Arts(s: org.apache.spark.sql.SparkSession,
-      dir: String): DataFrame = {
-    val st = graft.Scratch.fenced(sessionTable(t(s, dir, "events")))
-    st.count()
-    st
-  }
+      dir: String): DataFrame =
+    bucketedStore(s, dir, "sess_full", "user_id")(
+      sessionTable(t(s, dir, "events")))
 
   /** WHOLE-USER erasure from the session table — trivial, and
     * provably so (q126's argument, interval edition): sessions never
@@ -1299,11 +1304,11 @@ object Analytic {
     * own prepare tag (prepTake consumes entries, so sharing q135's
     * would leave whichever query runs second building inline). */
   private def q136Arts(s: org.apache.spark.sql.SparkSession,
-      dir: String): DataFrame = {
-    val st = graft.Scratch.fenced(sessionTable(t(s, dir, "events")))
-    st.count()
-    st
-  }
+      dir: String): DataFrame =
+    // Shares q135's full-corpus store (bucketedStore is idempotent
+    // per (dir, tag); prepTake tags stay per-query).
+    bucketedStore(s, dir, "sess_full", "user_id")(
+      sessionTable(t(s, dir, "events")))
 
   /** PARTIAL session-table erasure at per-user instants — forget each
     * requested user's history BEFORE their own T while keeping their
@@ -1426,10 +1431,10 @@ object Analytic {
     * (q125Arts' shape under its own prepare tag). */
   private def q137Arts(s: org.apache.spark.sql.SparkSession,
       dir: String): (DataFrame, DataFrame) = {
-    val (f0, c0) = retentionState(t(s, dir, "events"))
-    val f = graft.Scratch.fenced(f0)
-    val cells = graft.Scratch.fenced(c0)
-    f.count(); cells.count()
+    val f = bucketedStore(s, dir, "retfirst_full", "user_id")(
+      retentionState(t(s, dir, "events"))._1)
+    val cells = plainStore(s, dir, "retcells_full")(
+      retentionState(t(s, dir, "events"))._2)
     (f, cells)
   }
 
@@ -1505,13 +1510,14 @@ object Analytic {
     * retention edition). */
   private def q142Arts(s: org.apache.spark.sql.SparkSession,
       dir: String): (DataFrame, DataFrame, DataFrame) = {
-    val standingEvents =
+    def standingEvents =
       t(s, dir, "events").where(col("ts") < lit(AnalyticCutoff).cast("timestamp"))
-    val (f0, c0) = retentionState(standingEvents)
-    val f = graft.Scratch.fenced(f0)
-    val cells = graft.Scratch.fenced(c0)
-    val ids = graft.Scratch.fenced(standingEvents.select(col("event_id")))
-    f.count(); cells.count(); ids.count()
+    val f = bucketedStore(s, dir, "retfirst_pre", "user_id")(
+      retentionState(standingEvents)._1)
+    val cells = plainStore(s, dir, "retcells_pre")(
+      retentionState(standingEvents)._2)
+    val ids = bucketedStore(s, dir, "evids_cut", "event_id")(
+      standingEvents.select(col("event_id")))
     (f, cells, ids)
   }
 

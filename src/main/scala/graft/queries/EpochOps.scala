@@ -53,14 +53,21 @@ object EpochOps {
   private def q140Arts(s: org.apache.spark.sql.SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame,
          (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, Long)) = {
-    val pre = t(s, dir, "events")
+    // Every behavioral artifact is a persisted store (r16 VERDICT
+    // task 4): user-bucketed where the epoch body joins on user_id
+    // (the funnel/retention standing sides contribute zero exchange),
+    // sharing tags with the per-family queries' prepares so one
+    // layout serves the whole registry.
+    def pre = t(s, dir, "events")
       .where(col("ts") < lit(Analytic.AnalyticCutoff).cast("timestamp"))
-    val sessSt = graft.Scratch.fenced(Analytic.sessionTable(pre))
-    val funSt = graft.Scratch.fenced(Analytic.funnelStates(pre))
-    val (f0, c0) = Analytic.retentionState(pre)
-    val retF = graft.Scratch.fenced(f0)
-    val retC = graft.Scratch.fenced(c0)
-    sessSt.count(); funSt.count(); retF.count(); retC.count()
+    val sessSt = bucketedStore(s, dir, "sess_cut", "user_id")(
+      Analytic.sessionTable(pre))
+    val funSt = bucketedStore(s, dir, "funstates_pre", "user_id")(
+      Analytic.funnelStates(pre))
+    val retF = bucketedStore(s, dir, "retfirst_pre", "user_id")(
+      Analytic.retentionState(pre)._1)
+    val retC = plainStore(s, dir, "retcells_pre")(
+      Analytic.retentionState(pre)._2)
     (sessSt, funSt, retF, retC, DedupOps.q124Arts(s, dir, DedupOps.Q141Cap))
   }
 

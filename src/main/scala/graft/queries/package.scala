@@ -108,6 +108,42 @@ package object queries {
           s"${v.getClass.getName}, run site expects ${ct.runtimeClass.getName}")
     }.getOrElse(build)
 
+  /** Write-once BUCKETED standing-artifact store (r16 VERDICT task 4:
+    * the q124SigStore move applied to the behavioral artifacts). The
+    * relation is persisted ONCE per (application, dir, tag) as a
+    * bucketBy(`key`)-sorted parquet table at a localScratch path and
+    * read back through the catalog, so every downstream join/group on
+    * `key` sees the scan's hash distribution and elides the
+    * standing-side exchange (the BucketedFunnelBench layout, now the
+    * registered prepare artifact's). Subsequent calls are a catalog
+    * hit — the store outlives any one query, like the deployment
+    * artifact it models. 32 buckets matches the session's
+    * shuffle-partition count, so co-partitioned joins align 1:1. */
+  def bucketedStore(s: SparkSession, dir: String, tag: String,
+      key: String)(build: => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val table = (tag + "_" + dir).replaceAll("[^a-zA-Z0-9]+", "_")
+    if (!s.catalog.tableExists(table)) {
+      val path = localScratch(s, tag, dir)
+      build.write.bucketBy(32, key).sortBy(key)
+        .option("path", path).format("parquet")
+        .mode("overwrite").saveAsTable(table)
+    }
+    s.table(table)
+  }
+
+  /** Write-once UNBUCKETED store for small standing artifacts
+    * (retention cells: days²-bounded) — same lifecycle as
+    * [[bucketedStore]], no distribution claim. */
+  def plainStore(s: SparkSession, dir: String, tag: String)(
+      build: => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val path = localScratch(s, tag, dir)
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      build.write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
+  }
+
   /** Exact 2-dp decimal view of a stored-as-double money/qty column. */
   def money(c: Column): Column = c.cast(DecimalType(18, 2))
 

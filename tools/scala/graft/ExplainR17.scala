@@ -113,6 +113,45 @@ object ExplainR17 {
       f"(store=$nSig%,d, pid width=$w)")
     Scratch.releaseAll()
 
+    // ---- 1c. Bucketed standing stores (r16 VERDICT task 4): the
+    // behavioral artifacts are now persisted user-bucketed tables, so
+    // the folds' standing sides carry the scan's hash distribution.
+    // Audit: the q119 funnel fold over the BUCKETED store vs the
+    // identical files read flat — the bucketed plan must drop the
+    // standing-side exchange while producing identical states.
+    // Broadcasts are disabled for the pair so neither plan can dodge
+    // the claim by broadcasting the batch aggregates.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    locally {
+      val cut = lit(queries.Analytic.AnalyticCutoff).cast("timestamp")
+      val batch = queries.t(spark, dir, "events").where(col("ts") >= cut)
+      val store = queries.bucketedStore(spark, dir, "funstates_pre", "user_id")(
+        queries.Analytic.funnelStates(
+          queries.t(spark, dir, "events").where(col("ts") < cut)))
+      val flat = spark.read.parquet(
+        queries.localScratch(spark, "funstates_pre", dir))
+      def shuffles(df: org.apache.spark.sql.DataFrame): Int = {
+        df.collect()
+        "Exchange (hash|range)partitioning".r
+          .findAllIn(df.queryExecution.executedPlan.toString).size
+      }
+      def render(df: org.apache.spark.sql.DataFrame) =
+        queries.Analytic.mergeFunnelStates(df, batch)
+      val flatDf = render(flat)
+      val bucketedDf = render(store)
+      val nFlat = shuffles(flatDf)
+      val nBucketed = shuffles(bucketedDf)
+      val same = flatDf.collect().map(_.toString).sorted
+        .sameElements(bucketedDf.collect().map(_.toString).sorted)
+      require(same, "bucketed-store fold differs from the flat-read fold")
+      require(nBucketed < nFlat,
+        s"bucketed standing store elided no exchange ($nBucketed vs $nFlat)")
+      println(f"EXPLAINR17 q119 fold standing side: flat=$nFlat%d shuffle " +
+        f"exchanges, bucketed store=$nBucketed%d (states identical)")
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    Scratch.releaseAll()
+
     // ---- 2. Plan audit: q133's gated dedup branches at sf0.01.
     val small = "/root/testdata/sf0.01"
     val e = queries.t(spark, small, "events")
