@@ -148,7 +148,9 @@ object Registry {
       // takedown it embeds) — same tail-append rule.
       queries.EpochOps.q140 :+
       // q142 (redelivery-tolerant retention fold) — same tail-append rule.
-      queries.Analytic.q142
+      queries.Analytic.q142 :+
+      // q143 (partial funnel erasure at per-user T) — same tail-append rule.
+      queries.Analytic.q143
 
   // ListMap: keep registry order. A HashMap would reshuffle the
   // bench's execution order whenever a query is added, which moves

@@ -1544,6 +1544,38 @@ object Analytic {
     q120.oracle,
     prepare = Some((s, dir) => prepPut(s, dir, "prep142", q142Arts(s, dir))))
 
+  // ---- q143: PARTIAL FUNNEL ERASURE at per-user T — the batch
+  // matrix cell [[eraseFunnelBeforeT]] filled for the q140 epoch,
+  // registered in its own right so the driver gates it directly (the
+  // funnel family's q136/q137 sibling; its stream twin is q130).
+
+  /** q143's standing artifact — the full-corpus funnel states as a
+    * user-bucketed store. */
+  private def q143Arts(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    bucketedStore(s, dir, "funstates_full", "user_id")(
+      funnelStates(t(s, dir, "events")))
+
+  /** The registered instance: the shared privacy feed's per-user
+    * instants against the standing funnel states; the oracle is
+    * q130's VERBATIM (the per-user-T filtered cascade — the stream
+    * and batch halves of the same erasure prove against ONE rebuild),
+    * so the driver re-proves rebuild-from-post-T == filtered
+    * recompute cross-engine every round. EpochSpec pins the crafted
+    * branches (post-T rebuild, vanish, untouched passthrough). */
+  val q143 = Q(
+    "q143_funnel_erase_before_t",
+    "partial funnel erasure at per-user T: touched cascades rebuilt from post-T events == filtered recompute",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      val states = prepTake(s, dir, "prep143")(q143Arts(s, dir))
+      val requests = e.where(erasedUsers).select(col("user_id")).distinct()
+        .select(col("user_id"), reqInstantUs.as("req_us"))
+      funnelReport(eraseFunnelBeforeT(states, e, requests))
+    },
+    StreamingOps.q130.oracle,
+    prepare = Some((s, dir) => prepPut(s, dir, "prep143", q143Arts(s, dir))))
+
   val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q29, q39, q70)
 }
