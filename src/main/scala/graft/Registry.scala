@@ -150,7 +150,9 @@ object Registry {
       // q142 (redelivery-tolerant retention fold) — same tail-append rule.
       queries.Analytic.q142 :+
       // q143 (partial funnel erasure at per-user T) — same tail-append rule.
-      queries.Analytic.q143
+      queries.Analytic.q143 :+
+      // q144 (ingest epoch: index+cluster merges composed) — same tail-append rule.
+      queries.EpochOps.q144
 
   // ListMap: keep registry order. A HashMap would reshuffle the
   // bench's execution order whenever a query is added, which moves

@@ -1100,7 +1100,7 @@ object DedupOps {
   // scaladoc for how a production corpus re-derives them).
   private val Q91Bands = 4
   private val Q91Bits = 6
-  private val Q91Cap = 56
+  private[graft] val Q91Cap = 56
   private val Q91Threshold = 0.35
 
   /** Oracle text of the hyperplane-j projection: the same sequential
@@ -1625,7 +1625,7 @@ object DedupOps {
     * sf0.01 (the driver's oracle scale) tops out at exactly 3, where
     * the cap is declared by both engines but inert — the same
     * declare-vs-fire split q91/q92 document. */
-  private val Q96Cap = 3
+  private[graft] val Q96Cap = 3
 
   /** MinHash parameters shared with the STREAMING ingest gate (q98,
     * StreamingOps), whose per-row signature build must be
@@ -2178,7 +2178,7 @@ object DedupOps {
 
   /** q105's standing artifacts — the stored component assignment and
     * the ingest gate's accepted matches, fenced and materialized. */
-  private def q105Arts(s: org.apache.spark.sql.SparkSession,
+  private[graft] def q105Arts(s: org.apache.spark.sql.SparkSession,
       dir: String): (DataFrame, DataFrame) = {
     val (standing0, matches0) = q105Relations(s, dir)
     val standing = graft.Scratch.fenced(standing0)

@@ -159,4 +159,71 @@ object EpochOps {
       FROM (${DedupOps.q141.oracle.get}) c141
     ) ORDER BY family, k1, k2"""),
     prepare = Some((s, dir) => prepPut(s, dir, "prep140", q140Arts(s, dir))))
+
+  // ---- q144: the INGEST epoch — q140's sibling on the document side
+  // of the nightly job ("merge the day's accepted docs into the
+  // indexes and clusters"): ONE dataflow folds the day's accepted
+  // batch into the text index (q101), the embedding index (q102), and
+  // the near-dup clusters (q105), sharing the "ingest:" accepted
+  // split across families the way q140 shares the event batch. Each
+  // half is the registered operator verbatim; the composition is what
+  // the per-family gates cannot witness. The oracle embeds
+  // q101/q102/q105's merge oracles as subqueries over one tagged
+  // relation (the q140 device) — string-valued columns (bucket keys,
+  // id lists, member lists) ride as h60 hashes, cross-engine
+  // deterministic by construction.
+
+  val q144 = Q(
+    "q144_ingest_epoch",
+    "ingest epoch: the day's accepted docs merged into the text index, embedding index, and clusters in one dataflow — every family == its merge oracle",
+    (s, dir) => {
+      import DedupOps._
+      val incD = h60(concat(lit("ingest:"), col("doc_id"))) % 10 === 0
+      val incV = h60(concat(lit("ingest:"), col("vec_id"))) % 10 === 0
+      def idx(merged: DataFrame, family: String): DataFrame =
+        merged.select(lit(family).as("family"),
+          col("band").cast("long").as("k1"),
+          h60(col("key")).as("k2"),
+          size(col("ids")).cast("long").as("v1"),
+          h60(concat((size(col("ids")) === 0).cast("string"), lit(":"),
+            concat_ws(",", transform(col("ids"), x => x.cast("string")))))
+            .as("v2"))
+      val ti = idx(mergeIndexBuckets(
+        cappedIndexBuckets(bandedFor(s, dir, !incD), Q96Cap),
+        bandedFor(s, dir, incD), Q96Cap), "text_index")
+      val ei = idx(mergeIndexBuckets(
+        cappedIndexBuckets(embBandedFor(s, dir, !incV), Q91Cap),
+        embBandedFor(s, dir, incV), Q91Cap), "embedding_index")
+      val (standing, matches) = prepTake(s, dir, "prep144")(q105Arts(s, dir))
+      val cl = mergeComponents(standing, matches).groupBy(col("comp"))
+        .agg(min(col("id")).as("canonical_id"),
+          count(lit(1)).as("n_docs"),
+          sum((h60(concat(lit("ingest:"), col("id"))) % 10 === 0)
+            .cast("long")).as("n_incoming"),
+          concat_ws(",", transform(sort_array(collect_list(col("id"))),
+            x => x.cast("string"))).as("members"))
+        .select(lit("clusters").as("family"),
+          col("canonical_id").as("k1"), col("n_docs").as("k2"),
+          col("n_incoming").as("v1"), h60(col("members")).as("v2"))
+      ti.unionByName(ei).unionByName(cl)
+        .orderBy(col("family"), col("k1"), col("k2"))
+    },
+    Some {
+      def idx(oracle: String, family: String) =
+        s"""SELECT '$family' AS family, CAST(band AS BIGINT) AS k1,
+             ${oH60("CAST(key AS VARCHAR)")} AS k2, n_kept AS v1,
+             ${oH60("CAST(dropped AS VARCHAR) || ':' || ids")} AS v2
+           FROM ($oracle) ${family.take(4)}"""
+      s"""SELECT family, k1, k2, v1, v2 FROM (
+        ${idx(DedupOps.q101.oracle.get, "text_index")}
+        UNION ALL
+        ${idx(DedupOps.q102.oracle.get, "embedding_index")}
+        UNION ALL
+        SELECT 'clusters' AS family, canonical_id AS k1, n_docs AS k2,
+               n_incoming AS v1, ${oH60("members")} AS v2
+        FROM (${DedupOps.q105.oracle.get}) c105
+      ) ORDER BY family, k1, k2"""
+    },
+    prepare = Some((s, dir) =>
+      prepPut(s, dir, "prep144", DedupOps.q105Arts(s, dir))))
 }

@@ -154,4 +154,33 @@ class EpochSpec extends AnyFunSuite {
       graft.Scratch.releaseAll()
     }
   }
+
+  for (sf <- Seq("sf0.001", "sf0.01")) {
+    test(s"$sf replay: q144's family slices == the registered per-family merges") {
+      import graft.queries.h60
+      val dir = s"/root/testdata/$sf"
+      val epoch = Registry.queriesMap("q144_ingest_epoch")(spark, dir).collect()
+      def slice(f: String) =
+        epoch.filter(_.getString(0) == f).map(_.toSeq.tail).toSeq
+          .sortBy(_.toString)
+      def reprojIdx(name: String) =
+        Registry.queriesMap(name)(spark, dir)
+          .select(col("band").cast("long"), h60(col("key").cast("string")),
+            col("n_kept"),
+            h60(concat(col("dropped").cast("string"), lit(":"), col("ids"))))
+          .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+      assert(slice("text_index") == reprojIdx("q101_index_merge"),
+        s"text_index slice != q101 at $dir")
+      assert(slice("embedding_index") == reprojIdx("q102_embedding_index_merge"),
+        s"embedding_index slice != q102 at $dir")
+      val q105 = Registry.queriesMap("q105_cluster_merge")(spark, dir)
+        .select(col("canonical_id"), col("n_docs"), col("n_incoming"),
+          h60(col("members")))
+        .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+      assert(slice("clusters") == q105, s"clusters slice != q105 at $dir")
+      assert(slice("text_index").nonEmpty && slice("embedding_index").nonEmpty &&
+        slice("clusters").nonEmpty)
+      graft.Scratch.releaseAll()
+    }
+  }
 }
