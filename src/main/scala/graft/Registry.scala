@@ -152,7 +152,13 @@ object Registry {
       // q143 (partial funnel erasure at per-user T) — same tail-append rule.
       queries.Analytic.q143 :+
       // q144 (ingest epoch: index+cluster merges composed) — same tail-append rule.
-      queries.EpochOps.q144
+      queries.EpochOps.q144 :+
+      // q145 (the epoch chain: publish post-epoch stores, fold day 2) — same tail-append rule.
+      queries.EpochOps.q145 :+
+      // q146 (the full nightly job: q140 + q144 side-tagged) — same tail-append rule.
+      queries.EpochOps.q146 :+
+      // q147 (horizon-aged id store for the redelivery dedup) — same tail-append rule.
+      queries.Analytic.q147
 
   // ListMap: keep registry order. A HashMap would reshuffle the
   // bench's execution order whenever a query is added, which moves

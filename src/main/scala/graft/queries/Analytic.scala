@@ -1463,25 +1463,10 @@ object Analytic {
       val (_, after) = eraseRetentionBeforeT(f, cells, fullActivity, postT)
       retentionReport(after)
     },
-    Some(s"""WITH req AS (
-        SELECT user_id, ${oPrivacyInstantUs("user_id")} AS t_us
-        FROM (SELECT DISTINCT user_id FROM events)
-        WHERE ${oPrivacyRequested("user_id")}),
-      d AS (
-        SELECT DISTINCT e.user_id, CAST(e.ts AS DATE) AS day FROM events e
-        LEFT JOIN req r ON e.user_id = r.user_id
-        WHERE r.user_id IS NULL OR epoch_us(e.ts) >= r.t_us),
-      f AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1),
-      cells AS (
-        SELECT f.cohort_day, date_diff('day', f.cohort_day, d.day) AS day_offset,
-          CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users
-        FROM d JOIN f ON d.user_id = f.user_id
-        GROUP BY 1, 2),
-      sz AS (SELECT cohort_day, n_users AS cohort_size FROM cells WHERE day_offset = 0)
-      SELECT c.cohort_day, CAST(c.day_offset AS INTEGER) AS day_offset, c.n_users,
-        round(CAST(c.n_users AS DOUBLE) / sz.cohort_size, 4) AS retention
-      FROM cells c JOIN sz ON c.cohort_day = sz.cohort_day
-      ORDER BY c.cohort_day, c.day_offset"""),
+    // The per-user-T filtered rebuild, hoisted to the package object
+    // (r17 ADVICE) — q139 and the epochs share it without touching
+    // this object during their init.
+    Some(oRetentionEraseBeforeTSql),
     prepare = Some((s, dir) => prepPut(s, dir, "prep137", q137Arts(s, dir))))
 
   // ---- q142: REDELIVERY-TOLERANT retention fold — q133's recipe
@@ -1544,6 +1529,110 @@ object Analytic {
     q120.oracle,
     prepare = Some((s, dir) => prepPut(s, dir, "prep142", q142Arts(s, dir))))
 
+  // ---- q147: the HORIZON-AGED id store (r17 VERDICT task 6) —
+  // q133/q142's standing event-id store keeps EVERY id ever folded,
+  // the horizonless worst case: 25.2M ids at the volume scale, 2.5B
+  // at 100× — an unbounded artifact in a pipeline whose other state
+  // is all bounded. The deployment recipe q133's scaladoc names is
+  // registered here: redelivery has a HORIZON (a checkpoint replay or
+  // an at-least-once queue re-sends within its retention window, not
+  // from the beginning of time), so the id store only needs the ids
+  // inside it — ids older than the maximum redelivery delay age out,
+  // exactly like a q101 tombstone horizon.
+
+  /** The registered redelivery horizon: ids (and redeliveries) on or
+    * after this instant. Mid-window so both classes are non-vacuous
+    // at the sf scales (ids aged out AND redeliveries caught).
+    */
+  private[graft] val RedeliveryHorizon = "2024-01-15"
+
+  /** [[dedupBatch]] against a horizon-aged id store. The aged store
+    * is sufficient ONLY under the horizon contract (every redelivered
+    * row's ts is at/after the horizon); a batch row predating it is
+    * indistinguishable from an aged-out redelivery — folding it could
+    * silently double-count, which is exactly the failure class the
+    * registered operators refuse to have — so the guard raises
+    * IN-PLAN on any pre-horizon batch row. This is deliberately
+    * CONSERVATIVE: the full-store [[dedupBatch]] would fold a genuine
+    * pre-horizon backfill exactly (mergeSessions has no arrival
+    * contract), but the aged variant cannot tell backfill from
+    * redelivery, and correctness beats admitting the batch. A
+    * deployment that needs pre-horizon backfills routes them through
+    * a separate, redelivery-free channel (or widens the horizon).
+    * Scale: the store is bounded by the horizon's event volume — the
+    * 100× cost becomes O(days × rate), not O(history). */
+  private[graft] def dedupBatchAged(batch: DataFrame, agedIds: DataFrame,
+      horizon: String): DataFrame = {
+    val cut = lit(horizon).cast("timestamp")
+    val guarded = batch.withColumn("ts",
+      when(col("ts") < cut, raise_error(concat(
+        lit("q147 redelivery-horizon violation: batch event "),
+        col("event_id").cast("string"), lit(" at "),
+        col("ts").cast("string"),
+        lit(s" predates the id-store horizon $horizon — an aged-out " +
+          "redelivery would silently double-fold"))))
+        .otherwise(col("ts")))
+    dedupBatch(guarded, agedIds)
+  }
+
+  /** q147's standing artifacts — q131's session table plus the AGED
+    * id store (standing ids at/after the horizon only). */
+  private def q147Arts(s: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    val st = bucketedStore(s, dir, "sess_pre8", "user_id")(
+      sessionTable(t(s, dir, "events").where(!sessBatchEvents)))
+    val ids = bucketedStore(s, dir, "evids_pre8_aged", "event_id")(
+      t(s, dir, "events")
+        .where(!sessBatchEvents &&
+          col("ts") >= lit(RedeliveryHorizon).cast("timestamp"))
+        .select(col("event_id")))
+    (st, ids)
+  }
+
+  /** The registered instance: q133's redelivery shape restricted to
+    * the horizon — the batch is the held-out events AT/AFTER the
+    * horizon plus the ~25 % redelivered copies AT/AFTER the horizon
+    * (both duplicate classes present: copies of standing events the
+    * AGED store must catch, and in-batch copies), deduped through
+    * [[dedupBatchAged]] and folded into the standing table. The
+    * oracle is the gap-split recompute over (all standing events ∪
+    * the post-horizon batch events), so the driver re-proves
+    * aged-store dedup == recompute cross-engine every round.
+    * SessionMergeSpec pins equality with the FULL store on a
+    * horizon-respecting batch, the loud raise on a violating one,
+    * and the sf census that both aged classes are non-vacuous. */
+  val q147 = Q(
+    "q147_session_merge_aged_ids",
+    s"redelivery-tolerant session fold with a horizon-aged id store (ids >= $RedeliveryHorizon): bounded store == recompute, pre-horizon batches refused loudly",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      val hcut = lit(RedeliveryHorizon).cast("timestamp")
+      val (standing, agedIds) = prepTake(s, dir, "prep147")(q147Arts(s, dir))
+      val batch = e.where(sessBatchEvents && col("ts") >= hcut)
+        .unionByName(e.where(redelivered && col("ts") >= hcut))
+      mergeSessions(standing, dedupBatchAged(batch, agedIds, RedeliveryHorizon))
+        .orderBy(col("user_id"), col("start_us"))
+    },
+    Some(s"""WITH x AS (
+        SELECT user_id, epoch_us(ts) AS ts_us FROM events
+        WHERE ${oH60("'sessbatch:' || CAST(event_id AS VARCHAR)")} % 8 <> 0
+           OR ts >= TIMESTAMP '$RedeliveryHorizon 00:00:00'),
+      b AS (
+        SELECT user_id, ts_us,
+          CASE WHEN lag(ts_us) OVER w IS NULL
+                 OR ts_us - lag(ts_us) OVER w > $SessGapUs THEN 1 ELSE 0 END AS brk
+        FROM x WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+      sess AS (
+        SELECT user_id, ts_us,
+          sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+                         ROWS UNBOUNDED PRECEDING) AS sid
+        FROM b)
+      SELECT user_id, count(*) AS n_events,
+        min(ts_us) AS start_us, max(ts_us) AS end_us
+      FROM sess GROUP BY user_id, sid
+      ORDER BY user_id, start_us"""),
+    prepare = Some((s, dir) => prepPut(s, dir, "prep147", q147Arts(s, dir))))
+
   // ---- q143: PARTIAL FUNNEL ERASURE at per-user T — the batch
   // matrix cell [[eraseFunnelBeforeT]] filled for the q140 epoch,
   // registered in its own right so the driver gates it directly (the
@@ -1573,7 +1662,10 @@ object Analytic {
         .select(col("user_id"), reqInstantUs.as("req_us"))
       funnelReport(eraseFunnelBeforeT(states, e, requests))
     },
-    StreamingOps.q130.oracle,
+    // q130's VERBATIM rebuild, via the package object rather than
+    // StreamingOps.q130.oracle (r17 ADVICE: that cross-object
+    // reference was half of a circular init dependency with q139).
+    Some(oFunnelEraseBeforeTSql),
     prepare = Some((s, dir) => prepPut(s, dir, "prep143", q143Arts(s, dir))))
 
   val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,

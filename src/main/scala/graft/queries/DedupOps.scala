@@ -2787,7 +2787,26 @@ object DedupOps {
   private[graft] def removeFromCappedCluster(standingIdx: DataFrame,
       banded: DataFrame, sig: DataFrame, pairs: DataFrame,
       standing: DataFrame, removed: DataFrame, cap: Int,
-      sigPidSize: Option[Long] = None): DataFrame = {
+      sigPidSize: Option[Long] = None): DataFrame =
+    removeFromCappedClusterFull(standingIdx, banded, sig, pairs, standing,
+      removed, cap, sigPidSize)._3
+
+  /** [[removeFromCappedCluster]] returning the COMPLETE post-takedown
+    * standing state — (post index, post pair relation, component
+    * assignment) — so takedowns COMPOSE across epochs (the q145 chain:
+    * epoch 2's removal runs against epoch 1's published artifacts).
+    * The carried pair relation is the restriction of the old one to
+    * the survivors plus the demotion-revealed pairs — exactly the
+    * verified relation a from-scratch capped rebuild over the
+    * survivors produces (the closure argument in the scaladoc above,
+    * applied to the EDGE set rather than its closure), so the next
+    * epoch's demote→reveal→merge starts from the same relation a
+    * fresh registration would store. */
+  private[graft] def removeFromCappedClusterFull(standingIdx: DataFrame,
+      banded: DataFrame, sig: DataFrame, pairs: DataFrame,
+      standing: DataFrame, removed: DataFrame, cap: Int,
+      sigPidSize: Option[Long] = None)
+      : (DataFrame, DataFrame, DataFrame) = {
     val postIdx = removeFromIndexBuckets(standingIdx, banded, removed, cap)
     val demoted = standingIdx.where(size(col("ids")) === 0)
       .select(col("band"), col("key"))
@@ -2858,7 +2877,12 @@ object DedupOps {
       .select(col("doc_a").as("src"), col("doc_b").as("dst")))
     val rm = graft.Scratch.fenced(removeFromComponents(standing, pairs,
       removed.select(col("doc_id").as("id"))))
-    mergeComponents(rm, revealed)
+    val postPairs = pairs
+      .join(removed.select(col("doc_id").as("src")), Seq("src"), "left_anti")
+      .join(removed.select(col("doc_id").as("dst")), Seq("dst"), "left_anti")
+      .select(col("src"), col("dst"))
+      .unionByName(revealed)
+    (postIdx, postPairs, mergeComponents(rm, revealed))
   }
 
   /** The registered instance: the full capped pipeline's standing
@@ -2906,12 +2930,22 @@ object DedupOps {
     * measured by ExplainR17's first census). */
   private val maxDocIdMemo =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  registerMemo(maxDocIdMemo)
   private[graft] def maxDocId(s: org.apache.spark.sql.SparkSession,
-      dir: String): Long =
-    maxDocIdMemo.computeIfAbsent(
-      java.nio.file.Paths.get(dir).normalize.toString,
-      d => java.lang.Long.valueOf(t(s, d, "documents")
+      dir: String): Long = {
+    // Session-keyed like prepKey (r17 ADVICE): a JVM-lifetime per-dir
+    // memo would hand a rewritten fixture (or a second session
+    // pointing the same path at different data) a stale max while the
+    // DuckDB oracle recomputes it fresh — a confusing gate mismatch.
+    // Keying by session bounds the immutability assumption to one
+    // session's lifetime, the same contract localScratch fixtures
+    // already carry; registerMemo evicts with the session.
+    val key = sessionKey(s) + ":maxdocid:" +
+      java.nio.file.Paths.get(dir).normalize.toString
+    maxDocIdMemo.computeIfAbsent(key,
+      _ => java.lang.Long.valueOf(t(s, dir, "documents")
         .agg(max(col("doc_id"))).collect()(0).getLong(0))).longValue()
+  }
 
   private[graft] def q124SigStore(s: org.apache.spark.sql.SparkSession,
       dir: String, sig0: DataFrame): (DataFrame, Long) = {
@@ -2969,7 +3003,7 @@ object DedupOps {
     * differ only in which docs survive the removal): the full capped
     * pipeline — shingle, minhash, band, cap, verify, 11-round label
     * propagation — over the surviving documents. */
-  private def cappedRemoveOracle(keepWhere: String,
+  private[graft] def cappedRemoveOracle(keepWhere: String,
       cap: Int = Q88Cap): String = {
       val mins = oMins
       val steps = (1 to 11).map { i =>
@@ -3038,6 +3072,17 @@ object DedupOps {
       dir: String): (Long, Long) = {
     val maxId = maxDocId(s, dir)
     ((maxId + 1) * 2 / 5, (maxId + 1) * 3 / 5)
+  }
+
+  /** The epoch chain's SECOND removal range (q145's epoch 2): the
+    * [7/10, 8/10) tenth of the id space — disjoint from
+    * [[q141Range]]'s middle fifth, so the chained takedowns remove
+    * distinct id-local batches and the second prune exercises a
+    * different partition neighborhood of the signature store. */
+  private[graft] def q145Range2(s: org.apache.spark.sql.SparkSession,
+      dir: String): (Long, Long) = {
+    val maxId = maxDocId(s, dir)
+    ((maxId + 1) * 7 / 10, (maxId + 1) * 8 / 10)
   }
 
   /** q141's bucket cap: tightened from q124's $Q88Cap to 2 (the

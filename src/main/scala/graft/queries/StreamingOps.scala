@@ -1412,33 +1412,10 @@ object StreamingOps {
           OutputMode.Update(), GroupStateTimeout.NoTimeout)(funnelStepCtrl _)
       funnelCurrent(runBatchesToParquet(s, out, OutputMode.Update(), "append"))
     },
-    Some(s"""WITH req AS (
-        SELECT user_id, ${oPrivacyInstantUs("user_id")} AS t_us
-        FROM (SELECT DISTINCT user_id FROM events)
-        WHERE ${oPrivacyRequested("user_id")}),
-      ev AS (
-        SELECT e.user_id, e.event_type, e.ts FROM events e
-        LEFT JOIN req r ON e.user_id = r.user_id
-        WHERE r.user_id IS NULL OR epoch_us(e.ts) >= r.t_us),
-      v AS (
-        SELECT user_id, min(ts) AS t1 FROM ev
-        WHERE event_type = 'view' GROUP BY 1),
-      c AS (
-        SELECT e.user_id, min(e.ts) AS t2 FROM ev e
-        JOIN v ON e.user_id = v.user_id
-        WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
-      p AS (
-        SELECT e.user_id, min(e.ts) AS t3 FROM ev e
-        JOIN c ON e.user_id = c.user_id
-        WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
-      SELECT v.user_id,
-        CAST(CASE WHEN p.t3 IS NOT NULL THEN 3
-                  WHEN c.t2 IS NOT NULL THEN 2 ELSE 1 END AS INTEGER) AS reached_step,
-        date_diff('microsecond', v.t1, c.t2) AS v2c_micros,
-        date_diff('microsecond', c.t2, p.t3) AS c2p_micros
-      FROM v LEFT JOIN c ON v.user_id = c.user_id
-             LEFT JOIN p ON v.user_id = p.user_id
-      ORDER BY v.user_id"""))
+    // The per-user-T filtered rebuild, hoisted to the package object
+    // (r17 ADVICE: q143/q139 cross-object references were a circular
+    // init dependency).
+    Some(oFunnelEraseBeforeTSql))
 
   /** [[CtrlEvent]] with the raw `ts` kept for the watermark (the
     * [[FunnelEventWm]] device, control-stream edition). */
@@ -2064,7 +2041,10 @@ object StreamingOps {
           OutputMode.Update(), GroupStateTimeout.NoTimeout)(retentionStepCtrl _)
       retentionCurrent(runBatchesToParquet(s, out, OutputMode.Update(), "append"))
     },
-    Analytic.q137.oracle)
+    // q137's VERBATIM rebuild, via the package object rather than
+    // Analytic.q137.oracle (r17 ADVICE: the cross-object reference was
+    // half of a circular init dependency with Analytic.q143).
+    Some(oRetentionEraseBeforeTSql))
 
   def all: Seq[Q] = Seq(q65, q66, q67, q68, q86)
 }

@@ -119,15 +119,34 @@ package object queries {
     * hit — the store outlives any one query, like the deployment
     * artifact it models. 32 buckets matches the session's
     * shuffle-partition count, so co-partitioned joins align 1:1. */
+  /** Collision-resistant dir discriminator (r17 ADVICE): the
+    * sanitized dir alone maps distinct raw dirs that differ only in
+    * punctuation (/data/sf0.1 vs /data/sf0_1) to one name, which
+    * would silently serve one corpus's standing artifact to the
+    * other. 12 hex chars of md5 over the RAW dir break the tie;
+    * hex survives the catalog's lowercasing. */
+  private def dirDiscriminator(dir: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    d.take(6).map(b => f"${b & 0xff}%02x").mkString
+  }
+
+  /** Serializes [[bucketedStore]]'s check-then-create (r17 ADVICE:
+    * two threads racing tableExists would both write the table). */
+  private val storeCreateLock = new Object
+
   def bucketedStore(s: SparkSession, dir: String, tag: String,
       key: String)(build: => org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val table = (tag + "_" + dir).replaceAll("[^a-zA-Z0-9]+", "_")
-    if (!s.catalog.tableExists(table)) {
-      val path = localScratch(s, tag, dir)
-      build.write.bucketBy(32, key).sortBy(key)
-        .option("path", path).format("parquet")
-        .mode("overwrite").saveAsTable(table)
+    val table = (tag + "_" + dir).replaceAll("[^a-zA-Z0-9]+", "_") +
+      "_" + dirDiscriminator(dir)
+    storeCreateLock.synchronized {
+      if (!s.catalog.tableExists(table)) {
+        val path = localScratch(s, tag, dir)
+        build.write.bucketBy(32, key).sortBy(key)
+          .option("path", path).format("parquet")
+          .mode("overwrite").saveAsTable(table)
+      }
     }
     s.table(table)
   }
@@ -206,6 +225,75 @@ package object queries {
   /** DuckDB predicate: is this user in the requested (~10 %) cohort. */
   def oPrivacyRequested(userExpr: String): String =
     s"${oH60(s"'erase:' || CAST($userExpr AS VARCHAR)")} % 10 = 0"
+
+  // ---- The two rebuild oracles SHARED ACROSS OBJECTS (r17 ADVICE:
+  // Analytic.q143 embedded StreamingOps.q130's oracle while
+  // StreamingOps.q139 embedded Analytic.q137's — a circular
+  // object-initialization dependency that only worked because the
+  // referenced vals were declared lexically earlier, and concurrent
+  // first-touch of the two objects could deadlock). Hoisted here, the
+  // package object both depend on, so each query object references
+  // only downward. Every term is package-level (oPrivacyInstantUs /
+  // oPrivacyRequested / the 30-min session constants live here or are
+  // inlined literals).
+
+  /** The per-user-T filtered FUNNEL rebuild (q113's cascade over the
+    * relation with each requested user's pre-T rows dropped) — the
+    * shared oracle of q130 (stream control-stream erasure), q143
+    * (batch partial erasure), and the epoch compositions' funnel
+    * slices: the stream and batch halves of the same erasure prove
+    * against ONE rebuild. */
+  val oFunnelEraseBeforeTSql: String = s"""WITH req AS (
+        SELECT user_id, ${oPrivacyInstantUs("user_id")} AS t_us
+        FROM (SELECT DISTINCT user_id FROM events)
+        WHERE ${oPrivacyRequested("user_id")}),
+      ev AS (
+        SELECT e.user_id, e.event_type, e.ts FROM events e
+        LEFT JOIN req r ON e.user_id = r.user_id
+        WHERE r.user_id IS NULL OR epoch_us(e.ts) >= r.t_us),
+      v AS (
+        SELECT user_id, min(ts) AS t1 FROM ev
+        WHERE event_type = 'view' GROUP BY 1),
+      c AS (
+        SELECT e.user_id, min(e.ts) AS t2 FROM ev e
+        JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+      p AS (
+        SELECT e.user_id, min(e.ts) AS t3 FROM ev e
+        JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
+      SELECT v.user_id,
+        CAST(CASE WHEN p.t3 IS NOT NULL THEN 3
+                  WHEN c.t2 IS NOT NULL THEN 2 ELSE 1 END AS INTEGER) AS reached_step,
+        date_diff('microsecond', v.t1, c.t2) AS v2c_micros,
+        date_diff('microsecond', c.t2, p.t3) AS c2p_micros
+      FROM v LEFT JOIN c ON v.user_id = c.user_id
+             LEFT JOIN p ON v.user_id = p.user_id
+      ORDER BY v.user_id"""
+
+  /** The per-user-T filtered RETENTION rebuild (q114's matrix over the
+    * filtered relation) — the shared oracle of q137 (batch cohort
+    * move), q139 (stream control-stream erasure), and the epoch
+    * compositions' retention slices. */
+  val oRetentionEraseBeforeTSql: String = s"""WITH req AS (
+        SELECT user_id, ${oPrivacyInstantUs("user_id")} AS t_us
+        FROM (SELECT DISTINCT user_id FROM events)
+        WHERE ${oPrivacyRequested("user_id")}),
+      d AS (
+        SELECT DISTINCT e.user_id, CAST(e.ts AS DATE) AS day FROM events e
+        LEFT JOIN req r ON e.user_id = r.user_id
+        WHERE r.user_id IS NULL OR epoch_us(e.ts) >= r.t_us),
+      f AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1),
+      cells AS (
+        SELECT f.cohort_day, date_diff('day', f.cohort_day, d.day) AS day_offset,
+          CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users
+        FROM d JOIN f ON d.user_id = f.user_id
+        GROUP BY 1, 2),
+      sz AS (SELECT cohort_day, n_users AS cohort_size FROM cells WHERE day_offset = 0)
+      SELECT c.cohort_day, CAST(c.day_offset AS INTEGER) AS day_offset, c.n_users,
+        round(CAST(c.n_users AS DOUBLE) / sz.cohort_size, 4) AS retention
+      FROM cells c JOIN sz ON c.cohort_day = sz.cohort_day
+      ORDER BY c.cohort_day, c.day_offset"""
 
   /** JIT-compiled distinct word n-gram [[h60]] hashes over a token
     * array — bit-identical to
@@ -423,7 +511,10 @@ package object queries {
       expectedBytes: Long = 0L): String = {
     require(spark.sparkContext.isLocal,
       s"$tag synthesizes driver-local fixtures; requires a local[] master")
-    val safeDir = dir.replaceAll("[^a-zA-Z0-9]+", "_")
+    // Discriminated like bucketedStore's table name (r17 ADVICE): the
+    // sanitized form alone is not injective over raw dirs.
+    val safeDir = dir.replaceAll("[^a-zA-Z0-9]+", "_") +
+      "_" + dirDiscriminator(dir)
     val safeApp = spark.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]+", "_")
     // tmpfs when present AND comfortably sized: tmpfs is RAM-backed
     // (typically capped near 50% of RAM), so a volume fixture that

@@ -183,4 +183,160 @@ class EpochSpec extends AnyFunSuite {
       graft.Scratch.releaseAll()
     }
   }
+
+  // ---- q145: the epoch CHAIN (r17 VERDICT task 1). Two crafted pins
+  // (the cross-epoch register; the cross-epoch takedown through the
+  // published post-state), the sf replays (chain == the one-shot
+  // per-family rebuilds), and the sf0.1 register-drop census.
+
+  test("q145 cross-epoch register: an epoch-1 request with T inside day 2 — register-filtered chain == filtered rebuild; skipping the register re-admits the pre-T day-2 row") {
+    import spark.implicits._
+    // Windows: standing < 40, day 1 = [40, 100), day 2 >= 100 (crafted
+    // minutes). u1 requests in EPOCH 1 with T = minute 150 — INSIDE
+    // day 2: epoch 1 erases everything it has seen (all < 150), and
+    // day 2 then delivers one pre-T event (120) and one post-T (200).
+    // u2 is the untouched control spanning all three windows.
+    val standingEvents = ev(Seq((1L, 0L), (1L, 10L), (2L, 0L)))
+    val day1 = ev(Seq((1L, 50L), (2L, 60L)))
+    val day2 = ev(Seq((1L, 120L), (1L, 200L), (2L, 130L)))
+    val req1 = Seq((1L, us(150))).toDF("user_id", "req_us")
+    val soFar = standingEvents.unionByName(day1)
+    val allEvents = soFar.unionByName(day2)
+    // Epoch 1: fold day 1, erase req1 against what has been ingested.
+    val postE1 = Analytic.eraseSessionsBeforeT(
+      Analytic.mergeSessions(Analytic.sessionTable(standingEvents), day1),
+      soFar, req1)
+    // Epoch 2 WITH the register: u1's pre-T day-2 row drops pre-fold.
+    val day2Reg = day2.join(req1, Seq("user_id"), "left")
+      .where(col("req_us").isNull || unix_micros(col("ts")) >= col("req_us"))
+      .select(col("user_id"), col("ts"))
+    val got = Analytic.mergeSessions(postE1, day2Reg)
+      .collect().map(_.toSeq).toSet
+    val want = Analytic.sessionTable(
+      allEvents.join(req1, Seq("user_id"), "left")
+        .where(col("req_us").isNull || unix_micros(col("ts")) >= col("req_us"))
+        .select(col("user_id"), col("ts")))
+      .collect().map(_.toSeq).toSet
+    assert(got == want, s"register-filtered chain != filtered rebuild: $got vs $want")
+    assert(want.contains(Seq(1L, 1L, us(200), us(200))),
+      "u1's post-T day-2 event must survive as its own session")
+    // WITHOUT the register: nothing erases u1's pre-T day-2 row again
+    // — the fold re-admits it, the cross-epoch residue.
+    val bad = Analytic.mergeSessions(postE1, day2)
+      .collect().map(_.toSeq).toSet
+    assert(bad != want,
+      "skipping the register unexpectedly matched the rebuild — hazard vacuous")
+    assert(bad.exists(r => r.head == 1L && r(2).asInstanceOf[Long] == us(120)),
+      s"the residue must be u1's pre-T day-2 event re-admitted: $bad")
+  }
+
+  test("q145 cross-epoch takedown: a bucket demoted (reveal) in epoch 1 is re-merged by epoch 2's demotion — chain through the published post-state == rebuild over both removals' survivors") {
+    import spark.implicits._
+    import graft.queries.DedupOps
+    // hs similarity (size-10 sets, 9 shared -> J = 9/11 >= 0.8):
+    // {1,2,6} mutually similar; {4,5} similar; 3 and 9 dissimilar.
+    def sim(base: Long, uniq: Long) = (0L until 9L).map(base + _) :+ uniq
+    def lone(base: Long) = (0L until 10L).map(base + _)
+    val sig = Seq(
+      1L -> sim(1000, 100), 2L -> sim(1000, 101), 6L -> sim(1000, 102),
+      3L -> lone(2000), 9L -> lone(3000),
+      4L -> sim(5000, 104), 5L -> sim(5000, 105)).toDF("doc_id", "hs")
+    // Cap 2: A = {1,2,3} and E = {2,6,9} tombstone; B = {4,5} live.
+    val banded = Seq(
+      (1L, 0, "A"), (2L, 0, "A"), (3L, 0, "A"),
+      (2L, 0, "E"), (6L, 0, "E"), (9L, 0, "E"),
+      (4L, 0, "B"), (5L, 0, "B")).toDF("doc_id", "band", "key")
+    val (idx0, pairs0, standing0) =
+      DedupOps.cappedClusterArtifacts(sig, banded, 2)
+    def partition(df: org.apache.spark.sql.DataFrame): Set[Set[Long]] =
+      df.collect().map(r => r.getAs[Long]("comp") -> r.getAs[Long]("id"))
+        .groupBy(_._1).values.map(_.map(_._2).toSet).toSet
+    assert(partition(standing0) == Set(Set(4L, 5L)),
+      "pre-chain: only the live pair bucket clusters")
+    assert(idx0.where(size(col("ids")) === 0).count() == 2, "A and E tombstone")
+    // EPOCH 1 removes {3}: A demotes to {1,2} -> REVEALS (1,2).
+    val remA = Seq(3L).toDF("doc_id")
+    val (idx1, pairs1, comps1) = DedupOps.removeFromCappedClusterFull(
+      idx0, banded, sig, pairs0, standing0, remA, 2)
+    assert(partition(comps1) == Set(Set(1L, 2L), Set(4L, 5L)),
+      "epoch 1 must reveal (1,2)")
+    // The carried pair relation is the survivors' verified relation.
+    val carried = pairs1.collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst"))).toSet
+    assert(carried == Set((1L, 2L), (4L, 5L)),
+      s"carried pairs must be restriction ∪ revealed: $carried")
+    // EPOCH 2 removes {9} AGAINST THE PUBLISHED POST-STATE: E demotes
+    // to {2,6} -> reveals (2,6), RE-MERGING the epoch-1-revealed
+    // component {1,2} with 6. The banding store restricts by the
+    // epoch-1 removal (the registered body's predicate device).
+    val banded1 = banded.join(remA, Seq("doc_id"), "left_anti")
+    val remB = Seq(9L).toDF("doc_id")
+    val got = partition(DedupOps.removeFromCappedCluster(
+      idx1, banded1, sig, pairs1, comps1, remB, 2))
+    assert(got == Set(Set(1L, 2L, 6L), Set(4L, 5L)),
+      s"epoch 2 must re-merge the demoted bucket's survivors: $got")
+    // == the from-scratch capped rebuild over both removals' survivors.
+    val surv = remA.unionByName(remB)
+    val sigS = sig.join(surv, Seq("doc_id"), "left_anti")
+    val bandedS = banded.join(surv, Seq("doc_id"), "left_anti")
+    val (_, _, fromScratch) = DedupOps.cappedClusterArtifacts(sigS, bandedS, 2)
+    assert(got == partition(fromScratch),
+      "chain != from-scratch rebuild over both days' survivors")
+    Scratch.releaseAll()
+  }
+
+  for (sf <- Seq("sf0.001", "sf0.01")) {
+    test(s"$sf replay: q145's behavioral slices == q140's (path independence) and its cluster slice == the one-shot union takedown") {
+      import graft.queries.DedupOps
+      val dir = s"/root/testdata/$sf"
+      val chain = Registry.queriesMap("q145_epoch_chain")(spark, dir).collect()
+      val oneShot = Registry.queriesMap("q140_maintenance_epoch")(spark, dir)
+        .collect()
+      def slice(rows: Array[org.apache.spark.sql.Row], f: String) =
+        rows.filter(_.getString(0) == f).map(_.toSeq.tail).toSeq
+          .sortBy(_.toString)
+      // The three behavioral families: two epochs with a split feed
+      // == q140's single epoch == the filtered rebuild (path
+      // independence — the chain's whole claim).
+      for (f <- Seq("sessions", "funnel", "retention"))
+        assert(slice(chain, f) == slice(oneShot, f),
+          s"$f slice: chain != one-shot epoch at $dir")
+      // Clusters: the chained takedowns == ONE takedown of the union
+      // batch through the same standing artifacts.
+      val (sig, banded, idx, pairs, standing, pidSize) =
+        DedupOps.q124Arts(spark, dir, DedupOps.Q141Cap)
+      val (loA, hiA) = DedupOps.q141Range(spark, dir)
+      val (loB, hiB) = DedupOps.q145Range2(spark, dir)
+      val docs = graft.queries.t(spark, dir, "documents")
+      val remUnion = docs.where(
+          (col("doc_id") >= loA && col("doc_id") < hiA) ||
+          (col("doc_id") >= loB && col("doc_id") < hiB))
+        .select(col("doc_id"))
+      val want = DedupOps.removeFromCappedCluster(idx, banded, sig, pairs,
+          standing, remUnion, DedupOps.Q141Cap, Some(pidSize))
+        .groupBy(col("comp"))
+        .agg(min(col("id")).as("k1"), count(lit(1)).as("k2"),
+          graft.queries.h60(concat_ws(",",
+            transform(sort_array(collect_list(col("id"))),
+              x => x.cast("string")))).as("v1"))
+        .select(col("k1"), col("k2"), col("v1"), lit(null).cast("long"))
+        .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+      assert(slice(chain, "clusters") == want,
+        s"clusters slice: chain != one-shot union takedown at $dir")
+      assert(slice(chain, "sessions").nonEmpty &&
+        slice(chain, "clusters").nonEmpty)
+      graft.Scratch.releaseAll()
+    }
+  }
+
+  test("sf0.1 census: the published register non-vacuously drops day-2 pre-T rows of epoch-1 requests") {
+    val e = graft.queries.t(spark, "/root/testdata/sf0.1", "events")
+    val dropped = e
+      .where(Analytic.erasedUsers && graft.queries.EpochOps.epoch1Req &&
+        col("ts") >= lit(graft.queries.EpochOps.Cut2).cast("timestamp") &&
+        unix_micros(col("ts")) < Analytic.reqInstantUs)
+      .count()
+    assert(dropped > 0,
+      "no epoch-1 request erases into day 2 at sf0.1 — the register would be vacuous everywhere")
+  }
 }

@@ -140,6 +140,80 @@ class SessionMergeSpec extends AnyFunSuite {
     assert(viaBroadcast.nonEmpty)
   }
 
+  test("q147 aged store: a horizon-respecting batch dedups identically to the full store") {
+    import spark.implicits._
+    // Horizon at minute 100 (crafted epoch-1970 scale). Standing: u1
+    // ids 1,2 BEFORE the horizon (aged out of the id store), id 3
+    // after it. Batch: fresh id 4, a redelivery of post-horizon
+    // standing id 3 (the aged store must still catch it), and id 4
+    // twice (in-batch class). Only id 4 may fold — same answer the
+    // FULL store gives.
+    val hor = "1970-01-01 01:40:00"
+    def edf(rows: Seq[(Long, Long, Long)]) =
+      rows.map { case (id, u, m) => (id, u, new Timestamp(m * MinMs)) }
+        .toDF("event_id", "user_id", "ts")
+    val standingEvents = edf(Seq((1L, 1L, 0L), (2L, 1L, 10L), (3L, 1L, 200L)))
+    val standing = Analytic.sessionTable(standingEvents)
+    val agedIds = standingEvents
+      .where(col("ts") >= lit(hor).cast("timestamp"))
+      .select(col("event_id"))
+    val batch = edf(Seq((4L, 1L, 220L), (3L, 1L, 200L), (4L, 1L, 220L)))
+    val aged = Analytic.dedupBatchAged(batch, agedIds, hor)
+    assert(aged.select(col("event_id")).collect().map(_.getLong(0)).toSeq == Seq(4L),
+      "aged-store dedup must keep exactly the fresh event")
+    val full = Analytic.dedupBatch(batch, standingEvents.select(col("event_id")))
+      .select(col("event_id")).collect().map(_.getLong(0)).toSeq
+    assert(full == Seq(4L), "full-store dedup must agree on this batch")
+    val got = Analytic.mergeSessions(standing, aged)
+      .orderBy(col("start_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val want = Analytic.sessionTable(
+        standingEvents.unionByName(edf(Seq((4L, 1L, 220L))))
+          .select(col("user_id"), col("ts")))
+      .orderBy(col("start_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want, s"aged fold != recompute: $got vs $want")
+  }
+
+  test("q147 guard: a pre-horizon batch row raises loudly instead of risking a silent double-fold") {
+    import spark.implicits._
+    val hor = "1970-01-01 01:40:00"
+    def edf(rows: Seq[(Long, Long, Long)]) =
+      rows.map { case (id, u, m) => (id, u, new Timestamp(m * MinMs)) }
+        .toDF("event_id", "user_id", "ts")
+    val agedIds = edf(Seq((3L, 1L, 200L))).select(col("event_id"))
+    // id 5 at minute 50 predates the horizon: it might be an aged-out
+    // redelivery of an id the store no longer holds — refuse it.
+    val batch = edf(Seq((4L, 1L, 220L), (5L, 1L, 50L)))
+    val ex = intercept[Exception] {
+      Analytic.dedupBatchAged(batch, agedIds, hor).collect()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + msgs(t.getCause)
+    assert(msgs(ex).contains("q147 redelivery-horizon violation"),
+      s"guard must surface, got: ${msgs(ex).take(300)}")
+  }
+
+  for (sf <- Seq("sf0.001", "sf0.01")) {
+    test(s"$sf replay: q147's aged classes are non-vacuous (ids aged out; post-horizon standing redeliveries caught)") {
+      val dir = s"/root/testdata/$sf"
+      val e = queries.t(spark, dir, "events")
+      val hcut = lit(Analytic.RedeliveryHorizon).cast("timestamp")
+      // The aging must actually shrink the store...
+      assert(e.where(!Analytic.sessBatchEvents && col("ts") < hcut).count() > 0,
+        "no standing id ages out — the bounded-store claim is vacuous")
+      // ...while the batch still carries redeliveries of POST-horizon
+      // standing events (the class the aged store must catch)...
+      assert(e.where(Analytic.redelivered && !Analytic.sessBatchEvents &&
+          col("ts") >= hcut).count() > 0,
+        "no post-horizon standing redelivery — the aged probe is untested")
+      // ...and redeliveries the horizon EXCLUDES exist (the class the
+      // guard protects against).
+      assert(e.where(Analytic.redelivered && col("ts") < hcut).count() > 0,
+        "no pre-horizon redelivery exists — the guard protects nothing")
+    }
+  }
+
   for (sf <- Seq("sf0.001", "sf0.01")) {
     test(s"$sf replay: q133 under ~25% redelivery == q131 == recompute, pressure non-vacuous") {
       val dir = s"/root/testdata/$sf"

@@ -522,6 +522,111 @@ class StreamCtrlEraseSpec extends AnyFunSuite {
     assert(cur.isEmpty, s"compaction must drop v's pre-T session: $cur")
   }
 
+  test("q134: kill and resume from checkpoint — open-session state survives, and the crash-window foreachBatch re-emission is absorbed idempotently (r17 VERDICT task 3)") {
+    import spark.implicits._
+    // The q130 recovery witness, session-store edition, PLUS the
+    // at-least-once window the q130 test could not exercise: the
+    // resumed query re-executes the last UNCOMMITTED batch and
+    // re-runs its foreachBatch — the emission log's b$id-overwrite
+    // device must absorb the duplicate emission, or the consumer's
+    // compaction would double-report the re-emitted session. The
+    // crash window is forced by deleting the final commit marker
+    // (exactly what a crash between foreachBatch and the offset
+    // commit leaves behind).
+    val root = java.nio.file.Files.createTempDirectory("graft_cserec_")
+    val inputDir = java.nio.file.Files.createDirectory(root.resolve("in"))
+    val dataDir = s"$root/data"
+    val chk = s"$root/chk"
+    val base = System.currentTimeMillis() - 60000
+    val (u1, u2, u3, k) = (81L, 82L, 83L, 84L)
+    def start() = {
+      val in = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[CtrlSessEvent]].schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inputDir.toString)
+        .withWatermark("ts", "0 seconds")
+        .as[CtrlSessEvent]
+      in.groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Update(),
+          org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout)(
+          StreamingOps.sessionizeCtrl _)
+        .writeStream.outputMode(OutputMode.Update())
+        .option("checkpointLocation", chk)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[SessionOutE], id: Long) =>
+          batch.toDF().write.mode("overwrite").parquet(s"$dataDir/b$id"); ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+    }
+    // Run 1: u1 opens [50]; u2 opens [0]; u3's [0] is CLOSED by its
+    // successor at 100 in the second batch (so b1 carries a real
+    // emission for the re-run to duplicate); then STOP. Batch maxima
+    // are monotone (50 then 100 then ...) so no re-armed flush timer
+    // lands at/under the standing watermark.
+    writeSess(inputDir, Seq(sevc(u1, 50), sevc(u2, 0), sevc(u3, 0)),
+      "f0.parquet", base)
+    writeSess(inputDir, Seq(sevc(u1, 60), sevc(u3, 90)),
+      "f1.parquet", base + 2000)
+    val q1 = start(); q1.awaitTermination()
+    // The crash window: drop the last commit marker so the resumed
+    // query re-executes that batch (same batch id, state reloaded at
+    // the pre-batch version) and re-runs its foreachBatch.
+    val commits = new java.io.File(s"$chk/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(commits.nonEmpty, "run 1 must have committed batches")
+    // The checksum sidecar goes with it, or the re-commit's rename
+    // collides with the orphaned .crc.
+    new java.io.File(commits.last.getParentFile,
+      "." + commits.last.getName + ".crc").delete()
+    assert(commits.last.delete(), "failed to open the crash window")
+    // Run 2: u2's request (T=100) must wipe the RECOVERED open [0],
+    // and its post-T 150 in the same batch opens fresh; u1's flush
+    // then reports n_events=2 — only right if the recovered state
+    // held both events exactly once (a lost state or a double-applied
+    // re-run both break the count); k's 400 then 500 move the
+    // watermark so every standing flush timer fires.
+    writeSess(inputDir, Seq(sreq(u2, 100), sevc(u2, 150)),
+      "f2.parquet", base + 4000)
+    writeSess(inputDir, Seq(sevc(k, 400)), "f3.parquet", base + 6000)
+    writeSess(inputDir, Seq(sevc(k, 500)), "f4.parquet", base + 8000)
+    val q2 = start(); q2.awaitTermination()
+    val raw = spark.read.option("recursiveFileLookup", "true")
+      .schema(implicitly[org.apache.spark.sql.Encoder[SessionOutE]].schema)
+      .parquet(dataDir)
+    val rows = raw.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSeq
+    def us(m: Long) = (SOff + m) * MinUs
+    assert(rows.count(_ == ((u1, 2L, us(50), us(60), false))) == 1,
+      s"u1's recovered session must flush with BOTH events exactly once: $rows")
+    assert(rows.count(_ == ((u3, 1L, us(0), us(0), false))) == 1,
+      s"u3's re-emitted close must appear exactly once after the overwrite: $rows")
+    assert(rows.contains((u2, 0L, 0L, 0L, true)) &&
+      rows.contains((u2, 1L, us(150), us(150), false)),
+      s"u2's recovered open session must wipe and the post-T one report: $rows")
+    val requests = Seq((u2, us(100))).toDF("user_id", "req_us")
+    val cur = StreamingOps.sessionsCurrentByRequests(raw, requests)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // Control: the same files through ONE uninterrupted process.
+    val root2 = java.nio.file.Files.createTempDirectory("graft_cserec1_")
+    val in2 = java.nio.file.Files.createDirectory(root2.resolve("in"))
+    writeSess(in2, Seq(sevc(u1, 50), sevc(u2, 0), sevc(u3, 0)),
+      "f0.parquet", base)
+    writeSess(in2, Seq(sevc(u1, 60), sevc(u3, 90)),
+      "f1.parquet", base + 2000)
+    writeSess(in2, Seq(sreq(u2, 100), sevc(u2, 150)),
+      "f2.parquet", base + 4000)
+    writeSess(in2, Seq(sevc(k, 400)), "f3.parquet", base + 6000)
+    writeSess(in2, Seq(sevc(k, 500)), "f4.parquet", base + 8000)
+    runSessStream(in2, s"$root2/data", "0 seconds")
+    val raw2 = spark.read.option("recursiveFileLookup", "true")
+      .schema(implicitly[org.apache.spark.sql.Encoder[SessionOutE]].schema)
+      .parquet(s"$root2/data")
+    val cur2 = StreamingOps.sessionsCurrentByRequests(raw2, requests)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(cur == cur2,
+      s"restarted run diverged from the uninterrupted run: $cur vs $cur2")
+  }
+
   test("q134 guard: an open session straddling the instant raises in-handler") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_cse3_")

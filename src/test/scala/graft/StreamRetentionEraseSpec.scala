@@ -225,6 +225,126 @@ class StreamRetentionEraseSpec extends AnyFunSuite {
       "e3 must have no flagged days")
   }
 
+  test("q139: kill and resume from checkpoint — the register and cohort anchor survive recovery (r17 VERDICT task 3)") {
+    import spark.implicits._
+    // The q130 recovery witness, retention-store edition: the state a
+    // deployment cannot afford to lose here is (a) the COHORT DAY —
+    // load-bearing forever (a lost anchor would re-cohort a returning
+    // user and corrupt two cells) — and (b) the applied-erasure
+    // register, without which a post-restart pre-T straggler leaks.
+    val root = java.nio.file.Files.createTempDirectory("graft_retcrec_")
+    val inputDir = java.nio.file.Files.createDirectory(root.resolve("in"))
+    val dataDir = s"$root/data"
+    val chk = s"$root/chk"
+    val base = System.currentTimeMillis() - 60000
+    val T = 20010L * DayUs + 12L * 3600000000L
+    val (u1, u2) = (71L, 72L)
+    def start() = {
+      import spark.implicits._
+      val in = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[CtrlEvent]].schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inputDir.toString)
+        .as[CtrlEvent]
+      in.groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Update(),
+          org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)(
+          StreamingOps.retentionStepCtrl _)
+        .writeStream.outputMode(OutputMode.Update())
+        .option("checkpointLocation", chk)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[RetOutE], id: Long) =>
+          batch.toDF().write.mode("overwrite").parquet(s"$dataDir/b$id"); ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+    }
+    // Run 1: u1 cohorts at day 20000; u2's request applies over empty
+    // state (register stored, no tombstone). STOP.
+    writeCtrl(inputDir, Seq(rev(u1, 20000, 1), rreq(u2, T)), "f0.parquet", base)
+    val q1 = start(); q1.awaitTermination()
+    // Run 2 (a NEW query from the same checkpoint): u1's day 20005
+    // must emit against the RECOVERED cohort anchor (20000 — a lost
+    // anchor would re-cohort at 20005); u2's pre-T straggler must be
+    // SKIPPED (recovered register) and its post-T day re-cohort
+    // flagged.
+    writeCtrl(inputDir, Seq(rev(u1, 20005, 1), rev(u2, 20000, 2)),
+      "f1.parquet", base + 2000)
+    writeCtrl(inputDir, Seq(rev(u2, 20012, 1)), "f2.parquet", base + 4000)
+    val q2 = start(); q2.awaitTermination()
+    val raw = spark.read.option("recursiveFileLookup", "true")
+      .schema(implicitly[org.apache.spark.sql.Encoder[RetOutE]].schema)
+      .parquet(dataDir)
+    val rows = raw.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getBoolean(3))).toSeq
+    assert(rows.contains((u1, 20005, 20000, false)),
+      s"u1's post-restart day must anchor to the recovered cohort: $rows")
+    assert(!rows.exists { case (u, d, _, _) => u == u2 && d == 20000 },
+      s"u2's pre-T straggler leaked past the recovered register: $rows")
+    assert(rows.contains((u2, 20012, 20012, true)),
+      s"u2's post-T day must re-cohort flagged after recovery: $rows")
+    // Control: the same files through ONE uninterrupted process give
+    // the identical compacted matrix.
+    val root2 = java.nio.file.Files.createTempDirectory("graft_retcrec1_")
+    val in2 = java.nio.file.Files.createDirectory(root2.resolve("in"))
+    writeCtrl(in2, Seq(rev(u1, 20000, 1), rreq(u2, T)), "f0.parquet", base)
+    writeCtrl(in2, Seq(rev(u1, 20005, 1), rev(u2, 20000, 2)),
+      "f1.parquet", base + 2000)
+    writeCtrl(in2, Seq(rev(u2, 20012, 1)), "f2.parquet", base + 4000)
+    runCtrl(in2, s"$root2/data")
+    def matrix(d: String) = StreamingOps.retentionCurrent(
+        spark.read.option("recursiveFileLookup", "true")
+          .schema(implicitly[org.apache.spark.sql.Encoder[RetOutE]].schema)
+          .parquet(d))
+      .collect().map(_.toSeq).toSet
+    assert(matrix(dataDir) == matrix(s"$root2/data"),
+      "restarted run diverged from the uninterrupted run")
+  }
+
+  test("q139: the lastUs mixed-era witness survives recovery — a post-restart request over recovered post-T activity still raises") {
+    // The guard's entire value is the lastUs timestamp in state: a
+    // request arriving AFTER the user already processed post-T
+    // activity is the irrecoverable shape and must raise. If recovery
+    // dropped lastUs, the restarted handler would apply the wipe
+    // silently and lose post-T days — so the witness itself must
+    // survive the checkpoint.
+    val root = java.nio.file.Files.createTempDirectory("graft_retcrecg_")
+    val inputDir = java.nio.file.Files.createDirectory(root.resolve("in"))
+    val chk = s"$root/chk"
+    val base = System.currentTimeMillis() - 60000
+    val T = 20010L * DayUs + 12L * 3600000000L
+    val u = 75L
+    def start() = {
+      import spark.implicits._
+      val in = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[CtrlEvent]].schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inputDir.toString)
+        .as[CtrlEvent]
+      in.groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Update(),
+          org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)(
+          StreamingOps.retentionStepCtrl _)
+        .writeStream.outputMode(OutputMode.Update())
+        .option("checkpointLocation", chk)
+        .format("noop")
+        .trigger(Trigger.AvailableNow()).start()
+    }
+    // Run 1: activity on day 20000 AND day 20012 (post-T) — lastUs
+    // now witnesses post-T processing. STOP.
+    writeCtrl(inputDir, Seq(rev(u, 20000, 1), rev(u, 20012, 1)),
+      "f0.parquet", base)
+    val q1 = start(); q1.awaitTermination()
+    // Run 2: the request arrives — the RECOVERED lastUs must trip the
+    // guard in the resumed query.
+    writeCtrl(inputDir, Seq(rreq(u, T)), "f1.parquet", base + 2000)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q2 = start(); q2.awaitTermination()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + msgs(t.getCause)
+    assert(msgs(ex).contains("q139 arrival-order violation"),
+      s"the recovered lastUs must trip the guard, got: ${msgs(ex).take(300)}")
+  }
+
   test("q139 guard: a post-T event processed before the request raises in-handler") {
     val root = java.nio.file.Files.createTempDirectory("graft_retcg_")
     val inputDir = java.nio.file.Files.createDirectory(root.resolve("in"))
