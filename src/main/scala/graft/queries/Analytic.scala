@@ -1169,15 +1169,26 @@ object Analytic {
       standingIds: DataFrame): DataFrame =
     dedupBatchGated(batch, standingIds, DedupBroadcastIdCap)
 
-  /** Batch-id ceiling for [[dedupBatch]]'s broadcast probe: the r16
-    * volume run pushed 10.8M ids (~86 MB serialized) through the
-    * broadcast path successfully, but the probe is proportional to
-    * the BATCH, so at 100× it outgrows any driver (r16 VERDICT watch
-    * item). 20M longs ≈ 160 MB serialized is the measured comfortable
-    * ceiling's neighborhood; above it the plan flips to a shuffle
-    * anti-join — never a driver-side set (the q51
-    * [[DedupOps.DeferredBroadcastIdCap]] argument, session edition). */
-  private[graft] val DedupBroadcastIdCap = 20000000L
+  /** Batch-id ceiling for [[dedupBatch]]'s broadcast probe —
+    * RECALIBRATED from the measured crossover (r17 VERDICT task 2 /
+    * ADVICE: the old 20M default was a driver-safety ceiling, not a
+    * performance choice, and r17's own SMVGATE A/B showed the shuffle
+    * branch 4.5× faster at 10.8M ids). GateCrossBench's ladder
+    * against the 25.2M-id volume store (THROUGHPUT r18) measures the
+    * shuffle anti-join FASTER AT EVERY POINT from 150k to 14.4M batch
+    * ids (4.9 s vs 7.0 s at 150k, 5.8 s vs 15.5 s at 9.6M, 7.3 s vs
+    * 21.3 s at 14.4M): the broadcast path pays two serial
+    * broadcast-and-wait stages (probe the store with the batch ids,
+    * then anti-join the batch against the probed intersection), while
+    * the shuffle path exchanges once and — on the registered BUCKETED
+    * id store — exchanges only the batch side. 100k keeps the
+    * broadcast plan only for trickle batches below the measured
+    * ladder (≤ ~800 KB serialized, where two broadcasts beat spinning
+    * up any exchange and the difference is noise); everything above
+    * routes to the measured-faster shuffle branch. Driver safety is
+    * now trivially implied (the old 20M ceiling argument is moot two
+    * orders of magnitude below it). */
+  private[graft] val DedupBroadcastIdCap = 100000L
 
   /** [[dedupBatch]] with the gate exposed for tests: cap 0 forces the
     * shuffle branch; a huge cap forces the broadcast branch. The

@@ -121,6 +121,99 @@ object EpochVolBench {
     println(f"EPOCHVERIFY all 3 families == filtered recompute, 0 mismatches " +
       f"(sessions=$nSess%,d, funnel=$nFun%,d, retention=$nRet%,d rows); " +
       f"takedown family: corpus-independent, covered by CappedClusterVolBench")
+    Scratch.releaseAll()
+
+    // ---- q145 CHAIN phase (r17 VERDICT task 1): the SAME feed split
+    // into two epochs — epoch 1 folds day 1 = [Jan 4, Jan 5) against
+    // the pre-Jan-4 standing state, erases its half of the requests
+    // (rebuilds see only the events ingested so far), and PUBLISHES
+    // the post-epoch stores plus the erase register; epoch 2 folds
+    // day 2 = [Jan 5, ...) THROUGH THE REGISTER (requests with
+    // T = Jan 6 land inside day 2, so the register non-vacuously
+    // drops their pre-T day-2 rows) and erases the other half over
+    // the full store. The chained result must equal the ONE-SHOT
+    // epoch's outputs above (path independence — q145's claim),
+    // which are themselves proven == the filtered recompute.
+    val cut1c = lit("2025-01-04").cast("timestamp")
+    val cut2c = lit("2025-01-05").cast("timestamp")
+    val t2 = System.nanoTime()
+    val preC = e.where(col("ts") < cut1c)
+    Analytic.sessionTable(preC).write.mode("overwrite").parquet(s"$scratch/sessC")
+    Analytic.funnelStates(preC).write.mode("overwrite").parquet(s"$scratch/funC")
+    val (f0c, c0c) = Analytic.retentionState(preC)
+    f0c.write.mode("overwrite").parquet(s"$scratch/retFC")
+    c0c.write.mode("overwrite").parquet(s"$scratch/retCC")
+    println(f"CHAINSETUP pre-epoch-1 standing artifacts stored in " +
+      f"${(System.nanoTime() - t2) / 1e9}%5.1f s")
+
+    val epoch1 = queries.h60(concat(lit("epoch:"), col("user_id"))) % 2 === 0
+    val requestsAll = Scratch.scoped(
+      e.where(erased).select(col("user_id")).distinct()
+        .select(col("user_id"), reqT.as("req_us")))
+    val req1 = requestsAll.where(epoch1)
+    val req2 = requestsAll.where(!epoch1)
+
+    // Epoch 1 (timed): fold day 1, erase req1, publish.
+    shufWrite.set(0)
+    val t3 = System.nanoTime()
+    val day1 = Scratch.scoped(e.where(col("ts") >= cut1c && col("ts") < cut2c))
+    val soFar = e.where(col("ts") < cut2c)
+    val (sE1, fE1, rFE1, rCE1) = queries.EpochOps.behavioralEpoch(
+      spark.read.parquet(s"$scratch/sessC"), spark.read.parquet(s"$scratch/funC"),
+      spark.read.parquet(s"$scratch/retFC"), spark.read.parquet(s"$scratch/retCC"),
+      day1, soFar, req1)
+    sE1.write.mode("overwrite").parquet(s"$scratch/sessP1")
+    fE1.write.mode("overwrite").parquet(s"$scratch/funP1")
+    rFE1.write.mode("overwrite").parquet(s"$scratch/retFP1")
+    rCE1.write.mode("overwrite").parquet(s"$scratch/retCP1")
+    req1.write.mode("overwrite").parquet(s"$scratch/regP1")
+    val wallE1 = (System.nanoTime() - t3) / 1e9
+    val nDay1 = day1.count()
+    println(f"CHAINEPOCH1 $nDay1%,d-event day-1 batch folded+erased+PUBLISHED " +
+      f"in $wallE1%5.1f s  shufWrite=${shufWrite.get / 1e9}%.2f GB")
+    Scratch.releaseAll()
+
+    // Epoch 2 (timed): the register front-end, then fold+erase
+    // against the PUBLISHED stores.
+    shufWrite.set(0)
+    val t4 = System.nanoTime()
+    val regP = spark.read.parquet(s"$scratch/regP1")
+    val day2 = Scratch.scoped(
+      e.where(col("ts") >= cut2c)
+        .join(broadcast(regP), Seq("user_id"), "left")
+        .where(col("req_us").isNull || unix_micros(col("ts")) >= col("req_us"))
+        .drop("req_us"))
+    val (sE2, fE2, _, rCE2) = queries.EpochOps.behavioralEpoch(
+      spark.read.parquet(s"$scratch/sessP1"), spark.read.parquet(s"$scratch/funP1"),
+      spark.read.parquet(s"$scratch/retFP1"), spark.read.parquet(s"$scratch/retCP1"),
+      day2, e, req2)
+    sE2.write.mode("overwrite").parquet(s"$scratch/outSessC")
+    Analytic.funnelReport(fE2).write.mode("overwrite").parquet(s"$scratch/outFunC")
+    Analytic.retentionReport(rCE2).write.mode("overwrite").parquet(s"$scratch/outRetC")
+    val wallE2 = (System.nanoTime() - t4) / 1e9
+    val nDay2 = day2.count()
+    // The register must have dropped real rows (requests with T
+    // inside day 2 whose users were active before their T).
+    val nDropped = e.where(col("ts") >= cut2c)
+      .join(broadcast(regP), Seq("user_id"))
+      .where(unix_micros(col("ts")) < col("req_us")).count()
+    require(nDropped > 0, "register drop class vacuous at volume")
+    println(f"CHAINEPOCH2 $nDay2%,d-event day-2 batch folded through the " +
+      f"published register ($nDropped%,d pre-T rows dropped) + erased in " +
+      f"$wallE2%5.1f s  shufWrite=${shufWrite.get / 1e9}%.2f GB")
+    Scratch.releaseAll()
+
+    // Chain == one-shot (path independence), family by family.
+    val badSessC = diffCount(spark.read.parquet(s"$scratch/outSessC"),
+      spark.read.parquet(s"$scratch/outSess"))
+    val badFunC = diffCount(spark.read.parquet(s"$scratch/outFunC"),
+      spark.read.parquet(s"$scratch/outFun"))
+    val badRetC = diffCount(spark.read.parquet(s"$scratch/outRetC"),
+      spark.read.parquet(s"$scratch/outRet"))
+    require(badSessC == 0 && badFunC == 0 && badRetC == 0,
+      s"chain diverged from the one-shot epoch: sess=$badSessC fun=$badFunC ret=$badRetC")
+    println(f"CHAINVERIFY two-epoch chain == one-shot epoch == filtered " +
+      f"recompute across all 3 families, 0 mismatches")
     spark.stop()
   }
 }

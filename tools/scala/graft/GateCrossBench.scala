@@ -47,7 +47,7 @@ object GateCrossBench {
     // events (so ~7/8 of each batch duplicates standing ids — the
     // redelivery-heavy shape where the dedup does real work), plus a
     // second copy of half of it (in-batch duplicate pressure).
-    for (d <- Seq(24, 12, 6, 3, 2)) {
+    for (d <- Seq(192, 96, 48, 24, 12, 6, 3, 2)) {
       val samp = queries.h60(concat(lit("cross:"), col("event_id"))) % d === 0
       val redup = queries.h60(concat(lit("cross2:"), col("event_id"))) % (2 * d) === 0
       val dirty = e.where(samp).unionByName(e.where(samp && redup))
@@ -62,9 +62,14 @@ object GateCrossBench {
       val (nB, sB, shB) = timeBranch(Long.MaxValue, "broadcast")
       val (nS, sS, shS) = timeBranch(0L, "shuffle")
       require(nB == nS, s"branches disagree at 1/$d: $nB vs $nS")
+      val default =
+        if (nUniq <= queries.Analytic.DedupBroadcastIdCap) "broadcast"
+        else "shuffle"
+      val winner = if (sB <= sS) "broadcast" else "shuffle"
       println(f"GCPOINT   batch=$nUniq%,d uniq ids: broadcast $sB%6.2f s " +
         f"(shuf $shB%.2f GB)  vs  shuffle $sS%6.2f s (shuf $shS%.2f GB)  " +
-        f"-> ${if (sB <= sS) "broadcast" else "shuffle"} wins")
+        f"-> $winner wins; default cap picks $default" +
+        (if (default == winner) "" else "  ** MISROUTED **"))
     }
     spark.stop()
   }
