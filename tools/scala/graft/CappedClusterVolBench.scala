@@ -194,6 +194,68 @@ object CappedClusterVolBench {
     println(f"CCVBPART  layouts agree on every assignment; $demotedC%,d demotions; " +
       f"pruning kept ${maxPid + 1}%,d of $nParts%,d partitions and skipped " +
       f"$readDelta%,d scanned rows")
+    Scratch.releaseAll()
+
+    // ---- q145 CHAIN phase (r17 VERDICT task 1, cluster family): two
+    // successive takedowns where epoch 2 runs against epoch 1's
+    // PUBLISHED post-state (removeFromCappedClusterFull carries the
+    // post index, the restricted-∪-revealed pair relation, and the
+    // component assignment). Epoch 1 removes the demote-dense range
+    // batch above; epoch 2 removes the same shape over the NEXT fifth
+    // of id space, so its demotions fire against a standing state
+    // that epoch 1's reveals already rewrote — the cross-epoch
+    // tombstone interaction EpochSpec pins crafted, here at 2M docs.
+    // Verify: chain == from-scratch capped rebuild over BOTH
+    // removals' survivors.
+    shufWrite.set(0)
+    val tC1 = System.nanoTime()
+    val (idxP1, pairsP1, compsP1) = queries.DedupOps.removeFromCappedClusterFull(
+      idx, banded, sig, pairs, comps, removedC, cap)
+    idxP1.write.mode("overwrite").parquet(s"$scratch/idx_p1")
+    pairsP1.write.mode("overwrite").parquet(s"$scratch/pairs_p1")
+    compsP1.write.mode("overwrite").parquet(s"$scratch/comps_p1")
+    println(f"CHAINRM1  epoch-1 takedown (${removedC.count()}%,d docs) applied " +
+      f"and post-state PUBLISHED in ${(System.nanoTime() - tC1) / 1e9}%6.1f s  " +
+      f"shufWrite=${shufWrite.get / 1e9}%.2f GB")
+    Scratch.releaseAll()
+    val removedC2 = spark.read.parquet(s"$dir/documents.parquet")
+      .where(col("doc_id") >= cut && col("doc_id") < 2 * cut &&
+        queries.h60(concat(lit("remove:"), col("doc_id"))) % 2 === 0)
+      .select(col("doc_id"))
+    val banded1 = banded.join(removedC, Seq("doc_id"), "left_anti")
+    shufWrite.set(0)
+    val tC2 = System.nanoTime()
+    queries.DedupOps.removeFromCappedCluster(
+        spark.read.parquet(s"$scratch/idx_p1"), banded1, sig,
+        spark.read.parquet(s"$scratch/pairs_p1"),
+        spark.read.parquet(s"$scratch/comps_p1"), removedC2, cap)
+      .write.mode("overwrite").parquet(s"$scratch/after_chain")
+    println(f"CHAINRM2  epoch-2 takedown (${removedC2.count()}%,d docs) applied " +
+      f"against the published post-state in ${(System.nanoTime() - tC2) / 1e9}%6.1f s  " +
+      f"shufWrite=${shufWrite.get / 1e9}%.2f GB")
+    Scratch.releaseAll()
+    // Epoch-2 demotions against the PUBLISHED index (non-vacuity).
+    val demotedC2 = spark.read.parquet(s"$scratch/idx_p1")
+      .where(size(col("ids")) === 0)
+      .join(banded1.join(removedC2, Seq("doc_id"), "left_anti")
+          .groupBy(col("band"), col("key")).agg(count(lit(1)).as("n"))
+          .where(col("n") > 0 && col("n") <= cap),
+        Seq("band", "key"), "left_semi").count()
+    require(demotedC2 > 0, "epoch 2 demoted nothing; the chain phase is vacuous")
+    val removedBoth = removedC.unionByName(removedC2)
+    val sigS2 = sig.join(removedBoth, Seq("doc_id"), "left_anti")
+    val bandedS2 = banded.join(removedBoth, Seq("doc_id"), "left_anti")
+    val (_, _, fromScratch2) =
+      queries.DedupOps.cappedClusterArtifacts(sigS2, bandedS2, cap)
+    val chainDiff = normalized(spark.read.parquet(s"$scratch/after_chain"))
+      .union(normalized(fromScratch2))
+      .groupBy(col("id"), col("lab")).agg(count(lit(1)).as("n"))
+      .where(col("n") =!= 2).count()
+    require(chainDiff == 0,
+      s"$chainDiff (id,label) rows differ vs the two-removal from-scratch rebuild")
+    println(f"CHAINVERIFY chained takedowns == from-scratch capped rebuild over " +
+      f"both removals' survivors, 0 mismatches; epoch-2 demotions " +
+      f"against the published index: $demotedC2%,d")
     spark.stop()
   }
 }
