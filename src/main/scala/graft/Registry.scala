@@ -158,7 +158,9 @@ object Registry {
       // q146 (the full nightly job: q140 + q144 side-tagged) — same tail-append rule.
       queries.EpochOps.q146 :+
       // q147 (horizon-aged id store for the redelivery dedup) — same tail-append rule.
-      queries.Analytic.q147
+      queries.Analytic.q147 :+
+      // q148 (chained ingest epochs: successive index merges) — same tail-append rule.
+      queries.EpochOps.q148
 
   // ListMap: keep registry order. A HashMap would reshuffle the
   // bench's execution order whenever a query is added, which moves

@@ -54,10 +54,22 @@ import org.apache.spark.sql.functions._
   * stream-handler register, published as a batch store), and every
   * subsequent epoch's fold front-ends its batch through it: rows of a
   * registered user before that user's T are dropped before the fold.
-  * EpochSpec pins the hazard non-vacuously (register-consulted chain
-  * == filtered rebuild; skipping the register re-admits the
-  * identified pre-T day-2 row) and censuses real register drops on
-  * the sf0.1 feed (88 day-2 rows).
+  * The register ACCUMULATES — each epoch publishes the union of every
+  * applied request, because a T can lie arbitrarily many epochs in
+  * the future; q145 registers one chain step, and EpochSpec pins the
+  * induction (a 3-epoch chain where an epoch-1 register entry must
+  * survive THROUGH epoch 2 to protect epoch 3's fold, plus the
+  * stale-register hazard: consulting only the latest epoch's requests
+  * re-admits the identified pre-T row). EpochSpec also pins the
+  * one-step hazard non-vacuously (register-consulted chain ==
+  * filtered rebuild; skipping the register re-admits the identified
+  * pre-T day-2 row) and censuses real register drops on the sf0.1
+  * feed (88 day-2 rows; 41,798 at the 28.7M-event volume scale).
+  *
+  * q148 is the chain's INGEST-side sibling: two days' accepted
+  * batches merged successively into the standing capped indexes,
+  * tombstones carried across days — mergeIndexBuckets' grouping
+  * invariance made driver-gated (oracle = the one-shot recompute).
   *
   * The takedown chain pins the other cross-epoch interaction: a
   * bucket TOMBSTONED in the standing index, DEMOTED to live by
@@ -371,19 +383,32 @@ object EpochOps {
   // id lists, member lists) ride as h60 hashes, cross-engine
   // deterministic by construction.
 
+  /** The ingest-epoch projection of a merged (band, key, ids) bucket
+    * relation onto the tagged-family shape (string key and id list
+    * ride as h60 hashes — cross-engine deterministic). */
+  private def idxSlice(merged: DataFrame, family: String): DataFrame =
+    merged.select(lit(family).as("family"),
+      col("band").cast("long").as("k1"),
+      h60(col("key")).as("k2"),
+      size(col("ids")).cast("long").as("v1"),
+      h60(concat((size(col("ids")) === 0).cast("string"), lit(":"),
+        concat_ws(",", transform(col("ids"), x => x.cast("string")))))
+        .as("v2"))
+
+  /** DuckDB text of [[idxSlice]] over an index-merge oracle. */
+  private def oIdxSlice(oracle: String, family: String) =
+    s"""SELECT '$family' AS family, CAST(band AS BIGINT) AS k1,
+         ${oH60("CAST(key AS VARCHAR)")} AS k2, n_kept AS v1,
+         ${oH60("CAST(dropped AS VARCHAR) || ':' || ids")} AS v2
+       FROM ($oracle) ${family.take(4)}"""
+
   private def q144Body(s: org.apache.spark.sql.SparkSession, dir: String,
       arts: (DataFrame, DataFrame)): DataFrame = {
     import DedupOps._
     val incD = h60(concat(lit("ingest:"), col("doc_id"))) % 10 === 0
     val incV = h60(concat(lit("ingest:"), col("vec_id"))) % 10 === 0
     def idx(merged: DataFrame, family: String): DataFrame =
-      merged.select(lit(family).as("family"),
-        col("band").cast("long").as("k1"),
-        h60(col("key")).as("k2"),
-        size(col("ids")).cast("long").as("v1"),
-        h60(concat((size(col("ids")) === 0).cast("string"), lit(":"),
-          concat_ws(",", transform(col("ids"), x => x.cast("string")))))
-          .as("v2"))
+      idxSlice(merged, family)
     val ti = idx(mergeIndexBuckets(
       cappedIndexBuckets(bandedFor(s, dir, !incD), Q96Cap),
       bandedFor(s, dir, incD), Q96Cap), "text_index")
@@ -405,22 +430,16 @@ object EpochOps {
       .orderBy(col("family"), col("k1"), col("k2"))
   }
 
-  private def q144Oracle: String = {
-    def idx(oracle: String, family: String) =
-      s"""SELECT '$family' AS family, CAST(band AS BIGINT) AS k1,
-           ${oH60("CAST(key AS VARCHAR)")} AS k2, n_kept AS v1,
-           ${oH60("CAST(dropped AS VARCHAR) || ':' || ids")} AS v2
-         FROM ($oracle) ${family.take(4)}"""
+  private def q144Oracle: String =
     s"""SELECT family, k1, k2, v1, v2 FROM (
-      ${idx(DedupOps.q101.oracle.get, "text_index")}
+      ${oIdxSlice(DedupOps.q101.oracle.get, "text_index")}
       UNION ALL
-      ${idx(DedupOps.q102.oracle.get, "embedding_index")}
+      ${oIdxSlice(DedupOps.q102.oracle.get, "embedding_index")}
       UNION ALL
       SELECT 'clusters' AS family, canonical_id AS k1, n_docs AS k2,
              n_incoming AS v1, ${oH60("members")} AS v2
       FROM (${DedupOps.q105.oracle.get}) c105
     ) ORDER BY family, k1, k2"""
-  }
 
   val q144 = Q(
     "q144_ingest_epoch",
@@ -461,4 +480,49 @@ object EpochOps {
       prepPut(s, dir, "prep146e", q140Arts(s, dir))
       prepPut(s, dir, "prep146i", DedupOps.q105Arts(s, dir))
     }))
+
+  // ---- q148: the INGEST epoch CHAIN — q145's sibling on the
+  // document side (the symmetry q145 closed for the events side).
+  // Two days' accepted batches merge SUCCESSIVELY into the standing
+  // capped indexes: day 2's merge runs against the index day 1's
+  // merge produced — tombstones carried across days, a bucket can
+  // cross the cap mid-chain. mergeIndexBuckets' tombstones make the
+  // merge monotone and grouping-invariant (its scaladoc;
+  // IndexMergeSpec's two-batch replay pins it in-engine at a
+  // tightened cap), so the chain's oracle is the ONE-SHOT full-corpus
+  // recompute — q101/q102's oracles VERBATIM — making grouping
+  // invariance driver-gated cross-engine every round, exactly as
+  // q145's oracle makes the behavioral chain's path independence.
+  // The cluster family's cross-day composition is the closure
+  // algebra's (mergeComponents composes; the takedown chain is
+  // q145's registered cluster slice) — not re-registered here.
+
+  /** Day-2 accepted split — disjoint from q144's "ingest:" day-1
+    * split; standing = neither day. */
+  private[graft] def ingest2(idCol: String): Column =
+    h60(concat(lit("ingest2:"), col(idCol))) % 10 === 0 &&
+      !(h60(concat(lit("ingest:"), col(idCol))) % 10 === 0)
+
+  val q148 = Q(
+    "q148_ingest_epoch_chain",
+    "chained ingest epochs: two days' accepted batches merged successively into the standing capped indexes (tombstones carried) == the one-shot recompute",
+    (s, dir) => {
+      import DedupOps._
+      val inc1D = h60(concat(lit("ingest:"), col("doc_id"))) % 10 === 0
+      val inc1V = h60(concat(lit("ingest:"), col("vec_id"))) % 10 === 0
+      val ti = idxSlice(mergeIndexBuckets(mergeIndexBuckets(
+        cappedIndexBuckets(bandedFor(s, dir, !inc1D && !ingest2("doc_id")), Q96Cap),
+        bandedFor(s, dir, inc1D), Q96Cap),
+        bandedFor(s, dir, ingest2("doc_id")), Q96Cap), "text_index")
+      val ei = idxSlice(mergeIndexBuckets(mergeIndexBuckets(
+        cappedIndexBuckets(embBandedFor(s, dir, !inc1V && !ingest2("vec_id")), Q91Cap),
+        embBandedFor(s, dir, inc1V), Q91Cap),
+        embBandedFor(s, dir, ingest2("vec_id")), Q91Cap), "embedding_index")
+      ti.unionByName(ei).orderBy(col("family"), col("k1"), col("k2"))
+    },
+    Some(s"""SELECT family, k1, k2, v1, v2 FROM (
+      ${oIdxSlice(DedupOps.q101.oracle.get, "text_index")}
+      UNION ALL
+      ${oIdxSlice(DedupOps.q102.oracle.get, "embedding_index")}
+    ) ORDER BY family, k1, k2"""))
 }

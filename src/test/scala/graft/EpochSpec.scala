@@ -230,6 +230,66 @@ class EpochSpec extends AnyFunSuite {
       s"the residue must be u1's pre-T day-2 event re-admitted: $bad")
   }
 
+  test("q145 induction: a THIRD epoch folds against the accumulated register (req1 ∪ req2) — the chain iterates without drift") {
+    import spark.implicits._
+    // The register is not one epoch's artifact — it ACCUMULATES: each
+    // epoch publishes the union of every applied request, and every
+    // later epoch's fold front-ends through it. Three epochs, two
+    // requests, both with T inside LATER epochs:
+    //   u1 requested in epoch 1 with T = 250 (inside day 3!) — its
+    //     register entry must survive THROUGH epoch 2 and still drop
+    //     u1's pre-T day-3 row;
+    //   u2 requested in epoch 2 with T = 220 (inside day 3) — joins
+    //     the register at epoch 2's publish;
+    //   u3 untouched control.
+    // Days: standing < 40, day1 = [40,100), day2 = [100,200),
+    // day3 >= 200.
+    val standing0 = ev(Seq((1L, 0L), (2L, 0L), (3L, 0L)))
+    val day1 = ev(Seq((1L, 50L), (2L, 50L), (3L, 50L)))
+    val day2 = ev(Seq((1L, 120L), (2L, 120L), (3L, 120L)))
+    val day3 = ev(Seq((1L, 210L), (1L, 300L), (2L, 205L), (2L, 300L), (3L, 210L)))
+    val req1 = Seq((1L, us(250))).toDF("user_id", "req_us")
+    val req2 = Seq((2L, us(220))).toDF("user_id", "req_us")
+    val allReq = req1.unionByName(req2)
+    val allEvents = standing0.unionByName(day1).unionByName(day2).unionByName(day3)
+    def reg(day: org.apache.spark.sql.DataFrame,
+        register: org.apache.spark.sql.DataFrame) =
+      day.join(register, Seq("user_id"), "left")
+        .where(col("req_us").isNull || unix_micros(col("ts")) >= col("req_us"))
+        .select(col("user_id"), col("ts"))
+    // Epoch 1: fold day 1, erase req1; publish register = req1.
+    val e1 = Analytic.eraseSessionsBeforeT(
+      Analytic.mergeSessions(Analytic.sessionTable(standing0), day1),
+      standing0.unionByName(day1), req1)
+    // Epoch 2: fold day 2 through register {req1}, erase req2;
+    // publish register = req1 ∪ req2.
+    val e2 = Analytic.eraseSessionsBeforeT(
+      Analytic.mergeSessions(e1, reg(day2, req1)),
+      allEvents.where(unix_micros(col("ts")) < us(200))
+        .select(col("user_id"), col("ts")), req2)
+    // Epoch 3: no new requests — fold day 3 through the ACCUMULATED
+    // register. u1's 210 (< T=250) and u2's 205 (< T=220) must drop;
+    // their 300s and u3's 210 fold.
+    val e3 = Analytic.mergeSessions(e2, reg(day3, allReq))
+      .collect().map(_.toSeq).toSet
+    val want = Analytic.sessionTable(
+      allEvents.join(allReq, Seq("user_id"), "left")
+        .where(col("req_us").isNull || unix_micros(col("ts")) >= col("req_us"))
+        .select(col("user_id"), col("ts")))
+      .collect().map(_.toSeq).toSet
+    assert(e3 == want, s"3-epoch chain != filtered rebuild: $e3 vs $want")
+    assert(want.contains(Seq(1L, 1L, us(300), us(300))) &&
+      want.contains(Seq(2L, 1L, us(300), us(300))),
+      "the post-T day-3 events must survive as fresh sessions")
+    // The stale-register hazard: epoch 3 consulting only the LATEST
+    // epoch's requests (req2) re-admits u1's pre-T day-3 row.
+    val bad = Analytic.mergeSessions(e2, reg(day3, req2))
+      .collect().map(_.toSeq).toSet
+    assert(bad != want && bad.exists(r =>
+        r.head == 1L && r(2).asInstanceOf[Long] == us(210)),
+      s"dropping an old register entry must re-admit u1's pre-T row: $bad")
+  }
+
   test("q145 cross-epoch takedown: a bucket demoted (reveal) in epoch 1 is re-merged by epoch 2's demotion — chain through the published post-state == rebuild over both removals' survivors") {
     import spark.implicits._
     import graft.queries.DedupOps
@@ -325,6 +385,41 @@ class EpochSpec extends AnyFunSuite {
         s"clusters slice: chain != one-shot union takedown at $dir")
       assert(slice(chain, "sessions").nonEmpty &&
         slice(chain, "clusters").nonEmpty)
+      graft.Scratch.releaseAll()
+    }
+  }
+
+  for (sf <- Seq("sf0.001", "sf0.01")) {
+    test(s"$sf replay: q148's chained index slices == the registered one-shot merges, with cross-day bucket traffic") {
+      import graft.queries.{DedupOps, EpochOps, h60, t}
+      val dir = s"/root/testdata/$sf"
+      val chain = Registry.queriesMap("q148_ingest_epoch_chain")(spark, dir)
+        .collect()
+      def slice(f: String) = chain.filter(_.getString(0) == f)
+        .map(_.toSeq.tail).toSeq.sortBy(_.toString)
+      // The final index state is split-independent (grouping
+      // invariance): the chained three-way split must equal the
+      // registered 90/10 one-shot merges, reprojected.
+      def reprojIdx(name: String) =
+        Registry.queriesMap(name)(spark, dir)
+          .select(col("band").cast("long"), h60(col("key").cast("string")),
+            col("n_kept"),
+            h60(concat(col("dropped").cast("string"), lit(":"), col("ids"))))
+          .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+      assert(slice("text_index") == reprojIdx("q101_index_merge"),
+        s"chained text index != one-shot merge at $dir")
+      assert(slice("embedding_index") == reprojIdx("q102_embedding_index_merge"),
+        s"chained embedding index != one-shot merge at $dir")
+      // Non-vacuity: day 2 must land ids into buckets day 1 (or the
+      // standing side) already populated — the cross-day interaction,
+      // not two disjoint key spaces.
+      val inc1 = h60(concat(lit("ingest:"), col("doc_id"))) % 10 === 0
+      val d1 = DedupOps.bandedFor(spark, dir, inc1 || !EpochOps.ingest2("doc_id"))
+        .select(col("band"), col("key"))
+      val shared = DedupOps.bandedFor(spark, dir, EpochOps.ingest2("doc_id"))
+        .join(d1, Seq("band", "key"), "left_semi").count()
+      assert(shared > 0,
+        s"day-2 batch shares no bucket with the standing+day-1 index at $dir")
       graft.Scratch.releaseAll()
     }
   }
