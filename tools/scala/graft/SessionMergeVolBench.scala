@@ -134,6 +134,42 @@ object SessionMergeVolBench {
       f"shufWrite=${shufWrite.get / 1e9}%.2f GB; fold == recompute, 0 mismatches")
     graft.Scratch.releaseAll()
 
+    // ---- q147 AGED phase (r17 VERDICT task 6): the same dirty fold
+    // with the id store bounded to the redelivery horizon
+    // (2025-01-05 on this corpus — ids older than the maximum
+    // redelivery delay age out), and the redelivered set restricted
+    // to the horizon (the contract the in-plan guard enforces). The
+    // aged store is the boundedness claim made concrete: O(horizon
+    // days × rate) ids instead of O(history).
+    val horizon = "2025-01-05"
+    val hcut = lit(horizon).cast("timestamp")
+    e.where(!isBatch && col("ts") >= hcut).select(col("event_id"))
+      .write.mode("overwrite").parquet(s"$scratch/ids_aged")
+    val agedIds = spark.read.parquet(s"$scratch/ids_aged")
+    val nAged = agedIds.count()
+    val dirtyAged = e.where(isBatch && col("ts") >= hcut)
+      .unionByName(e.where(col("ts") >= hcut &&
+        queries.h60(concat(lit("redeliver:"), col("event_id"))) % 4 === 0))
+    val nDirtyAged = dirtyAged.count()
+    shufWrite.set(0)
+    val t2c = System.nanoTime()
+    queries.Analytic.mergeSessions(standing,
+        queries.Analytic.dedupBatchAged(dirtyAged, agedIds, horizon))
+      .write.mode("overwrite").parquet(s"$scratch/merged147")
+    val wall147 = (System.nanoTime() - t2c) / 1e9
+    val recompute147 = queries.Analytic.sessionTable(
+      e.where(!isBatch || col("ts") >= hcut))
+    val bad147 = spark.read.parquet(s"$scratch/merged147").union(recompute147)
+      .groupBy(col("user_id"), col("n_events"), col("start_us"), col("end_us"))
+      .agg(count(lit(1)).as("n")).where(col("n") =!= 2).count()
+    require(bad147 == 0,
+      s"$bad147 session rows differ from the recompute under the aged store")
+    println(f"SMVAGED   $nDirtyAged%,d-row horizon-respecting dirty batch deduped " +
+      f"against the $nAged%,d-id AGED store (vs $nIds%,d full — " +
+      f"${100.0 * nAged / nIds}%.0f%%) and folded in $wall147%5.1f s  " +
+      f"shufWrite=${shufWrite.get / 1e9}%.2f GB; fold == recompute, 0 mismatches")
+    Scratch.releaseAll()
+
     // ---- q135/q136 phases: the session table's erase halves. The
     // standing table here is the VERIFIED full-corpus table (the
     // merged output proven == recompute above). Requests are the
