@@ -424,6 +424,20 @@ class EpochSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketedStore: two dirs that sanitize identically get distinct stores (r17 ADVICE)") {
+    import spark.implicits._
+    // "/x/sf0.1" and "/x/sf0_1" both sanitize to x_sf0_1; before the
+    // dir-hash discriminator the second caller silently read the
+    // first corpus's standing artifact.
+    val a = graft.queries.bucketedStore(spark, "/x/sf0.1", "collide_t", "user_id")(
+      Seq((1L, "a")).toDF("user_id", "v"))
+    val b = graft.queries.bucketedStore(spark, "/x/sf0_1", "collide_t", "user_id")(
+      Seq((2L, "b")).toDF("user_id", "v"))
+    assert(a.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(b.collect().map(_.getLong(0)).toSeq == Seq(2L),
+      "the second dir must get its own store, not the first corpus's")
+  }
+
   test("sf0.1 census: the published register non-vacuously drops day-2 pre-T rows of epoch-1 requests") {
     val e = graft.queries.t(spark, "/root/testdata/sf0.1", "events")
     val dropped = e
