@@ -160,7 +160,11 @@ object Registry {
       // q147 (horizon-aged id store for the redelivery dedup) — same tail-append rule.
       queries.Analytic.q147 :+
       // q148 (chained ingest epochs: successive index merges) — same tail-append rule.
-      queries.EpochOps.q148
+      queries.EpochOps.q148 :+
+      // q149 (mergeable HLL distinct sketch) — same tail-append rule.
+      queries.CurationOps.q149 :+
+      // q150 (sketch day-retention by re-merge) — same tail-append rule.
+      queries.CurationOps.q150
 
   // ListMap: keep registry order. A HashMap would reshuffle the
   // bench's execution order whenever a query is added, which moves

@@ -812,5 +812,165 @@ object CurationOps {
                  JOIN tot tb ON tb.source = source_b
       ORDER BY source_a, source_b"""))
 
+  // ---- q149/q150: MERGEABLE CARDINALITY SKETCHES (HyperLogLog
+  // registers, Flajolet et al. 2007) — the distinct-count standing
+  // artifact a 100 TB pipeline keeps where exact countDistinct would
+  // be a corpus-wide exchange per question. The whole design rides on
+  // one fact: the register table is a 2^p-row MAX-aggregate of a
+  // deterministic per-key value, so per-partition partials combine
+  // map-side, per-DAY sketches are tiny standing artifacts, and any
+  // grouping of the data merges to the same registers (max is
+  // associative, commutative, idempotent). DETERMINISM is the suite's
+  // twist: hash = [[h60]], register = h mod 2^p, rho = leading-zero
+  // rank of the remaining 52 bits computed by STRING position over a
+  // fixed-width binary rendering (`lpad(bin(rem), 52, '0')` — both
+  // engines render bin() without leading zeros and index strpos/instr
+  // identically), so the sketch is bit-identical cross-engine and the
+  // driver hash-gates the REGISTERS, not a tolerance band. The
+  // estimate column derives from exact integer arithmetic (sum of
+  // 2^(53-rho) over registers — ≤ 2^61, a BIGINT) through ONE double
+  // division by a shared literal, so even the float is identical.
+  //
+  // The ERASURE boundary, stated honestly: a sketch is lossy — no
+  // per-user erasure can be expressed on the registers (removing a
+  // max contributor is unrecoverable). The suite's erase matrices
+  // live on the EXACT artifacts; what a sketch deployment retains is
+  // DAY-granular retention (q150): per-day sketches are the stored
+  // parts, and dropping expired days = re-merging the survivors —
+  // O(days × 2^p), no event rescan. A per-user request forces the
+  // rebuild-from-filtered-store recipe.
+
+  /** Register-index bits: 2^8 = 256 registers (±6.5 % standard
+    * error) — small enough that the whole artifact is one broadcast
+    * row-set, large enough that the estimate sanity check is
+    * meaningful. */
+  private val HllP = 8
+  private val HllM = 1 << HllP
+  /** alpha_m · m² · 2^53 as one shared double literal: both engines
+    * divide this by the exact integer register sum, so the estimate
+    * double is bit-identical (one rounding step each). */
+  private val HllNum: Double =
+    0.7213 / (1 + 1.079 / HllM) * HllM.toDouble * HllM.toDouble * 9007199254740992.0
+
+  /** (register, rho) of a key column: h60("hll:"||key) splits into a
+    * p-bit register index and a 52-bit remainder whose leading-zero
+    * rank is rho (rank of the first set bit, 53 when none). */
+  private def hllRegRho(key: Column): (Column, Column) = {
+    val h = h60(concat(lit("hll:"), key))
+    // Integer shift, NOT `/` (Spark's `/` is double division, inexact
+    // past 2^53 — h is up to 60 bits).
+    val rem = shiftright(h, HllP)
+    val bits = lpad(bin(rem), 52, "0")
+    (pmod(h, lit(HllM)).cast("long"),
+      when(instr(bits, "1") === 0, 53L).otherwise(instr(bits, "1").cast("long")))
+  }
+
+  /** Dense 2^p-register table from a (register_id, max_rho) partial:
+    * absent registers surface as 0 (they carry weight 2^53 in the
+    * estimate), and the exact-integer estimate column is appended. */
+  private def hllDense(s: SparkSession, partial: DataFrame): DataFrame = {
+    val regs = s.range(HllM).select(col("id").as("register_id"))
+      .join(partial, Seq("register_id"), "left")
+      .select(col("register_id"),
+        coalesce(col("max_rho"), lit(0L)).as("max_rho"))
+    // expr: the Scala shiftleft() wrapper only takes a literal shift;
+    // the underlying SQL expression accepts a column.
+    val sumScaled = regs.agg(
+      sum(expr("shiftleft(1L, cast(53 - max_rho as int))")).as("_s"))
+    regs.crossJoin(broadcast(sumScaled)) // 1-row scalar broadcast
+      .select(col("register_id"), col("max_rho"),
+        round(lit(HllNum) / col("_s"), 4).as("est"))
+      .orderBy(col("register_id"))
+  }
+
+  /** Shared DuckDB text: the dense register table + estimate over a
+    * distinct-key relation `keys(k)` filtered by `where`. */
+  private def oHll(keysSql: String): String =
+    s"""WITH keys AS ($keysSql),
+      h AS (SELECT ${oH60("'hll:' || CAST(k AS VARCHAR)")} AS h FROM keys),
+      x AS (SELECT h % $HllM AS register_id, h // $HllM AS rem FROM h),
+      rr AS (
+        SELECT register_id,
+          CASE WHEN strpos(lpad(bin(rem), 52, '0'), '1') = 0 THEN 53
+               ELSE strpos(lpad(bin(rem), 52, '0'), '1') END AS rho
+        FROM x),
+      part AS (SELECT register_id, CAST(max(rho) AS BIGINT) AS max_rho
+               FROM rr GROUP BY 1),
+      dense AS (
+        SELECT r.range AS register_id,
+          CAST(coalesce(part.max_rho, 0) AS BIGINT) AS max_rho
+        FROM range($HllM) r LEFT JOIN part ON r.range = part.register_id),
+      s AS (SELECT sum(CAST(1 AS BIGINT) << (53 - max_rho)) AS ss FROM dense)
+      SELECT register_id, max_rho,
+        round($HllNum / (SELECT ss FROM s), 4) AS est
+      FROM dense ORDER BY register_id"""
+
+  /** The registered instance: PER-DAY sketches over the event table's
+    * active users, merged by register max — the deployment's daily
+    * artifact and its roll-up in one dataflow. The oracle computes
+    * the sketch DIRECTLY over the distinct users, so the driver's
+    * hash gate proves the mergeability claim itself (any grouping of
+    * the data → the same registers) cross-engine every round, on the
+    * REGISTERS — the sketch is deterministic, so there is no
+    * tolerance band to hide behind. HllSpec pins merge == direct on
+    * crafted disjoint/overlapping days, idempotent re-merge, and the
+    * estimate's accuracy on a known cardinality. */
+  val q149 = Q(
+    "q149_hll_distinct_sketch",
+    s"mergeable HyperLogLog user sketch ($HllM registers): per-day sketches merged by register max == the direct sketch over all distinct users",
+    (s, dir) => {
+      val (reg, rho) = hllRegRho(col("user_id"))
+      val perDay = t(s, dir, "events")
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+        .select(col("day"), reg.as("register_id"), rho.as("rho"))
+        .groupBy(col("day"), col("register_id"))
+        .agg(max(col("rho")).as("max_rho"))
+      val merged = perDay.groupBy(col("register_id"))
+        .agg(max(col("max_rho")).as("max_rho"))
+      hllDense(s, merged)
+    },
+    Some(oHll("SELECT DISTINCT user_id AS k FROM events")))
+
+  /** Day-retention cutoff for q150: activity before this date expires
+    * (the Jan-generator window's final third survives). */
+  private[graft] val HllRetainFrom = "2024-01-20"
+
+  /** q150's standing artifact — the per-day sketch store (days × 2^p
+    * rows; the plainStore lifecycle, like the retention cells). */
+  private def q150Arts(s: SparkSession, dir: String): DataFrame =
+    plainStore(s, dir, "hll_days") {
+      val (reg, rho) = hllRegRho(col("user_id"))
+      t(s, dir, "events")
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+        .select(col("day"), reg.as("register_id"), rho.as("rho"))
+        .groupBy(col("day"), col("register_id"))
+        .agg(max(col("rho")).as("max_rho"))
+    }
+
+  /** The registered retention drop: expire the days before
+    * [[HllRetainFrom]] from the standing per-day sketch store by
+    * RE-MERGING the surviving days — the additive-parts device
+    * (q112's histogram decrement, sketch edition: a max cannot be
+    * decremented, so the parts are stored and the whole is re-derived
+    * in O(days × 2^p), never rescanning events). The oracle computes
+    * the sketch directly over the users active in the surviving
+    * window, so the driver re-proves drop-and-re-merge == rebuild
+    * cross-engine every round. Per-USER erasure is out of scope BY
+    * CONSTRUCTION (lossy sketch — see the family scaladoc): that
+    * request routes to the exact artifacts or a filtered rebuild. */
+  val q150 = Q(
+    "q150_hll_retention_drop",
+    s"sketch day-retention: expire days before $HllRetainFrom by re-merging the surviving per-day sketches == direct sketch over the surviving window",
+    (s, dir) => {
+      val merged = prepTake(s, dir, "prep150")(q150Arts(s, dir))
+        .where(col("day") >= lit(HllRetainFrom).cast("date"))
+        .groupBy(col("register_id"))
+        .agg(max(col("max_rho")).as("max_rho"))
+      hllDense(s, merged)
+    },
+    Some(oHll(s"""SELECT DISTINCT user_id AS k FROM events
+      WHERE CAST(ts AS DATE) >= DATE '$HllRetainFrom'""")),
+    prepare = Some((s, dir) => prepPut(s, dir, "prep150", q150Arts(s, dir))))
+
   val all: Seq[Q] = Seq(q80, q81, q82, q83, q84)
 }

