@@ -164,7 +164,10 @@ object Registry {
       // q149 (mergeable HLL distinct sketch) — same tail-append rule.
       queries.CurationOps.q149 :+
       // q150 (sketch day-retention by re-merge) — same tail-append rule.
-      queries.CurationOps.q150
+      queries.CurationOps.q150 :+
+      // q151 (sketch add half: fold the day into the per-day store) —
+      // same tail-append rule.
+      queries.CurationOps.q151
 
   // ListMap: keep registry order. A HashMap would reshuffle the
   // bench's execution order whenever a query is added, which moves

