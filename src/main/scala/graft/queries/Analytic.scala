@@ -1575,14 +1575,22 @@ object Analytic {
   private[graft] def dedupBatchAged(batch: DataFrame, agedIds: DataFrame,
       horizon: String): DataFrame = {
     val cut = lit(horizon).cast("timestamp")
-    val guarded = batch.withColumn("ts",
+    // The guard wraps EVENT_ID — the dedup key — not ts (r18 ADVICE):
+    // a ts-wrapped guard only fired when a row's ts was projected
+    // AFTER dedup, so a violating row that happened to be eliminated
+    // as a duplicate (dropDuplicates / the store anti-join never
+    // evaluate its ts) passed silently, weaker than the documented
+    // "raises on ANY pre-horizon batch row". The dedup must evaluate
+    // every row's key, so keying the guard makes the contract hold
+    // as stated (SessionMergeSpec pins the duplicate-violator case).
+    val guarded = batch.withColumn("event_id",
       when(col("ts") < cut, raise_error(concat(
         lit("q147 redelivery-horizon violation: batch event "),
         col("event_id").cast("string"), lit(" at "),
         col("ts").cast("string"),
         lit(s" predates the id-store horizon $horizon — an aged-out " +
-          "redelivery would silently double-fold"))))
-        .otherwise(col("ts")))
+          "redelivery would silently double-fold")).cast("long")))
+        .otherwise(col("event_id")))
     dedupBatch(guarded, agedIds)
   }
 

@@ -438,6 +438,52 @@ class EpochSpec extends AnyFunSuite {
       "the second dir must get its own store, not the first corpus's")
   }
 
+  test("store create locks are PER STORE: distinct tags build concurrently, same tag builds exactly once (r18 VERDICT + ADVICE)") {
+    import spark.implicits._
+    import java.util.concurrent.{Executors, CountDownLatch, TimeUnit, Callable}
+    // Distinct tags: store A's build BLOCKS until store B's build has
+    // entered. Under the r17 JVM-global monitor this deadlocks (B
+    // cannot enter its build while A holds the lock); with per-store
+    // striping both complete.
+    val bRan = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(2)
+    try {
+      val fa = pool.submit(new Callable[Long] {
+        def call(): Long = graft.queries.plainStore(spark, "/x/conc", "conc_a") {
+          assert(bRan.await(60, TimeUnit.SECONDS),
+            "store B's build never entered — builds are serialized across stores")
+          Seq((1L, "a")).toDF("k", "v")
+        }.count()
+      })
+      val fb = pool.submit(new Callable[Long] {
+        def call(): Long = graft.queries.plainStore(spark, "/x/conc", "conc_b") {
+          bRan.countDown()
+          Seq((2L, "b")).toDF("k", "v")
+        }.count()
+      })
+      assert(fb.get(120, TimeUnit.SECONDS) == 1L)
+      assert(fa.get(120, TimeUnit.SECONDS) == 1L)
+      // Same tag raced from two threads: the r17 race fix must hold —
+      // the build body runs exactly once (plain and bucketed paths).
+      val plainBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
+      val bucketBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
+      val racers = (1 to 2).map(_ => pool.submit(new Callable[Long] {
+        def call(): Long =
+          graft.queries.plainStore(spark, "/x/conc", "conc_same") {
+            plainBuilds.incrementAndGet()
+            Seq((3L, "c")).toDF("k", "v")
+          }.count() +
+          graft.queries.bucketedStore(spark, "/x/conc", "conc_bsame", "k") {
+            bucketBuilds.incrementAndGet()
+            Seq((4L, "d")).toDF("k", "v")
+          }.count()
+      }))
+      racers.foreach(f => assert(f.get(120, TimeUnit.SECONDS) == 2L))
+      assert(plainBuilds.get() == 1, "plainStore build body ran twice under the race")
+      assert(bucketBuilds.get() == 1, "bucketedStore build body ran twice under the race")
+    } finally pool.shutdownNow()
+  }
+
   test("sf0.1 census: the published register non-vacuously drops day-2 pre-T rows of epoch-1 requests") {
     val e = graft.queries.t(spark, "/root/testdata/sf0.1", "events")
     val dropped = e

@@ -192,6 +192,22 @@ class SessionMergeSpec extends AnyFunSuite {
       if (t == null) "" else t.getMessage + "\n" + msgs(t.getCause)
     assert(msgs(ex).contains("q147 redelivery-horizon violation"),
       s"guard must surface, got: ${msgs(ex).take(300)}")
+    // r18 ADVICE: the guard must also fire when every violating row
+    // would have been ELIMINATED by the dedup itself — a duplicated
+    // pre-horizon row and a pre-horizon copy of a stored id. The old
+    // ts-wrapped guard only raised when a surviving row's ts was
+    // projected, so this feed passed silently; keying the guard on
+    // event_id (which the dedup must evaluate per row) enforces the
+    // stated "raises on ANY pre-horizon batch row" contract.
+    val dupBatch = edf(Seq(
+      (4L, 1L, 220L),
+      (5L, 1L, 50L), (5L, 1L, 50L), // in-batch duplicate violator
+      (3L, 1L, 50L)))               // violator that the store anti-join eats
+    val ex2 = intercept[Exception] {
+      Analytic.dedupBatchAged(dupBatch, agedIds, hor).collect()
+    }
+    assert(msgs(ex2).contains("q147 redelivery-horizon violation"),
+      s"guard must fire for duplicate-eliminated violators, got: ${msgs(ex2).take(300)}")
   }
 
   for (sf <- Seq("sf0.001", "sf0.01")) {
