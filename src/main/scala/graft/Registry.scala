@@ -167,7 +167,10 @@ object Registry {
       queries.CurationOps.q150 :+
       // q151 (sketch add half: fold the day into the per-day store) —
       // same tail-append rule.
-      queries.CurationOps.q151
+      queries.CurationOps.q151 :+
+      // q152 (cluster ingest chain: successive component merges) —
+      // same tail-append rule.
+      queries.EpochOps.q152
 
   // ListMap: keep registry order. A HashMap would reshuffle the
   // bench's execution order whenever a query is added, which moves

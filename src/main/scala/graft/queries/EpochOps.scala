@@ -493,9 +493,8 @@ object EpochOps {
   // recompute — q101/q102's oracles VERBATIM — making grouping
   // invariance driver-gated cross-engine every round, exactly as
   // q145's oracle makes the behavioral chain's path independence.
-  // The cluster family's cross-day composition is the closure
-  // algebra's (mergeComponents composes; the takedown chain is
-  // q145's registered cluster slice) — not re-registered here.
+  // The cluster family's cross-day composition is q152's (r18
+  // VERDICT task 4: the closure algebra now has its registered twin).
 
   /** Day-2 accepted split — disjoint from q144's "ingest:" day-1
     * split; standing = neither day. */
@@ -525,4 +524,59 @@ object EpochOps {
       UNION ALL
       ${oIdxSlice(DedupOps.q102.oracle.get, "embedding_index")}
     ) ORDER BY family, k1, k2"""))
+
+  // ---- q152: the CLUSTER family's ingest chain — the third family
+  // q148's scaladoc argued by closure algebra instead of registering
+  // (r18 VERDICT task 4, applying the suite's own q128 standard:
+  // "composes" needs a registered twin). Two days' accepted match
+  // batches merge SUCCESSIVELY through mergeComponents: day 2's merge
+  // runs against the PUBLISHED post-day-1 component store, not the
+  // originals. Union-find closure is grouping-invariant (contracting
+  // day-2 edges through the finer post-day-1 partition preserves
+  // connectivity — ClusterMergeSpec's replay device), so the chain's
+  // oracle is q105's one-shot merge VERBATIM, making the invariance
+  // driver-gated cross-engine every round, exactly as q148 gates the
+  // index chain and q145 the behavioral chain. The interesting
+  // cross-day branch — a day-2 doc BRIDGING two components that day 1
+  // itself extended — cannot occur as a one-day merge; EpochSpec
+  // fires it on a crafted corpus and pins chained == one-shot with
+  // the published intermediate's two components identified.
+
+  /** Which half of the gate's accepted matches arrives on day 1,
+    * keyed by the incoming doc (an arrival-order split: each incoming
+    * doc's matches land together, the shape a daily gate produces).
+    * Salt chosen so BOTH halves are populated at sf0.001's three
+    * matched srcs AND sf0.01's (EpochSpec census). */
+  private[graft] def clusterDay1(incDoc: Column): Column =
+    h60(concat(lit("ingd:"), incDoc)) % 2 === 0
+
+  val q152 = Q(
+    "q152_cluster_ingest_chain",
+    "chained cluster ingest: two days' accepted match batches merged successively through the published component store (day 2 against post-day-1 state) == the one-shot merge",
+    (s, dir) => {
+      val (standing, matches) =
+        prepTake(s, dir, "prep152")(DedupOps.q105Arts(s, dir))
+      val day1 = matches.where(clusterDay1(col("src")))
+      val day2 = matches.where(!clusterDay1(col("src")))
+      // Epoch 1 merges day 1's matches and PUBLISHES the assignment
+      // (fenced: epoch 2's closure issues several actions over it —
+      // the store a deployment would write back, as q145 publishes
+      // the behavioral stores).
+      val published = graft.Scratch.fenced(
+        DedupOps.mergeComponents(standing, day1))
+      val merged = DedupOps.mergeComponents(published, day2)
+      merged.groupBy(col("comp"))
+        .agg(min(col("id")).as("canonical_id"),
+          count(lit(1)).as("n_docs"),
+          sum((h60(concat(lit("ingest:"), col("id"))) % 10 === 0)
+            .cast("long")).as("n_incoming"),
+          concat_ws(",", transform(sort_array(collect_list(col("id"))),
+            x => x.cast("string"))).as("members"))
+        .select(col("canonical_id"), col("n_docs"), col("n_incoming"),
+          col("members"))
+        .orderBy(col("canonical_id"))
+    },
+    Some(DedupOps.q105.oracle.get),
+    prepare = Some((s, dir) =>
+      prepPut(s, dir, "prep152", DedupOps.q105Arts(s, dir))))
 }

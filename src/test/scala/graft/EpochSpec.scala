@@ -438,6 +438,45 @@ class EpochSpec extends AnyFunSuite {
       "the second dir must get its own store, not the first corpus's")
   }
 
+  test("q152 cluster chain: successive merges == one-shot; a day-2 doc bridges two day-1-MERGED components") {
+    import spark.implicits._
+    // Standing components {1,2} and {3,4}. Day 1 extends BOTH (doc 5
+    // joins the first, doc 7 the second). Day 2's doc 6 matches one
+    // member of each EXTENDED component — the bridge only a chain can
+    // exercise (a one-day merge never runs against day-1-merged
+    // state). Chained closure through the published intermediate must
+    // equal the one-shot closure over all edges.
+    val standing = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L)).toDF("id", "comp")
+    val m1 = Seq((5L, 1L), (7L, 4L)).toDF("src", "dst")
+    val m2 = Seq((6L, 2L), (6L, 3L)).toDF("src", "dst")
+    def parts(df: org.apache.spark.sql.DataFrame): Set[Seq[Long]] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        .groupBy(_._2).values.map(_.map(_._1).sorted).toSet
+    val pub = graft.Scratch.fenced(
+      graft.queries.DedupOps.mergeComponents(standing, m1))
+    assert(parts(pub) == Set(Seq(1L, 2L, 5L), Seq(3L, 4L, 7L)),
+      "day 1 must extend both standing components (the bridge's precondition)")
+    val chained = graft.queries.DedupOps.mergeComponents(pub, m2)
+    val oneShot = graft.queries.DedupOps.mergeComponents(
+      standing, m1.unionByName(m2))
+    assert(parts(chained) == parts(oneShot), "chained != one-shot closure")
+    assert(parts(chained) == Set(Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L)),
+      "the day-2 bridge must fuse the two day-1-merged components")
+    graft.Scratch.releaseAll()
+  }
+
+  for (sf <- Seq("sf0.001", "sf0.01")) {
+    test(s"$sf census: q152's day split is non-vacuous (both days carry accepted matches)") {
+      val dir = s"/root/testdata/$sf"
+      val (_, matches) = graft.queries.DedupOps.q105Relations(spark, dir)
+      val d1 = matches.where(graft.queries.EpochOps.clusterDay1(col("src"))).count()
+      val d2 = matches.where(!graft.queries.EpochOps.clusterDay1(col("src"))).count()
+      assert(d1 > 0 && d2 > 0,
+        s"degenerate day split at $dir: day1=$d1 day2=$d2 — the chain would be a one-day merge")
+      graft.Scratch.releaseAll()
+    }
+  }
+
   test("store create locks are PER STORE: distinct tags build concurrently, same tag builds exactly once (r18 VERDICT + ADVICE)") {
     import spark.implicits._
     import java.util.concurrent.{Executors, CountDownLatch, TimeUnit, Callable}
