@@ -56,7 +56,13 @@ import org.apache.spark.sql.functions._
   * registered user before that user's T are dropped before the fold.
   * The register ACCUMULATES — each epoch publishes the union of every
   * applied request, because a T can lie arbitrarily many epochs in
-  * the future; q145 registers one chain step, and EpochSpec pins the
+  * the future — but BOUNDED: the publish compacts away entries whose
+  * T the fold boundary has already passed ([[compactRegister]]; under
+  * the in-order contract they can never drop another row, and
+  * [[registerFrontEnd]]'s in-plan guard makes a contract-violating
+  * straggler loud instead of silent), so the standing register is
+  * O(pending requests), not O(all requests ever);
+  * q145 registers one chain step, and EpochSpec pins the
   * induction (a 3-epoch chain where an epoch-1 register entry must
   * survive THROUGH epoch 2 to protect epoch 3's fold, plus the
   * stale-register hazard: consulting only the latest epoch's requests
@@ -275,6 +281,55 @@ object EpochOps {
   private[graft] val epoch1Req: Column =
     h60(concat(lit("epoch:"), col("user_id"))) % 2 === 0
 
+  /** [[Cut2]] as epoch-microseconds (UTC) — the chain's fold
+    * boundary: every event already folded has ts < this; every
+    * in-order future batch row has ts >= it. */
+  private[graft] val Cut2Us: Long =
+    java.time.Instant.parse(s"${Cut2}T00:00:00Z").toEpochMilli * 1000L
+
+  /** COMPACT a publishing epoch's erase register at its fold boundary
+    * (r18 VERDICT task 3 — the q147 horizon device, register
+    * edition). The register otherwise accumulates forever (every
+    * applied request, because a T can lie arbitrarily many epochs
+    * ahead); but under the in-order ingest contract every future
+    * batch row has ts >= boundary, and the front-end only drops rows
+    * with ts < T — so an entry with T <= boundary can never drop
+    * another row: the published register needs only the PENDING
+    * entries (T > boundary), O(pending requests) not O(all requests
+    * ever). The contract is what makes the compaction sound, so it is
+    * enforced LOUDLY by [[registerFrontEnd]]'s in-plan guard: a
+    * straggler below the boundary — exactly the row a compacted-away
+    * entry could have applied to — raises instead of silently passing
+    * the fold. EpochSpec pins compacted == full on in-order feeds
+    * (including an entry dying mid-chain), the straggler raise, and
+    * the sf census that compaction is non-vacuous in both directions
+    * (entries dropped AND retained). */
+  private[graft] def compactRegister(register: DataFrame,
+      boundaryUs: Long): DataFrame =
+    register.where(col("req_us") > lit(boundaryUs))
+
+  /** The chain's register FRONT-END: drop batch rows of a registered
+    * user before that user's T (the cross-epoch residue hazard — see
+    * the object scaladoc), guarding the in-order contract in-plan.
+    * The guard wraps user_id — the join key the front-end must
+    * evaluate for every row (the q147 device) — so a pre-boundary
+    * straggler raises even when the register no longer carries the
+    * entry that would have dropped it. */
+  private[graft] def registerFrontEnd(batch: DataFrame, register: DataFrame,
+      boundaryUs: Long): DataFrame =
+    batch
+      .withColumn("user_id",
+        when(unix_micros(col("ts")) < lit(boundaryUs), raise_error(concat(
+          lit("epoch in-order contract violation: batch event of user "),
+          col("user_id").cast("string"), lit(" at "),
+          col("ts").cast("string"),
+          lit(" predates the fold boundary — a compacted register entry " +
+            "could have applied to it"))).cast("long"))
+          .otherwise(col("user_id")))
+      .join(broadcast(register), Seq("user_id"), "left")
+      .where(col("req_us").isNull || unix_micros(col("ts")) >= col("req_us"))
+      .drop("req_us")
+
   /** q145's standing artifacts — q140's recipe verbatim (the
     * pre-[[Analytic.AnalyticCutoff]] behavioral stores, the capped
     * cluster artifacts at [[DedupOps.Q141Cap]], the request store)
@@ -324,21 +379,23 @@ object EpochOps {
       val funP = bucketedStore(s, dir, "funstates_post1", "user_id")(funE1)
       val retFP = bucketedStore(s, dir, "retfirst_post1", "user_id")(retFE1)
       val retCP = plainStore(s, dir, "retcells_post1")(retCE1)
-      val regP = plainStore(s, dir, "reg_post1")(req1)
+      // The register publishes COMPACTED at the fold boundary
+      // ([[compactRegister]] — r18 VERDICT task 3): entries whose T
+      // the boundary has passed can never drop an in-order row again,
+      // so the standing register stays O(pending requests).
+      val regP = plainStore(s, dir, "reg_post1")(
+        compactRegister(req1, Cut2Us))
       val idxP = plainStore(s, dir, "cl_idx_post1")(idxE1)
       val pairsP = plainStore(s, dir, "cl_pairs_post1")(pairsE1)
       val compsP = plainStore(s, dir, "cl_comps_post1")(compsE1)
       // ---- EPOCH 2: the register front-end drops day-2 rows of
       // registered users before their T (the cross-epoch residue
-      // hazard — see the object scaladoc), then fold-then-erase
+      // hazard — see the object scaladoc) and guards the in-order
+      // contract the compaction relies on, then fold-then-erase
       // against the PUBLISHED state with the epoch-2 half of the
       // feed, the full event store now visible to the rebuilds.
       val day2 = graft.Scratch.scoped(
-        e.where(col("ts") >= cut2)
-          .join(broadcast(regP), Seq("user_id"), "left")
-          .where(col("req_us").isNull ||
-            unix_micros(col("ts")) >= col("req_us"))
-          .drop("req_us"))
+        registerFrontEnd(e.where(col("ts") >= cut2), regP, Cut2Us))
       val req2 = requests.where(!epoch1Req)
       val (sessE2, funE2, _, retCE2) =
         behavioralEpoch(sessP, funP, retFP, retCP, day2, e, req2)

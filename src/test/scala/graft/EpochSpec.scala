@@ -438,6 +438,64 @@ class EpochSpec extends AnyFunSuite {
       "the second dir must get its own store, not the first corpus's")
   }
 
+  test("register compaction: compacted == full on in-order feeds (an entry dies at the boundary); the straggler a compacted entry would have dropped raises loudly") {
+    import spark.implicits._
+    import graft.queries.EpochOps
+    // Boundary at minute 100. Register: u1 T=50 (dead — the boundary
+    // passed it), u3 T=100 (dies EXACTLY at the boundary: an in-order
+    // row has ts >= 100 >= T, so ts < T is impossible), u2 T=150
+    // (pending — T inside the next epoch).
+    val register = Seq((1L, us(50)), (2L, us(150)), (3L, us(100)))
+      .toDF("user_id", "req_us")
+    val compacted = EpochOps.compactRegister(register, us(100))
+    assert(compacted.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((2L, us(150))),
+      "only the pending entry (T > boundary) may survive compaction")
+    // In-order day-2 batch: every row at/after the boundary. u2's 120
+    // (< T=150) must drop under BOTH registers; everything else folds.
+    val batch = ev(Seq((1L, 120L), (1L, 200L), (2L, 120L), (2L, 200L),
+      (3L, 120L), (4L, 110L)))
+    def fed(reg: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      EpochOps.registerFrontEnd(batch, reg, us(100))
+        .collect().map(_.toSeq.toVector: Seq[Any]).toSet
+    val viaFull = fed(register)
+    val viaCompacted = fed(compacted)
+    assert(viaFull == viaCompacted,
+      s"compacted register changed an in-order fold: $viaCompacted vs $viaFull")
+    assert(!viaFull.exists(r => r.head == 2L &&
+        r(1).asInstanceOf[Timestamp].getTime == 120L * MinMs),
+      "u2's pre-T row must drop")
+    assert(viaFull.exists(r => r.head == 1L), "u1 (dead entry) must fold freely")
+    // The STRAGGLER: u1 at minute 30 — BELOW u1's T=50, so the full
+    // register would have dropped it, but the compacted one no longer
+    // can. The in-plan guard must raise rather than let it fold.
+    val straggler = ev(Seq((1L, 30L), (2L, 200L)))
+    val ex = intercept[Exception] {
+      EpochOps.registerFrontEnd(straggler, compacted, us(100)).collect()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + msgs(t.getCause)
+    assert(msgs(ex).contains("in-order contract violation"),
+      s"the guard must surface, got: ${msgs(ex).take(300)}")
+  }
+
+  // sf0.01 only: sf0.001's 15-user corpus gives the epoch-1 feed
+  // half ZERO requests (the register there was always empty — the
+  // sf0.001 q145 replay passes vacuously on this axis); the driver's
+  // correctness gate runs at sf0.01, where both classes are real.
+  test("sf0.01 census: q145's register compaction is non-vacuous (entries dropped AND retained)") {
+    import graft.queries.EpochOps
+    val dir = "/root/testdata/sf0.01"
+    val req1 = EpochOps.requestStore(spark, dir).where(EpochOps.epoch1Req)
+    val full = req1.count()
+    val kept = EpochOps.compactRegister(req1, EpochOps.Cut2Us).count()
+    assert(full > 0 && kept < full,
+      s"no entry compacted at $dir ($kept of $full) — the bounding claim is vacuous")
+    assert(kept > 0,
+      s"every entry compacted away at $dir — the carried register is vacuous")
+    graft.Scratch.releaseAll()
+  }
+
   test("q152 cluster chain: successive merges == one-shot; a day-2 doc bridges two day-1-MERGED components") {
     import spark.implicits._
     // Standing components {1,2} and {3,4}. Day 1 extends BOTH (doc 5

@@ -166,23 +166,35 @@ object EpochVolBench {
     fE1.write.mode("overwrite").parquet(s"$scratch/funP1")
     rFE1.write.mode("overwrite").parquet(s"$scratch/retFP1")
     rCE1.write.mode("overwrite").parquet(s"$scratch/retCP1")
-    req1.write.mode("overwrite").parquet(s"$scratch/regP1")
+    // The register publishes COMPACTED at the fold boundary (r18
+    // VERDICT task 3): entries whose T the boundary passed can never
+    // drop an in-order row again, so the standing register carries
+    // only the PENDING requests.
+    val cut2cUs = java.time.Instant.parse("2025-01-05T00:00:00Z")
+      .toEpochMilli * 1000L
+    queries.EpochOps.compactRegister(req1, cut2cUs)
+      .write.mode("overwrite").parquet(s"$scratch/regP1")
     val wallE1 = (System.nanoTime() - t3) / 1e9
     val nDay1 = day1.count()
     println(f"CHAINEPOCH1 $nDay1%,d-event day-1 batch folded+erased+PUBLISHED " +
       f"in $wallE1%5.1f s  shufWrite=${shufWrite.get / 1e9}%.2f GB")
+    val nRegFull = req1.count()
+    val nRegKept = spark.read.parquet(s"$scratch/regP1").count()
+    require(nRegKept > 0 && nRegKept < nRegFull,
+      s"register compaction vacuous at volume: $nRegKept of $nRegFull")
+    println(f"REGCOMPACT published register $nRegFull%,d applied requests -> " +
+      f"$nRegKept%,d pending (T past the boundary can never drop an " +
+      f"in-order row; guard enforces the contract in-plan)")
     Scratch.releaseAll()
 
-    // Epoch 2 (timed): the register front-end, then fold+erase
-    // against the PUBLISHED stores.
+    // Epoch 2 (timed): the register front-end (compacted register +
+    // in-order guard), then fold+erase against the PUBLISHED stores.
     shufWrite.set(0)
     val t4 = System.nanoTime()
     val regP = spark.read.parquet(s"$scratch/regP1")
     val day2 = Scratch.scoped(
-      e.where(col("ts") >= cut2c)
-        .join(broadcast(regP), Seq("user_id"), "left")
-        .where(col("req_us").isNull || unix_micros(col("ts")) >= col("req_us"))
-        .drop("req_us"))
+      queries.EpochOps.registerFrontEnd(
+        e.where(col("ts") >= cut2c), regP, cut2cUs))
     val (sE2, fE2, _, rCE2) = queries.EpochOps.behavioralEpoch(
       spark.read.parquet(s"$scratch/sessP1"), spark.read.parquet(s"$scratch/funP1"),
       spark.read.parquet(s"$scratch/retFP1"), spark.read.parquet(s"$scratch/retCP1"),
