@@ -999,7 +999,7 @@ object CurationOps {
     * day boundary): the sketch family's pre-fold state, mirroring the
     * behavioral families' `*_pre` stores. Plain (not bucketed): the
     * whole store is days × 2^p rows. */
-  private def q151Arts(s: SparkSession, dir: String): DataFrame =
+  private[graft] def q151Arts(s: SparkSession, dir: String): DataFrame =
     plainStore(s, dir, "hll_days_pre")(daySketch(
       t(s, dir, "events")
         .where(col("ts") < lit(Analytic.AnalyticCutoff).cast("timestamp"))))
@@ -1036,6 +1036,51 @@ object CurationOps {
     },
     Some(oHll("SELECT DISTINCT user_id AS k FROM events")),
     prepare = Some((s, dir) => prepPut(s, dir, "prep151", q151Arts(s, dir))))
+
+  // ---- The sketch family's NIGHTLY membership (r18 VERDICT task 2):
+  // the q146 job updates the per-day sketch store alongside
+  // sessions/funnel/retention — the add half (q151's fold) and the
+  // drop half (q150's day expiry) in the nightly dataflow, gated as a
+  // third side of q146's tagged union.
+
+  /** The nightly sketch window: days before this expire from the
+    * per-day store as the epoch folds the new day — BEFORE the epoch
+    * boundary, so both standing-day classes are non-vacuous (Jan 1-3
+    * expire; Jan 4-7 survive from the standing store; the batch adds
+    * Jan 8 on). */
+  private[graft] val HllNightlyRetainFrom = "2024-01-04"
+
+  /** The nightly job's post-epoch per-day sketch store: fold the
+    * day's batch sketches into the standing store by (day, register)
+    * max and expire the aged days — one pass over the batch, the
+    * standing side days × 2^p rows, no corpus-keyed exchange
+    * (the [[daySketch]] plan pin). */
+  private[graft] def nightlySketchStore(s: SparkSession, dir: String): DataFrame =
+    q151Arts(s, dir)
+      .unionByName(daySketch(t(s, dir, "events")
+        .where(col("ts") >= lit(Analytic.AnalyticCutoff).cast("timestamp"))))
+      .groupBy(col("day"), col("register_id"))
+      .agg(max(col("max_rho")).as("max_rho"))
+      .where(col("day") >= lit(HllNightlyRetainFrom).cast("date"))
+
+  /** DuckDB text of the direct per-day sparse sketch over the
+    * surviving window — [[nightlySketchStore]]'s rebuild oracle:
+    * (day, register_id, max_rho) for every (day, register) some
+    * surviving user hashed into. */
+  private[graft] def oHllDaysSurviving: String =
+    s"""WITH keys AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id AS k FROM events
+        WHERE CAST(ts AS DATE) >= DATE '$HllNightlyRetainFrom'),
+      h AS (SELECT day, ${oH60("'hll:' || CAST(k AS VARCHAR)")} AS h FROM keys),
+      x AS (SELECT day, h % $HllM AS register_id, h // $HllM AS rem FROM h),
+      rr AS (
+        SELECT day, register_id,
+          CASE WHEN strpos(lpad(bin(rem), 52, '0'), '1') = 0 THEN 53
+               ELSE strpos(lpad(bin(rem), 52, '0'), '1') END AS rho
+        FROM x)
+      SELECT day, CAST(register_id AS BIGINT) AS register_id,
+        CAST(max(rho) AS BIGINT) AS max_rho
+      FROM rr GROUP BY 1, 2"""
 
   val all: Seq[Q] = Seq(q80, q81, q82, q83, q84)
 }

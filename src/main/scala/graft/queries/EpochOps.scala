@@ -517,14 +517,26 @@ object EpochOps {
 
   val q146 = Q(
     "q146_nightly_job",
-    "the full nightly job: the events maintenance epoch (q140) and the document ingest epoch (q144) in one dataflow, side-tagged — each side == its composite rebuild oracle",
+    "the full nightly job: the events maintenance epoch (q140), the document ingest epoch (q144), and the per-day sketch store update (q151 fold + q150 expiry) in one dataflow, side-tagged — each side == its composite rebuild oracle",
     (s, dir) => {
       val ev = q140Body(s, dir, prepTake(s, dir, "prep146e")(q140Arts(s, dir)))
       val in = q144Body(s, dir,
         prepTake(s, dir, "prep146i")(DedupOps.q105Arts(s, dir)))
+      // The SKETCH side (r18 VERDICT task 2): the epoch folds the
+      // day's per-day sketches into the standing store and expires
+      // the aged days in the same dataflow; the slice gates the whole
+      // surviving store day-by-day against the direct rebuild.
+      val sk = CurationOps.nightlySketchStore(s, dir)
+        .select(lit("hll_days").as("family"),
+          datediff(col("day"), lit("1970-01-01").cast("date"))
+            .cast("long").as("k1"),
+          col("register_id").as("k2"),
+          col("max_rho").as("v1"), lit(null).cast("long").as("v2"))
       ev.select(lit("events").as("side"), col("family"), col("k1"),
           col("k2"), col("v1"), col("v2"))
         .unionByName(in.select(lit("ingest").as("side"), col("family"),
+          col("k1"), col("k2"), col("v1"), col("v2")))
+        .unionByName(sk.select(lit("sketch").as("side"), col("family"),
           col("k1"), col("k2"), col("v1"), col("v2")))
         .orderBy(col("side"), col("family"), col("k1"), col("k2"))
     },
@@ -532,10 +544,17 @@ object EpochOps {
       SELECT 'events' AS side, * FROM (${q140.oracle.get}) ev
       UNION ALL
       SELECT 'ingest' AS side, * FROM (${q144Oracle}) ing
+      UNION ALL
+      SELECT 'sketch' AS side, 'hll_days' AS family,
+        CAST(day - DATE '1970-01-01' AS BIGINT) AS k1,
+        register_id AS k2, max_rho AS v1, CAST(NULL AS BIGINT) AS v2
+      FROM (${CurationOps.oHllDaysSurviving}) sk
     ) ORDER BY side, family, k1, k2"""),
     prepare = Some((s, dir) => {
       prepPut(s, dir, "prep146e", q140Arts(s, dir))
       prepPut(s, dir, "prep146i", DedupOps.q105Arts(s, dir))
+      CurationOps.q151Arts(s, dir) // force the standing sketch store
+      ()
     }))
 
   // ---- q148: the INGEST epoch CHAIN — q145's sibling on the
