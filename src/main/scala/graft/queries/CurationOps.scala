@@ -869,7 +869,7 @@ object CurationOps {
   /** (register, rho) of a key column: h60("hll:"||key) splits into a
     * p-bit register index and a 52-bit remainder whose leading-zero
     * rank is rho (rank of the first set bit, 53 when none). */
-  private def hllRegRho(key: Column): (Column, Column) = {
+  private[graft] def hllRegRho(key: Column): (Column, Column) = {
     val h = h60(concat(lit("hll:"), key))
     // Integer shift, NOT `/` (Spark's `/` is double division, inexact
     // past 2^53 — h is up to 60 bits).
@@ -884,13 +884,17 @@ object CurationOps {
     * task 1): HLL is duplicate-insensitive — a repeated user
     * contributes the same (register, rho) pair, and `max` is
     * idempotent, so the registers are provably identical with or
-    * without it — while the distinct cost a full exchange of the
-    * corpus-sized (day, user_id) relation, the only corpus-keyed
-    * shuffle in the plan. Without it the aggregation partial-combines
-    * map-side and the one exchange carries days × 2^p rows —
-    * effectively zero at any scale, which is the sketch's entire
-    * pitch. HllSpec pins the plan (no corpus-keyed exchange). */
-  private def daySketch(events: DataFrame): DataFrame = {
+    * without it. The aggregation partial-combines map-side and the
+    * one exchange carries days × 2^p rows — effectively zero at any
+    * scale, which is the sketch's entire pitch. Honest note: the r18
+    * distinct never actually reached the physical plan — Catalyst's
+    * RemoveRedundantAggregates elides an inner distinct under a
+    * duplicate-agnostic max (verified: ExplainHllDistinct, plus
+    * HllVolBench's identical 0.2 MB exchange both ways at 28.7M
+    * events) — so the change makes the property EXPLICIT and
+    * regression-guarded (HllSpec's plan pin) rather than an
+    * optimizer courtesy a refactor could silently lose. */
+  private[graft] def daySketch(events: DataFrame): DataFrame = {
     val (reg, rho) = hllRegRho(col("user_id"))
     events
       .select(to_date(col("ts")).as("day"), reg.as("register_id"),

@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** One-off plan probe (r19): does Catalyst's RemoveRedundantAggregates
+  * eliminate the r18 pre-aggregation `.distinct()` in the HLL sketch
+  * build? max() is duplicate-agnostic, so the inner distinct Aggregate
+  * is removable — if it IS removed, the r18 plan never actually paid
+  * the corpus-keyed exchange and the source-level fix is hygiene plus
+  * an explicit plan pin rather than a runtime win. */
+object ExplainHllDistinct {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val e = Tables.load(spark, dir, "events")
+    val (reg, rho) = queries.CurationOps.hllRegRho(col("user_id"))
+    val withDistinct = e.select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      .select(col("day"), reg.as("register_id"), rho.as("rho"))
+      .groupBy(col("day"), col("register_id"))
+      .agg(max(col("rho")).as("max_rho"))
+    val plan = withDistinct.queryExecution.executedPlan.toString
+    println("=== executed plan of the r18 (distinct) build ===")
+    println(plan)
+    println(s"user_id-keyed exchange present: ${plan.contains("hashpartitioning(user_id")}")
+    spark.stop()
+  }
+}
