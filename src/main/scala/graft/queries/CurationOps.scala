@@ -1058,7 +1058,13 @@ object CurationOps {
     * day's batch sketches into the standing store by (day, register)
     * max and expire the aged days — one pass over the batch, the
     * standing side days × 2^p rows, no corpus-keyed exchange
-    * (the [[daySketch]] plan pin). */
+    * (the [[daySketch]] plan pin). Deliberately a FRESH column-pruned
+    * scan rather than q140's shared cached batch: the sketch needs
+    * only (ts, user_id) — the parquet scan reads exactly those two
+    * columns (ReadSchema pruning) where the epoch's cache holds full
+    * rows, so at scale the 2-column re-scan is the cheaper I/O shape
+    * and keeps the sketch side independent of the events side's
+    * cache lifetime. */
   private[graft] def nightlySketchStore(s: SparkSession, dir: String): DataFrame =
     q151Arts(s, dir)
       .unionByName(daySketch(t(s, dir, "events")

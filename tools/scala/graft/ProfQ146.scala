@@ -2,10 +2,11 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Decomposes q146's cost against its parts: q140, q144, and q146
-  * each run PREPARED, min-of-2, in one session (bench conditions) —
-  * is the composition ≈ the sum of its sides, and if not, where does
-  * the difference live?
+/** Decomposes q146's cost against its parts: q140, q144, q151 (the
+  * sketch side's standalone cousin — same fold, dense roll-up added),
+  * and q146, each run PREPARED, min-of-2, in one session (bench
+  * conditions) — is the composition ≈ the sum of its sides, and if
+  * not, where does the difference live?
   *
   * Usage: sbt "Test/runMain graft.ProfQ146 [sfDir]"
   */
@@ -32,14 +33,17 @@ object ProfQ146 {
       times.min
     }
     // Warm pass at the smallest sf (bench methodology).
-    for (n <- Seq("q140_maintenance_epoch", "q144_ingest_epoch", "q146_nightly_job"))
+    for (n <- Seq("q140_maintenance_epoch", "q144_ingest_epoch",
+        "q151_hll_add_fold", "q146_nightly_job"))
       { try Registry.queriesMap(n)(spark, "/root/testdata/sf0.001").count()
         catch { case _: Throwable => () }; Scratch.releaseAll() }
     val t140 = timedMin2("q140_maintenance_epoch")
     val t144 = timedMin2("q144_ingest_epoch")
+    val t151 = timedMin2("q151_hll_add_fold")
     val t146 = timedMin2("q146_nightly_job")
-    println(f"PROFQ146  q140=$t140%5.2f s  q144=$t144%5.2f s  sum=${t140 + t144}%5.2f s  " +
-      f"q146=$t146%5.2f s  composition overhead=${t146 - t140 - t144}%+5.2f s")
+    println(f"PROFQ146  q140=$t140%5.2f s  q144=$t144%5.2f s  q151=$t151%5.2f s  " +
+      f"sum=${t140 + t144 + t151}%5.2f s  q146=$t146%5.2f s  " +
+      f"composition overhead=${t146 - t140 - t144 - t151}%+5.2f s")
     spark.stop()
   }
 }
