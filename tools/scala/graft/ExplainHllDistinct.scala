@@ -25,7 +25,11 @@ object ExplainHllDistinct {
     val plan = withDistinct.queryExecution.executedPlan.toString
     println("=== executed plan of the r18 (distinct) build ===")
     println(plan)
-    println(s"user_id-keyed exchange present: ${plan.contains("hashpartitioning(user_id")}")
+    val present = plan.contains("hashpartitioning(user_id")
+    println(s"user_id-keyed exchange present: $present")
+    require(!present,
+      "RemoveRedundantAggregates no longer elides the distinct — the " +
+        "probe's conclusion (and the r18 history note) would be stale")
     spark.stop()
   }
 }
