@@ -1030,16 +1030,27 @@ object CurationOps {
     s"sketch add half: the day's batch sketched per day and folded into the standing per-day store (days < ${Analytic.AnalyticCutoff}) by register max == the direct sketch over all days",
     (s, dir) => {
       val standing = prepTake(s, dir, "prep151")(q151Arts(s, dir))
-      val batch = t(s, dir, "events")
-        .where(col("ts") >= lit(Analytic.AnalyticCutoff).cast("timestamp"))
-      val folded = standing.unionByName(daySketch(batch))
-        .groupBy(col("day"), col("register_id"))
-        .agg(max(col("max_rho")).as("max_rho"))
+      val folded = foldDaySketch(standing, epochBatch(s, dir))
       hllDense(s, folded.groupBy(col("register_id"))
         .agg(max(col("max_rho")).as("max_rho")))
     },
     Some(oHll("SELECT DISTINCT user_id AS k FROM events")),
     prepare = Some((s, dir) => prepPut(s, dir, "prep151", q151Arts(s, dir))))
+
+  /** The nightly batch slice the sketch family folds
+    * ([[Analytic.AnalyticCutoff]] on — the q140 epoch's batch). */
+  private def epochBatch(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .where(col("ts") >= lit(Analytic.AnalyticCutoff).cast("timestamp"))
+
+  /** The sketch family's ONE fold definition (r19 review: q151's body
+    * and the q146 nightly side previously duplicated this expression
+    * and could drift apart): batch per-day partials merged into the
+    * standing store by (day, register) max. */
+  private def foldDaySketch(standing: DataFrame, batch: DataFrame): DataFrame =
+    standing.unionByName(daySketch(batch))
+      .groupBy(col("day"), col("register_id"))
+      .agg(max(col("max_rho")).as("max_rho"))
 
   // ---- The sketch family's NIGHTLY membership (r18 VERDICT task 2):
   // the q146 job updates the per-day sketch store alongside
@@ -1066,11 +1077,7 @@ object CurationOps {
     * and keeps the sketch side independent of the events side's
     * cache lifetime. */
   private[graft] def nightlySketchStore(s: SparkSession, dir: String): DataFrame =
-    q151Arts(s, dir)
-      .unionByName(daySketch(t(s, dir, "events")
-        .where(col("ts") >= lit(Analytic.AnalyticCutoff).cast("timestamp"))))
-      .groupBy(col("day"), col("register_id"))
-      .agg(max(col("max_rho")).as("max_rho"))
+    foldDaySketch(q151Arts(s, dir), epochBatch(s, dir))
       .where(col("day") >= lit(HllNightlyRetainFrom).cast("date"))
 
   /** DuckDB text of the direct per-day sparse sketch over the

@@ -148,12 +148,26 @@ package object queries {
   private def storeLock(key: String): Object =
     storeLocks.computeIfAbsent(key, _ => new Object)
 
+  /** ONE canonical lock identity per (tag, dir) store, shared by BOTH
+    * store helpers (r19 review): plainStore's first cut keyed its
+    * monitor on the localScratch PATH, which is not stable across
+    * calls — the /dev/shm-vs-/tmp base is re-decided per call from
+    * live usable space, so two threads preparing the same store while
+    * the headroom probe flips could hold different monitors and both
+    * run the build — and the two helpers used disjoint namespaces
+    * while writing the same scratch directory, a latent same-tag
+    * cross-helper race. The discriminated (tag, dir) string (also the
+    * bucketed store's catalog table name) is stable and identifies
+    * the store, not its current physical location. */
+  private def storeIdent(tag: String, dir: String): String =
+    (tag + "_" + dir).replaceAll("[^a-zA-Z0-9]+", "_") +
+      "_" + dirDiscriminator(dir)
+
   def bucketedStore(s: SparkSession, dir: String, tag: String,
       key: String)(build: => org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val table = (tag + "_" + dir).replaceAll("[^a-zA-Z0-9]+", "_") +
-      "_" + dirDiscriminator(dir)
-    storeLock("table:" + table).synchronized {
+    val table = storeIdent(tag, dir)
+    storeLock(table).synchronized {
       if (!s.catalog.tableExists(table)) {
         val path = localScratch(s, tag, dir)
         build.write.bucketBy(32, key).sortBy(key)
@@ -166,18 +180,18 @@ package object queries {
 
   /** Write-once UNBUCKETED store for small standing artifacts
     * (retention cells: days²-bounded) — same lifecycle as
-    * [[bucketedStore]], no distribution claim. Same per-store
-    * create lock (keyed by the scratch path, which already carries
-    * the dir discriminator and application id). */
+    * [[bucketedStore]], no distribution claim, same per-store create
+    * lock (the canonical [[storeIdent]], NOT the scratch path — see
+    * its scaladoc). */
   def plainStore(s: SparkSession, dir: String, tag: String)(
       build: => org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val path = localScratch(s, tag, dir)
-    storeLock("path:" + path).synchronized {
+    storeLock(storeIdent(tag, dir)).synchronized {
+      val path = localScratch(s, tag, dir)
       if (!new java.io.File(path, "_SUCCESS").exists())
         build.write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
     }
-    s.read.parquet(path)
   }
 
   /** Exact 2-dp decimal view of a stored-as-double money/qty column. */
