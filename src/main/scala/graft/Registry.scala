@@ -170,7 +170,10 @@ object Registry {
       queries.CurationOps.q151 :+
       // q152 (cluster ingest chain: successive component merges) —
       // same tail-append rule.
-      queries.EpochOps.q152
+      queries.EpochOps.q152 :+
+      // q153 (sketch epoch chain: fold day 2 through the published
+      // post-epoch-1 per-day store) — same tail-append rule.
+      queries.CurationOps.q153
 
   // ListMap: keep registry order. A HashMap would reshuffle the
   // bench's execution order whenever a query is added, which moves

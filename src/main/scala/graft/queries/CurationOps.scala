@@ -1099,5 +1099,63 @@ object CurationOps {
         CAST(max(rho) AS BIGINT) AS max_rho
       FROM rr GROUP BY 1, 2"""
 
+  // ---- q153: the sketch family's EPOCH-CHAIN membership (r19
+  // VERDICT task 1 — the suite's own "composes needs a registered
+  // twin" standard, applied to the last family arguing cross-epoch
+  // composition by algebra alone). q145 chains the behavioral
+  // families, q148 the indexes, q152 the clusters; the sketch's
+  // cross-epoch claim (fold-of-fold == fold, by max associativity)
+  // lived only in the family scaladoc until here.
+
+  /** Chained sketch epochs, the q145 shape: epoch 1 folds day 1
+    * ([[Analytic.AnalyticCutoff]], [[EpochOps.Cut2]]) into the
+    * standing pre-cutoff per-day store and PUBLISHES the post-epoch
+    * store (`hll_days_post1`, the plainStore lifecycle the
+    * behavioral chain's cells use — the store a nightly deployment
+    * writes back); epoch 2 folds day 2 ([[EpochOps.Cut2]] on)
+    * THROUGH the published store, never the original standing
+    * relation, and the chained store rolls up to the dense register
+    * table. The oracle is q149's direct sketch over ALL days
+    * VERBATIM, so the driver gates the chain's path independence
+    * (any epoch grouping → the same registers) cross-engine every
+    * round instead of trusting the algebra; HllSpec pins the
+    * non-vacuous branch — a register whose roll-up max RISES in
+    * epoch 2 past the published post-epoch-1 value — on a crafted
+    * corpus and replays chained == direct at sf. No erase leg BY
+    * CONSTRUCTION: the sketch is lossy (family scaladoc) — per-user
+    * requests route to the exact artifacts, day retention is q150's
+    * registered drop. Scale: each epoch is one map-side-combining
+    * pass over ITS day's events only (days × 2^p partial rows — the
+    * [[daySketch]] plan pin applies to both legs); the published
+    * intermediate is days × 2^p rows written once and read back, so
+    * the chain never rescans an earlier epoch's events and carries
+    * no corpus-keyed exchange. */
+  val q153 = Q(
+    "q153_sketch_epoch_chain",
+    "chained sketch epochs: epoch 1 folds day 1 into the standing per-day store and publishes it; epoch 2 folds day 2 through the published store == the direct sketch over all days",
+    (s, dir) => {
+      val standing = prepTake(s, dir, "prep153")(q151Arts(s, dir))
+      val e = t(s, dir, "events")
+      val cut1 = lit(Analytic.AnalyticCutoff).cast("timestamp")
+      val cut2 = lit(EpochOps.Cut2).cast("timestamp")
+      val published = plainStore(s, dir, "hll_days_post1")(
+        foldDaySketch(standing,
+          e.where(col("ts") >= cut1 && col("ts") < cut2)))
+      val folded = foldDaySketch(published, e.where(col("ts") >= cut2))
+      hllDense(s, folded.groupBy(col("register_id"))
+        .agg(max(col("max_rho")).as("max_rho")))
+    },
+    Some(oHll("SELECT DISTINCT user_id AS k FROM events")),
+    prepare = Some((s, dir) => prepPut(s, dir, "prep153", q151Arts(s, dir))))
+
+  /** Test seam for HllSpec's crafted chain: the q153 dataflow over
+    * explicit standing/day-1/day-2 event relations (the registered
+    * body is this with the sf slices and the published store). */
+  private[graft] def chainSketch(standing: DataFrame, day1: DataFrame,
+      day2: DataFrame): (DataFrame, DataFrame) = {
+    val published = foldDaySketch(standing, day1)
+    (published, foldDaySketch(published, day2))
+  }
+
   val all: Seq[Q] = Seq(q80, q81, q82, q83, q84)
 }

@@ -281,11 +281,21 @@ object EpochOps {
   private[graft] val epoch1Req: Column =
     h60(concat(lit("epoch:"), col("user_id"))) % 2 === 0
 
-  /** [[Cut2]] as epoch-microseconds (UTC) — the chain's fold
-    * boundary: every event already folded has ts < this; every
-    * in-order future batch row has ts >= it. */
-  private[graft] val Cut2Us: Long =
-    java.time.Instant.parse(s"${Cut2}T00:00:00Z").toEpochMilli * 1000L
+  /** [[Cut2]] as epoch-microseconds, derived IN-PLAN — the chain's
+    * fold boundary: every event already folded has ts < this; every
+    * in-order future batch row has ts >= it. A Column, not a Long
+    * (r19 ADVICE): the previous driver-side constant was hardwired
+    * to UTC midnight while every plan-side boundary casts
+    * `lit(Cut2)` under `spark.sql.session.timeZone`, so a non-UTC
+    * session would shift the two boundaries apart — spurious
+    * [[registerFrontEnd]] raises on legitimate day-2 rows (tz ahead
+    * of UTC) or an under-compacted register and unguarded window (tz
+    * behind). Deriving the microsecond boundary from the SAME cast
+    * keeps the two definitionally aligned in any timezone; the
+    * expression is foldable, so Catalyst collapses it to a literal
+    * at optimization time — zero run-time cost. */
+  private[graft] def cut2Us: Column =
+    unix_micros(lit(Cut2).cast("timestamp"))
 
   /** COMPACT a publishing epoch's erase register at its fold boundary
     * (r18 VERDICT task 3 — the q147 horizon device, register
@@ -305,8 +315,8 @@ object EpochOps {
     * the sf census that compaction is non-vacuous in both directions
     * (entries dropped AND retained). */
   private[graft] def compactRegister(register: DataFrame,
-      boundaryUs: Long): DataFrame =
-    register.where(col("req_us") > lit(boundaryUs))
+      boundaryUs: Column): DataFrame =
+    register.where(col("req_us") > boundaryUs)
 
   /** The chain's register FRONT-END: drop batch rows of a registered
     * user before that user's T (the cross-epoch residue hazard — see
@@ -316,10 +326,10 @@ object EpochOps {
     * straggler raises even when the register no longer carries the
     * entry that would have dropped it. */
   private[graft] def registerFrontEnd(batch: DataFrame, register: DataFrame,
-      boundaryUs: Long): DataFrame =
+      boundaryUs: Column): DataFrame =
     batch
       .withColumn("user_id",
-        when(unix_micros(col("ts")) < lit(boundaryUs), raise_error(concat(
+        when(unix_micros(col("ts")) < boundaryUs, raise_error(concat(
           lit("epoch in-order contract violation: batch event of user "),
           col("user_id").cast("string"), lit(" at "),
           col("ts").cast("string"),
@@ -384,7 +394,7 @@ object EpochOps {
       // the boundary has passed can never drop an in-order row again,
       // so the standing register stays O(pending requests).
       val regP = plainStore(s, dir, "reg_post1")(
-        compactRegister(req1, Cut2Us))
+        compactRegister(req1, cut2Us))
       val idxP = plainStore(s, dir, "cl_idx_post1")(idxE1)
       val pairsP = plainStore(s, dir, "cl_pairs_post1")(pairsE1)
       val compsP = plainStore(s, dir, "cl_comps_post1")(compsE1)
@@ -395,7 +405,7 @@ object EpochOps {
       // against the PUBLISHED state with the epoch-2 half of the
       // feed, the full event store now visible to the rebuilds.
       val day2 = graft.Scratch.scoped(
-        registerFrontEnd(e.where(col("ts") >= cut2), regP, Cut2Us))
+        registerFrontEnd(e.where(col("ts") >= cut2), regP, cut2Us))
       val req2 = requests.where(!epoch1Req)
       val (sessE2, funE2, _, retCE2) =
         behavioralEpoch(sessP, funP, retFP, retCP, day2, e, req2)
@@ -635,11 +645,14 @@ object EpochOps {
       val day1 = matches.where(clusterDay1(col("src")))
       val day2 = matches.where(!clusterDay1(col("src")))
       // Epoch 1 merges day 1's matches and PUBLISHES the assignment
-      // (fenced: epoch 2's closure issues several actions over it —
-      // the store a deployment would write back, as q145 publishes
-      // the behavioral stores).
+      // as a real store (r19 VERDICT task 2: the chain now runs
+      // through the written-back artifact, q145's
+      // chain-through-published-store shape, not an in-memory
+      // fence). The fence stays around the read-back for plan
+      // hygiene: epoch 2's closure issues several actions over it.
       val published = graft.Scratch.fenced(
-        DedupOps.mergeComponents(standing, day1))
+        plainStore(s, dir, "cl_comps_ingest1")(
+          DedupOps.mergeComponents(standing, day1)))
       val merged = DedupOps.mergeComponents(published, day2)
       merged.groupBy(col("comp"))
         .agg(min(col("id")).as("canonical_id"),

@@ -158,10 +158,16 @@ package object queries {
     * while writing the same scratch directory, a latent same-tag
     * cross-helper race. The discriminated (tag, dir) string (also the
     * bucketed store's catalog table name) is stable and identifies
-    * the store, not its current physical location. */
+    * the store, not its current physical location. Injective over
+    * (tag, dir) — r19 ADVICE: the sanitized form collapses
+    * punctuation, so two tags differing only in punctuation ('a_b'
+    * vs 'a-b') in one dir would otherwise share one lock, one
+    * catalog table name, and thereby one store; the RAW tag's digest
+    * (mirroring [[dirDiscriminator]]'s device for dirs) breaks the
+    * tie. */
   private def storeIdent(tag: String, dir: String): String =
     (tag + "_" + dir).replaceAll("[^a-zA-Z0-9]+", "_") +
-      "_" + dirDiscriminator(dir)
+      "_" + dirDiscriminator(dir) + "_" + dirDiscriminator(tag)
 
   def bucketedStore(s: SparkSession, dir: String, tag: String,
       key: String)(build: => org.apache.spark.sql.DataFrame)

@@ -438,6 +438,20 @@ class EpochSpec extends AnyFunSuite {
       "the second dir must get its own store, not the first corpus's")
   }
 
+  test("store identity is injective over TAGS too: punctuation-differing tags get distinct stores and locks (r19 ADVICE)") {
+    import spark.implicits._
+    // 'coll_a_b' and 'coll_a-b' sanitize to one catalog name; before
+    // the raw-tag digest the second caller silently read the first
+    // tag's store (bucketed) and the two shared one create lock.
+    val a = graft.queries.bucketedStore(spark, "/x/tagc", "coll_a_b", "user_id")(
+      Seq((1L, "a")).toDF("user_id", "v"))
+    val b = graft.queries.bucketedStore(spark, "/x/tagc", "coll_a-b", "user_id")(
+      Seq((2L, "b")).toDF("user_id", "v"))
+    assert(a.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(b.collect().map(_.getLong(0)).toSeq == Seq(2L),
+      "the second tag must get its own store, not the first tag's")
+  }
+
   test("register compaction: compacted == full on in-order feeds (an entry dies at the boundary); the straggler a compacted entry would have dropped raises loudly") {
     import spark.implicits._
     import graft.queries.EpochOps
@@ -447,7 +461,7 @@ class EpochSpec extends AnyFunSuite {
     // (pending — T inside the next epoch).
     val register = Seq((1L, us(50)), (2L, us(150)), (3L, us(100)))
       .toDF("user_id", "req_us")
-    val compacted = EpochOps.compactRegister(register, us(100))
+    val compacted = EpochOps.compactRegister(register, lit(us(100)))
     assert(compacted.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
       Seq((2L, us(150))),
       "only the pending entry (T > boundary) may survive compaction")
@@ -456,7 +470,7 @@ class EpochSpec extends AnyFunSuite {
     val batch = ev(Seq((1L, 120L), (1L, 200L), (2L, 120L), (2L, 200L),
       (3L, 120L), (4L, 110L)))
     def fed(reg: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
-      EpochOps.registerFrontEnd(batch, reg, us(100))
+      EpochOps.registerFrontEnd(batch, reg, lit(us(100)))
         .collect().map(_.toSeq.toVector: Seq[Any]).toSet
     val viaFull = fed(register)
     val viaCompacted = fed(compacted)
@@ -471,7 +485,7 @@ class EpochSpec extends AnyFunSuite {
     // can. The in-plan guard must raise rather than let it fold.
     val straggler = ev(Seq((1L, 30L), (2L, 200L)))
     val ex = intercept[Exception] {
-      EpochOps.registerFrontEnd(straggler, compacted, us(100)).collect()
+      EpochOps.registerFrontEnd(straggler, compacted, lit(us(100))).collect()
     }
     def msgs(t: Throwable): String =
       if (t == null) "" else t.getMessage + "\n" + msgs(t.getCause)
@@ -488,7 +502,7 @@ class EpochSpec extends AnyFunSuite {
     val dir = "/root/testdata/sf0.01"
     val req1 = EpochOps.requestStore(spark, dir).where(EpochOps.epoch1Req)
     val full = req1.count()
-    val kept = EpochOps.compactRegister(req1, EpochOps.Cut2Us).count()
+    val kept = EpochOps.compactRegister(req1, EpochOps.cut2Us).count()
     assert(full > 0 && kept < full,
       s"no entry compacted at $dir ($kept of $full) — the bounding claim is vacuous")
     assert(kept > 0,

@@ -57,8 +57,50 @@ class HllSpec extends AnyFunSuite {
       val folded = regsOf(Registry.queriesMap("q151_hll_add_fold")(spark, dir))
       assert(folded == direct,
         "fold-into-standing-store must equal the direct sketch over all days")
+      // The chain (q153): epoch 2's fold through the PUBLISHED
+      // post-epoch-1 store must also land on the direct sketch.
+      val chained = regsOf(Registry.queriesMap("q153_sketch_epoch_chain")(spark, dir))
+      assert(chained == direct,
+        "chained epoch folds must equal the direct sketch over all days")
       graft.Scratch.releaseAll()
     }
+  }
+
+  test("sketch epoch chain: fold-of-fold == direct under any grouping, and a register RISES across epochs (non-vacuous)") {
+    import spark.implicits._
+    // Crafted corpus for q153's algebra (r19 VERDICT task 1's "done"
+    // bar: a register's max must CHANGE across epochs, so the chain
+    // exercises a genuine second fold, not an idempotent replay).
+    // Day-2 users outnumber the earlier population 1700:300, so many
+    // registers' roll-up maxima rise only in epoch 2.
+    def evs(ids: Range, day: String) =
+      ids.map(i => (s"cu$i", java.sql.Timestamp.valueOf(s"$day 10:00:00")))
+        .toDF("user_id", "ts")
+    val standingEvents = evs(1 to 150, "2024-01-02")
+    val standing = graft.queries.CurationOps.daySketch(standingEvents)
+    val day1 = evs(151 to 300, "2024-01-05")
+    val day2 = evs(301 to 2000, "2024-01-10")
+    val (published, chained) =
+      graft.queries.CurationOps.chainSketch(standing, day1, day2)
+    def roll(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.groupBy(col("register_id")).agg(max(col("max_rho")).as("max_rho"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val direct = roll(graft.queries.CurationOps.daySketch(
+      standingEvents.unionByName(day1).unionByName(day2)))
+    val viaChain = roll(chained)
+    assert(viaChain == direct, "chained != one-shot registers")
+    // Alternate grouping: both days folded in one epoch — same
+    // registers (grouping invariance, the mergeability claim).
+    val (_, oneEpoch) = graft.queries.CurationOps.chainSketch(
+      standing, day1.unionByName(day2),
+      Seq.empty[(String, java.sql.Timestamp)].toDF("user_id", "ts"))
+    assert(roll(oneEpoch) == direct, "epoch grouping changed the registers")
+    // Non-vacuity: epoch 2 must raise at least one register past the
+    // published post-epoch-1 roll-up (here: many).
+    val pub = roll(published)
+    val risen = viaChain.count { case (r, v) => v > pub.getOrElse(r, 0L) }
+    assert(risen > 0,
+      "no register rose across epochs — the second fold is vacuous")
   }
 
   test("add-half redelivery: re-folding an already-folded day into the store is a no-op") {

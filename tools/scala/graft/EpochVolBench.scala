@@ -170,8 +170,7 @@ object EpochVolBench {
     // VERDICT task 3): entries whose T the boundary passed can never
     // drop an in-order row again, so the standing register carries
     // only the PENDING requests.
-    val cut2cUs = java.time.Instant.parse("2025-01-05T00:00:00Z")
-      .toEpochMilli * 1000L
+    val cut2cUs = unix_micros(cut2c) // in-plan, tz-aligned with cut2c
     queries.EpochOps.compactRegister(req1, cut2cUs)
       .write.mode("overwrite").parquet(s"$scratch/regP1")
     val wallE1 = (System.nanoTime() - t3) / 1e9

@@ -1,10 +1,10 @@
 package graft
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Round-16 audits.
+/** Round-16 audits (PlanAuditSpec runs [[audit]] under `sbt test`).
   *
   * 1. q124 STORE PRUNING (r15 VERDICT task 3): the registered prepare
   *    now persists the signature relation as a doc_id-range-
@@ -26,11 +26,16 @@ import org.apache.spark.sql.functions._
 object ExplainR16 {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val spark = org.apache.spark.sql.SparkSession.builder().master("local[8]")
+    val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    audit(spark, dir)
+    spark.stop()
+  }
+
+  def audit(spark: SparkSession, dir: String): Unit = {
     import queries.DedupOps
 
     // ---- 1. q124 store pruning census.
@@ -114,6 +119,5 @@ object ExplainR16 {
         f"broadcastEx=${n("BroadcastExchange")}%2d  bhj=${n("BroadcastHashJoin")}%2d")
       Scratch.releaseAll()
     }
-    spark.stop()
   }
 }

@@ -1,9 +1,10 @@
 package graft
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Round-18 audits.
+/** Round-18 audits (PlanAuditSpec runs [[audit]] under `sbt test`).
   *
   * 1. THE EPOCH'S REQUEST-FEED SCAN (r17 VERDICT task 5): q140 used to
   *    derive the privacy-request relation from a full events scan
@@ -26,11 +27,16 @@ import org.apache.spark.sql.functions._
 object ExplainR18 {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val spark = org.apache.spark.sql.SparkSession.builder().master("local[8]")
+    val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    audit(spark, dir)
+    spark.stop()
+  }
+
+  def audit(spark: SparkSession, dir: String): Unit = {
     import queries.{Analytic, DedupOps, EpochOps}
 
     val recordsRead = new java.util.concurrent.atomic.AtomicLong(0)
@@ -107,6 +113,5 @@ object ExplainR18 {
     println(f"EXPLAINR18 q145 chain: first run (epoch1+publish+epoch2) " +
       f"recordsRead=$read1%,d wall=$wall1%.2f s; recurring run " +
       f"(published stores) recordsRead=$read2%,d wall=$wall2%.2f s")
-    spark.stop()
   }
 }

@@ -1,11 +1,14 @@
 package graft
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Round-19 plan audits — the round's three structural claims, read
   * off the executed plans and asserted (the spec-level pins live in
-  * HllSpec / EpochSpec; this records them at sf0.1 alongside the
-  * round's other evidence).
+  * HllSpec / EpochSpec; PlanAuditSpec runs [[audit]] under `sbt test`
+  * at sf0.01 so a plan regression fails the build, and this main
+  * records the same audits at sf0.1 alongside the round's other
+  * evidence).
   *
   * 1. THE SKETCH SIDE'S SCAN IS COLUMN-PRUNED: q146's nightly sketch
   *    update deliberately re-scans events instead of consuming the
@@ -28,11 +31,16 @@ import org.apache.spark.sql.functions._
 object ExplainR19 {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val spark = org.apache.spark.sql.SparkSession.builder().master("local[8]")
+    val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    audit(spark, dir)
+    spark.stop()
+  }
+
+  def audit(spark: SparkSession, dir: String): Unit = {
     import queries.{CurationOps, EpochOps}
 
     // ---- 1. sketch-side scan pruning.
@@ -52,10 +60,10 @@ object ExplainR19 {
     val e = Tables.load(spark, dir, "events")
     val reg = EpochOps.compactRegister(
       EpochOps.requestStore(spark, dir).where(EpochOps.epoch1Req),
-      EpochOps.Cut2Us)
+      EpochOps.cut2Us)
     val fe = EpochOps.registerFrontEnd(
       e.where(col("ts") >= lit(EpochOps.Cut2).cast("timestamp")),
-      reg, EpochOps.Cut2Us)
+      reg, EpochOps.cut2Us)
     val fePlan = fe.queryExecution.executedPlan.toString
     require(fePlan.contains("BroadcastHashJoin") || fePlan.contains("BroadcastExchange"),
       s"register front-end is not a broadcast join:\n$fePlan")
@@ -74,6 +82,5 @@ object ExplainR19 {
     }
     println("R19AUDIT3 no user_id-keyed exchange in daySketch / " +
       "nightlySketchStore at " + dir)
-    spark.stop()
   }
 }
