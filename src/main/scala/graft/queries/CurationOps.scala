@@ -1157,5 +1157,29 @@ object CurationOps {
     (published, foldDaySketch(published, day2))
   }
 
+  /** Small-range-corrected cardinality estimate over a dense register
+    * table (r19 VERDICT item 7 — the deployment recipe stated in the
+    * family scaladoc, as runnable code): the raw estimator in `est`
+    * floors near alpha·m (~179 for m=256) while zero-valued registers
+    * remain, so below ~2.5m distinct keys the standard linear-counting
+    * branch m·ln(m/V) (V = zero-register count, Flajolet et al. 2007
+    * §4) is the accurate estimate — both inputs derivable from the
+    * gated registers. One row out: (est_raw, v_zero, est). NOT
+    * oracle-gated, deliberately: `ln` is a libm call whose last ulp
+    * Spark and DuckDB do not guarantee bit-identical, and a one-ulp
+    * difference can cross the round(,4) boundary the hash gate
+    * compares — the cross-engine-gated artifact stays the EXACT
+    * register table (q149–q153); this view is the downstream
+    * convenience a consumer applies per the documented recipe. */
+  def hllCorrectedEstimate(dense: DataFrame): DataFrame =
+    dense.agg(
+        first(col("est")).as("est_raw"),
+        sum((col("max_rho") === 0L).cast("long")).as("v_zero"))
+      .select(col("est_raw"), col("v_zero"),
+        when(col("est_raw") <= lit(2.5 * HllM) && col("v_zero") > 0,
+          round(lit(HllM.toDouble) *
+            log(lit(HllM.toDouble) / col("v_zero").cast("double")), 4))
+          .otherwise(col("est_raw")).as("est"))
+
   val all: Seq[Q] = Seq(q80, q81, q82, q83, q84)
 }

@@ -103,6 +103,31 @@ class HllSpec extends AnyFunSuite {
       "no register rose across epochs — the second fold is vacuous")
   }
 
+  test("linear-counting view: small-range corrected estimate lands near truth; large-range passes through raw") {
+    import spark.implicits._
+    // The family scaladoc's deployment recipe as code: sf0.001's ~15
+    // users sit deep in the raw estimator's floor regime (~alpha*m =
+    // ~179 for m=256), where m*ln(m/V) is the accurate branch.
+    val dir = "/root/testdata/sf0.001"
+    val dense = Registry.queriesMap("q149_hll_distinct_sketch")(spark, dir)
+    val truth = graft.queries.t(spark, dir, "events")
+      .select(col("user_id")).distinct().count()
+    val row = graft.queries.CurationOps.hllCorrectedEstimate(dense).collect()(0)
+    assert(row.getAs[Double]("est_raw") > 2 * truth,
+      "raw estimator not in its floor regime — the corpus no longer exercises the small range")
+    val est = row.getAs[Double]("est")
+    assert(math.abs(est - truth) <= math.max(3.0, truth * 0.2),
+      s"linear-counting estimate $est vs true $truth")
+    // Pass-through: with no zero registers the correction cannot fire
+    // and the raw estimate rides through unchanged.
+    val big = (0 until 256).map(i => (i.toLong, 10L, 9999.1234))
+      .toDF("register_id", "max_rho", "est")
+    val through = graft.queries.CurationOps.hllCorrectedEstimate(big).collect()(0)
+    assert(through.getAs[Double]("est") == 9999.1234,
+      "large-range estimate must pass through uncorrected")
+    graft.Scratch.releaseAll()
+  }
+
   test("add-half redelivery: re-folding an already-folded day into the store is a no-op") {
     import spark.implicits._
     // The add half's at-least-once story: a replayed batch day (a
