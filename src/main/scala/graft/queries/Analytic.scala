@@ -824,15 +824,48 @@ object Analytic {
     * q140 epoch driver, which needed the funnel matrix cell that the
     * stream side (q130/q138) had and the batch side lacked. */
   private[graft] def eraseFunnelBeforeT(states: DataFrame,
-      events: DataFrame, requests: DataFrame): DataFrame = {
-    val touched = requests.select(col("user_id"))
-    val postT = events
-      .join(broadcast(touched), Seq("user_id"), "left_semi")
-      .join(broadcast(requests), Seq("user_id"))
+      events: DataFrame, requests: DataFrame): DataFrame =
+    eraseFunnelBeforeTFrom(states, cohortEvents(events, requests), requests)
+
+  /** [[eraseFunnelBeforeT]] over a pre-joined [[cohortEvents]] slice —
+    * the r20 shared-scan shape: the epoch body computes the cohort
+    * slice ONCE and every per-family erase consumes it, instead of
+    * each erase re-scanning the event store (guide §2.4: remove
+    * shuffles/passes outright). Row-identical to the (events,
+    * requests) form by construction — the slice IS the relation the
+    * old body's semi-join + inner-join produced. */
+  private[graft] def eraseFunnelBeforeTFrom(states: DataFrame,
+      cohort: DataFrame, requests: DataFrame): DataFrame = {
+    val postT = cohort
       .where(unix_micros(col("ts")) >= col("req_us"))
       .select(col("user_id"), col("ts"), col("event_type"))
-    states.join(broadcast(touched), Seq("user_id"), "left_anti")
+    states.join(broadcast(requests.select(col("user_id"))),
+        Seq("user_id"), "left_anti")
       .unionByName(funnelStates(postT))
+  }
+
+  /** The requested cohort's event slice, (user_id, ts, event_type,
+    * req_us): ONE broadcast join restricts the event relation to the
+    * requested users and attaches each user's erase instant. The old
+    * erase bodies each derived this themselves as a broadcast
+    * semi-join FOLLOWED BY a broadcast inner join on the same key —
+    * the semi-join was subsumed by the inner join (requests is
+    * per-user unique where registered, and even under duplicates the
+    * inner join alone produces the identical relation), so each erase
+    * paid one redundant broadcast hash join per event row, and the
+    * epoch body paid FOUR separate corpus scans for what is one
+    * cohort slice. Callers with several consumers Scratch-scope the
+    * slice (bounded: the requested ~10% cohort's events, 4 columns). */
+  private[graft] def cohortEvents(events: DataFrame,
+      requests: DataFrame): DataFrame = {
+    // event_type rides along only when the relation carries it: the
+    // session-only spec fixtures feed (user_id, ts) relations, and the
+    // session erase never reads the type column anyway.
+    val payload = Seq(col("user_id"), col("ts")) ++
+      (if (events.columns.contains("event_type")) Seq(col("event_type"))
+       else Nil)
+    events.join(broadcast(requests), Seq("user_id"))
+      .select(payload :+ col("req_us"): _*)
   }
 
   /** RETENTION ERASURE — the non-trivial half: the cells table is an
@@ -1336,14 +1369,19 @@ object Analytic {
     * gap-split over the per-user-T filtered relation, so erase ==
     * rebuild is re-proven cross-engine every round. */
   private[graft] def eraseSessionsBeforeT(standing: DataFrame,
-      events: DataFrame, requests: DataFrame): DataFrame = {
-    val touched = requests.select(col("user_id"))
-    val postT = events
-      .join(broadcast(touched), Seq("user_id"), "left_semi")
-      .join(broadcast(requests), Seq("user_id"))
+      events: DataFrame, requests: DataFrame): DataFrame =
+    eraseSessionsBeforeTFrom(standing, cohortEvents(events, requests), requests)
+
+  /** [[eraseSessionsBeforeT]] over a pre-joined [[cohortEvents]]
+    * slice — see [[eraseFunnelBeforeTFrom]]: row-identical, one scan
+    * and one broadcast join fewer per call. */
+  private[graft] def eraseSessionsBeforeTFrom(standing: DataFrame,
+      cohort: DataFrame, requests: DataFrame): DataFrame = {
+    val postT = cohort
       .where(unix_micros(col("ts")) >= col("req_us"))
       .select(col("user_id"), col("ts"))
-    standing.join(broadcast(touched), Seq("user_id"), "left_anti")
+    standing.join(broadcast(requests.select(col("user_id"))),
+        Seq("user_id"), "left_anti")
       .unionByName(sessionTable(postT))
   }
 
@@ -1465,11 +1503,13 @@ object Analytic {
       val (f, cells) = prepTake(s, dir, "prep137")(q137Arts(s, dir))
       val requests = e.where(erasedUsers).select(col("user_id")).distinct()
         .select(col("user_id"), reqInstantUs.as("req_us"))
-      val fullActivity = e
-        .join(broadcast(requests.select(col("user_id"))), Seq("user_id"), "left_semi")
+      // Both activity relations derive from one cohort slice (r20:
+      // the [[cohortEvents]] refactor — the semi-join the old
+      // fullActivity branch paid was subsumed by the inner join).
+      val cohort = cohortEvents(e, requests)
+      val fullActivity = cohort
         .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
-      val postT = e.join(broadcast(requests), Seq("user_id"))
-        .where(unix_micros(col("ts")) >= col("req_us"))
+      val postT = cohort.where(unix_micros(col("ts")) >= col("req_us"))
         .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
       val (_, after) = eraseRetentionBeforeT(f, cells, fullActivity, postT)
       retentionReport(after)

@@ -2856,6 +2856,18 @@ object DedupOps {
     // partition of any layout; its floor is the one full scan. DPP
     // does not fire for this broadcast-semi-join shape (probed
     // empirically — ProbeDpp), hence the explicit filter.
+    // The DROP side's split-CC is INDEPENDENT of the reveal side's
+    // probe/verify chain (it reads only standing/pairs/removed), yet
+    // both issue sequential driver actions (CC's count+collect vs the
+    // pid collect) — so the drop side runs on a separate thread and
+    // its actions OVERLAP the reveal side's (guide §2.6: overlap
+    // independent jobs; the takedown's wall time was the SUM of the
+    // two sides' action latencies at every register scale). The join
+    // back is the Await below, before the merge consumes both.
+    val rmF = scala.concurrent.Future {
+      graft.Scratch.fenced(removeFromComponents(standing, pairs,
+        removed.select(col("doc_id").as("id"))))
+    }(scala.concurrent.ExecutionContext.global)
     val sigScan = sigPidSize match {
       case Some(w) =>
         val pids = probeIds.select(floor(col("doc_id") / w).as("pid"))
@@ -2868,15 +2880,15 @@ object DedupOps {
       sigScan.join(broadcast(probeIds), Seq("doc_id"), "left_semi"))
     // Both inputs to the final merge are cached AND plan-fenced
     // (Scratch.fenced): the connected-components machinery inside
-    // mergeComponents issues several actions over them, and with the
-    // full takedown lineage attached each action would re-ANALYZE the
-    // whole pipeline's plan — measured 12.8 s of pure driver planning
-    // over empty relations at sf0.1; fenced, each action plans a
-    // single RDD leaf.
+    // mergeComponents issues many actions over a deep pipeline, and
+    // with the full takedown lineage attached each action would
+    // re-ANALYZE the whole pipeline's plan — measured 12.8 s of pure
+    // driver planning over empty relations at sf0.1; fenced, each
+    // action plans a single RDD leaf.
     val revealed = graft.Scratch.fenced(verifiedPairs(sigPruned, revealedCand)
       .select(col("doc_a").as("src"), col("doc_b").as("dst")))
-    val rm = graft.Scratch.fenced(removeFromComponents(standing, pairs,
-      removed.select(col("doc_id").as("id"))))
+    val rm = scala.concurrent.Await.result(rmF,
+      scala.concurrent.duration.Duration.Inf)
     val postPairs = pairs
       .join(removed.select(col("doc_id").as("src")), Seq("src"), "left_anti")
       .join(removed.select(col("doc_id").as("dst")), Seq("dst"), "left_anti")

@@ -129,14 +129,22 @@ object EpochOps {
     val sess1 = Analytic.mergeSessions(sessSt, batch)
     val fun1 = Analytic.mergeFunnelStates(funSt, batch)
     val (retF1, retC1) = Analytic.mergeRetention(retF, retC, batch)
-    val sess2 = Analytic.eraseSessionsBeforeT(sess1, eventStore, requests)
-    val fun2 = Analytic.eraseFunnelBeforeT(fun1, eventStore, requests)
-    val fullAct = eventStore
-      .join(broadcast(requests.select(col("user_id"))),
-        Seq("user_id"), "left_semi")
+    // ONE cohort slice (r20 optimization, guide §2.4): the session
+    // erase, funnel erase, and both retention activity relations all
+    // consume the requested users' events — previously each derived
+    // its own slice with a fresh corpus scan plus a redundant
+    // broadcast semi-join (4 scans per epoch; q145 runs two epochs).
+    // The slice is Scratch-scoped: bounded by the ~10% requested
+    // cohort's events projected to 4 columns, computed once, read by
+    // all four consumers. Row-identical inputs to every consumer —
+    // [[Analytic.cohortEvents]]'s equivalence note.
+    val cohort = graft.Scratch.scoped(
+      Analytic.cohortEvents(eventStore, requests))
+    val sess2 = Analytic.eraseSessionsBeforeTFrom(sess1, cohort, requests)
+    val fun2 = Analytic.eraseFunnelBeforeTFrom(fun1, cohort, requests)
+    val fullAct = cohort
       .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
-    val postT = eventStore.join(broadcast(requests), Seq("user_id"))
-      .where(unix_micros(col("ts")) >= col("req_us"))
+    val postT = cohort.where(unix_micros(col("ts")) >= col("req_us"))
       .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
     val (retF2, retC2) =
       Analytic.eraseRetentionBeforeT(retF1, retC1, fullAct, postT)
@@ -373,7 +381,17 @@ object EpochOps {
       val remA = t(s, dir, "documents")
         .where(col("doc_id") >= loA && col("doc_id") < hiA)
         .select(col("doc_id"))
-      val (idxE1, pairsE1, compsE1) = DedupOps.removeFromCappedClusterFull(
+      // LAZY (r20 optimization): removeFromCappedClusterFull runs its
+      // connected-components machinery EAGERLY at call time (the CC
+      // escape collects on the driver), so computing it here
+      // unconditionally made every RECURRING run — where the epoch-1
+      // stores below already exist and the publishes skip their
+      // builds — pay epoch 1's whole takedown only to discard it.
+      // Deferred, it is forced exactly when a publish actually needs
+      // to build (plainStore's by-name contract), so the recurring
+      // nightly run pays epoch 2 alone — the cost the chain's
+      // scaladoc always claimed for it.
+      lazy val e1Take = DedupOps.removeFromCappedClusterFull(
         idx, banded, sig, pairs, standing, remA,
         DedupOps.Q141Cap, Some(pidSize))
       // ---- PUBLISH: the post-epoch-1 state becomes the standing
@@ -395,9 +413,9 @@ object EpochOps {
       // so the standing register stays O(pending requests).
       val regP = plainStore(s, dir, "reg_post1")(
         compactRegister(req1, cut2Us))
-      val idxP = plainStore(s, dir, "cl_idx_post1")(idxE1)
-      val pairsP = plainStore(s, dir, "cl_pairs_post1")(pairsE1)
-      val compsP = plainStore(s, dir, "cl_comps_post1")(compsE1)
+      val idxP = plainStore(s, dir, "cl_idx_post1")(e1Take._1)
+      val pairsP = plainStore(s, dir, "cl_pairs_post1")(e1Take._2)
+      val compsP = plainStore(s, dir, "cl_comps_post1")(e1Take._3)
       // ---- EPOCH 2: the register front-end drops day-2 rows of
       // registered users before their T (the cross-epoch residue
       // hazard — see the object scaladoc) and guards the in-order
