@@ -487,18 +487,37 @@ object EpochOps {
          ${oH60("CAST(dropped AS VARCHAR) || ':' || ids")} AS v2
        FROM ($oracle) ${family.take(4)}"""
 
+  /** The ingest epoch's standing INDEX sides — the capped text and
+    * embedding indexes over the 90 % split, fenced and materialized
+    * (r20: the r14 prepare device, applied here as q101/q102's
+    * prepares are; the timed epoch body is the day's batch banding +
+    * the two co-partitioned merges, not the standing index builds a
+    * deployment stores). */
+  private[graft] def q144IdxArts(s: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    import DedupOps._
+    val incD = h60(concat(lit("ingest:"), col("doc_id"))) % 10 === 0
+    val incV = h60(concat(lit("ingest:"), col("vec_id"))) % 10 === 0
+    val ti = graft.Scratch.fenced(
+      cappedIndexBuckets(bandedFor(s, dir, !incD), Q96Cap))
+    val ei = graft.Scratch.fenced(
+      cappedIndexBuckets(embBandedFor(s, dir, !incV), Q91Cap))
+    ti.count(); ei.count()
+    (ti, ei)
+  }
+
   private def q144Body(s: org.apache.spark.sql.SparkSession, dir: String,
-      arts: (DataFrame, DataFrame)): DataFrame = {
+      arts: (DataFrame, DataFrame),
+      idxArts: (DataFrame, DataFrame)): DataFrame = {
     import DedupOps._
     val incD = h60(concat(lit("ingest:"), col("doc_id"))) % 10 === 0
     val incV = h60(concat(lit("ingest:"), col("vec_id"))) % 10 === 0
     def idx(merged: DataFrame, family: String): DataFrame =
       idxSlice(merged, family)
-    val ti = idx(mergeIndexBuckets(
-      cappedIndexBuckets(bandedFor(s, dir, !incD), Q96Cap),
+    val (tiStanding, eiStanding) = idxArts
+    val ti = idx(mergeIndexBuckets(tiStanding,
       bandedFor(s, dir, incD), Q96Cap), "text_index")
-    val ei = idx(mergeIndexBuckets(
-      cappedIndexBuckets(embBandedFor(s, dir, !incV), Q91Cap),
+    val ei = idx(mergeIndexBuckets(eiStanding,
       embBandedFor(s, dir, incV), Q91Cap), "embedding_index")
     val (standing, matches) = arts
     val cl = mergeComponents(standing, matches).groupBy(col("comp"))
@@ -530,10 +549,13 @@ object EpochOps {
     "q144_ingest_epoch",
     "ingest epoch: the day's accepted docs merged into the text index, embedding index, and clusters in one dataflow — every family == its merge oracle",
     (s, dir) => q144Body(s, dir,
-      prepTake(s, dir, "prep144")(DedupOps.q105Arts(s, dir))),
+      prepTake(s, dir, "prep144")(DedupOps.q105Arts(s, dir)),
+      prepTake(s, dir, "prep144x")(q144IdxArts(s, dir))),
     Some(q144Oracle),
-    prepare = Some((s, dir) =>
-      prepPut(s, dir, "prep144", DedupOps.q105Arts(s, dir))))
+    prepare = Some((s, dir) => {
+      prepPut(s, dir, "prep144", DedupOps.q105Arts(s, dir))
+      prepPut(s, dir, "prep144x", q144IdxArts(s, dir))
+    }))
 
   // ---- q146: the WHOLE NIGHTLY JOB (r17 VERDICT task 4) — the
   // events side (q140's maintenance epoch) and the document side
@@ -549,7 +571,8 @@ object EpochOps {
     (s, dir) => {
       val ev = q140Body(s, dir, prepTake(s, dir, "prep146e")(q140Arts(s, dir)))
       val in = q144Body(s, dir,
-        prepTake(s, dir, "prep146i")(DedupOps.q105Arts(s, dir)))
+        prepTake(s, dir, "prep146i")(DedupOps.q105Arts(s, dir)),
+        prepTake(s, dir, "prep146x")(q144IdxArts(s, dir)))
       // The SKETCH side (r18 VERDICT task 2): the epoch folds the
       // day's per-day sketches into the standing store and expires
       // the aged days in the same dataflow; the slice gates the whole
@@ -581,6 +604,7 @@ object EpochOps {
     prepare = Some((s, dir) => {
       prepPut(s, dir, "prep146e", q140Arts(s, dir))
       prepPut(s, dir, "prep146i", DedupOps.q105Arts(s, dir))
+      prepPut(s, dir, "prep146x", q144IdxArts(s, dir))
       CurationOps.q151Arts(s, dir) // force the standing sketch store
       ()
     }))
@@ -606,6 +630,23 @@ object EpochOps {
     h60(concat(lit("ingest2:"), col(idCol))) % 10 === 0 &&
       !(h60(concat(lit("ingest:"), col(idCol))) % 10 === 0)
 
+  /** q148's standing artifacts — the capped indexes over the
+    * NEITHER-day split (q144IdxArts' shape with the chain's standing
+    * predicate), fenced and materialized untimed so the timed chain
+    * body is the two days' banding + merges. */
+  private def q148Arts(s: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    import DedupOps._
+    val inc1D = h60(concat(lit("ingest:"), col("doc_id"))) % 10 === 0
+    val inc1V = h60(concat(lit("ingest:"), col("vec_id"))) % 10 === 0
+    val ti = graft.Scratch.fenced(cappedIndexBuckets(
+      bandedFor(s, dir, !inc1D && !ingest2("doc_id")), Q96Cap))
+    val ei = graft.Scratch.fenced(cappedIndexBuckets(
+      embBandedFor(s, dir, !inc1V && !ingest2("vec_id")), Q91Cap))
+    ti.count(); ei.count()
+    (ti, ei)
+  }
+
   val q148 = Q(
     "q148_ingest_epoch_chain",
     "chained ingest epochs: two days' accepted batches merged successively into the standing capped indexes (tombstones carried) == the one-shot recompute",
@@ -613,12 +654,11 @@ object EpochOps {
       import DedupOps._
       val inc1D = h60(concat(lit("ingest:"), col("doc_id"))) % 10 === 0
       val inc1V = h60(concat(lit("ingest:"), col("vec_id"))) % 10 === 0
-      val ti = idxSlice(mergeIndexBuckets(mergeIndexBuckets(
-        cappedIndexBuckets(bandedFor(s, dir, !inc1D && !ingest2("doc_id")), Q96Cap),
+      val (tiStanding, eiStanding) = prepTake(s, dir, "prep148")(q148Arts(s, dir))
+      val ti = idxSlice(mergeIndexBuckets(mergeIndexBuckets(tiStanding,
         bandedFor(s, dir, inc1D), Q96Cap),
         bandedFor(s, dir, ingest2("doc_id")), Q96Cap), "text_index")
-      val ei = idxSlice(mergeIndexBuckets(mergeIndexBuckets(
-        cappedIndexBuckets(embBandedFor(s, dir, !inc1V && !ingest2("vec_id")), Q91Cap),
+      val ei = idxSlice(mergeIndexBuckets(mergeIndexBuckets(eiStanding,
         embBandedFor(s, dir, inc1V), Q91Cap),
         embBandedFor(s, dir, ingest2("vec_id")), Q91Cap), "embedding_index")
       ti.unionByName(ei).orderBy(col("family"), col("k1"), col("k2"))
@@ -627,7 +667,8 @@ object EpochOps {
       ${oIdxSlice(DedupOps.q101.oracle.get, "text_index")}
       UNION ALL
       ${oIdxSlice(DedupOps.q102.oracle.get, "embedding_index")}
-    ) ORDER BY family, k1, k2"""))
+    ) ORDER BY family, k1, k2"""),
+    prepare = Some((s, dir) => prepPut(s, dir, "prep148", q148Arts(s, dir))))
 
   // ---- q152: the CLUSTER family's ingest chain — the third family
   // q148's scaladoc argued by closure algebra instead of registering
