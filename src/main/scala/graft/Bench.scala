@@ -68,9 +68,15 @@ object Bench {
             s"[bench] WARN prepare($name) failed: ${e.getClass.getName}: " +
               s"${e.getMessage} — this pass times the inline artifact build")
         })
+      // Per-query job labels (optimization guide §1.5): every job a
+      // query's body submits carries its name, so listener- or
+      // UI-based attribution of a multi-hundred-job session is
+      // readable. Thread-local; cleared after the body.
+      spark.sparkContext.setJobDescription(name)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.setJobDescription(null)
       Scratch.releaseAll() // drop per-query cached intermediates
       name -> dt
     }

@@ -569,10 +569,25 @@ object EpochOps {
     "q146_nightly_job",
     "the full nightly job: the events maintenance epoch (q140), the document ingest epoch (q144), and the per-day sketch store update (q151 fold + q150 expiry) in one dataflow, side-tagged — each side == its composite rebuild oracle",
     (s, dir) => {
-      val ev = q140Body(s, dir, prepTake(s, dir, "prep146e")(q140Arts(s, dir)))
-      val in = q144Body(s, dir,
-        prepTake(s, dir, "prep146i")(DedupOps.q105Arts(s, dir)),
-        prepTake(s, dir, "prep146x")(q144IdxArts(s, dir)))
+      // The two sides' bodies run EAGER driver work while composing
+      // their plans (the takedown's and the cluster merge's connected
+      // components both collect at call time), and the sides are data-
+      // independent until the union — so they compose on separate
+      // threads (guide §2.6: overlap independent jobs) instead of
+      // paying CC-latency-after-CC-latency. prepTake consumes each
+      // side's own tag; the handoff map is concurrent.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val evF = Future {
+        q140Body(s, dir, prepTake(s, dir, "prep146e")(q140Arts(s, dir)))
+      }
+      val inF = Future {
+        q144Body(s, dir,
+          prepTake(s, dir, "prep146i")(DedupOps.q105Arts(s, dir)),
+          prepTake(s, dir, "prep146x")(q144IdxArts(s, dir)))
+      }
+      val ev = Await.result(evF, scala.concurrent.duration.Duration.Inf)
+      val in = Await.result(inF, scala.concurrent.duration.Duration.Inf)
       // The SKETCH side (r18 VERDICT task 2): the epoch folds the
       // day's per-day sketches into the standing store and expires
       // the aged days in the same dataflow; the slice gates the whole
