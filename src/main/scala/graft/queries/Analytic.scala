@@ -547,15 +547,36 @@ object Analytic {
     * maintains; t1 is always set (a user enters the table on first
     * view), t2/t3 are null until the later steps happen. */
   private[graft] def funnelStates(e: DataFrame): DataFrame = {
-    val v = e.where(col("event_type") === "view")
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
-    val c = e.where(col("event_type") === "click")
-      .join(v, "user_id").where(col("ts") > col("t1"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
-    val p = e.where(col("event_type") === "purchase")
-      .join(c, "user_id").where(col("ts") > col("t2"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
-    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+    // SINGLE-PASS shape (r20 optimization, guide §2.4): the original
+    // three-aggregation cascade (t2's aggregation joins t1's, t3's
+    // joins t2's, final = v ⋈ c ⋈ p) references each earlier stage
+    // from two consumers, and Catalyst does not share common subplans
+    // — the physical plan re-derived v three times and c twice, i.e.
+    // SIX scans of the event relation and ~5 exchanges for one state
+    // table (and every epoch-erase rebuild that composes this
+    // operator multiplied those again). The cascade is per-user
+    // arithmetic, so it windows: one exchange by user_id, three
+    // WindowExec passes over the partition (each min sees the
+    // previous step's per-user constant), one reusing aggregation.
+    // Row-identical by case: t1 = min view ts (null iff no view ⇒
+    // user excluded, as the old v-anchored join excluded them);
+    // t2 = min click ts strictly after t1 (the `ts > null` branch is
+    // null ⇒ min skips it, exactly the old inner-join-then-filter);
+    // t3 the same over t2. The isin pre-filter drops only rows no
+    // branch of the old cascade read.
+    val w = Window.partitionBy(col("user_id"))
+    e.where(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .withColumn("_t1", min(when(col("event_type") === "view",
+        col("ts"))).over(w))
+      .withColumn("_t2", min(when(col("event_type") === "click" &&
+        col("ts") > col("_t1"), col("ts"))).over(w))
+      .withColumn("_t3", min(when(col("event_type") === "purchase" &&
+        col("ts") > col("_t2"), col("ts"))).over(w))
+      .where(col("_t1").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(min(col("_t1")).as("t1"), min(col("_t2")).as("t2"),
+        min(col("_t3")).as("t3"))
   }
 
   /** FUNNEL-STATE MERGE — fold a later-window event batch into the
@@ -604,33 +625,51 @@ object Analytic {
     def violation(what: String) = raise_error(concat(
       lit(s"q119 ingest-contract violation: batch $what standing step for user "),
       col("user_id").cast("string")))
-    val bv = batch.where(col("event_type") === "view")
-      .groupBy(col("user_id")).agg(min(col("ts")).as("bv"))
-    val u1 = standing.join(bv, Seq("user_id"), "full")
-      .select(col("user_id"),
+    // SINGLE-PASS shape (r20 optimization, guide §2.4 — see
+    // [[funnelStates]]): the original cascade joined three separate
+    // batch aggregations against the growing state, and each stage's
+    // two consumers re-derived its whole subtree — the epoch plans
+    // scanned the standing store FOUR times per fold (eight across a
+    // q145 chain step) and paid ~6 exchanges for per-user arithmetic.
+    // Here the batch joins the standing state ONCE (full outer on
+    // user_id — the bucketed standing side contributes no exchange),
+    // and the cascade runs as three window mins over the joined rows:
+    // bv/bc/bp are the same per-user conditional mins (the standing
+    // steps arrive as per-user constants from the join), the guards
+    // are the same expressions evaluated on every joined row instead
+    // of once per state row (same per-user condition, same message,
+    // same raise), and the final reusing aggregation collapses the
+    // per-user constants back to one state row. Row-set equality: the
+    // old full join emitted users(standing) ∪ users(batch views); the
+    // `_st`-or-`bv` filter keeps exactly those (a batch user whose
+    // only rows are clicks/purchases and who has no standing row was
+    // dropped by the old inner joins too — funnel entry is a view).
+    val w = Window.partitionBy(col("user_id"))
+    batch.where(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .join(standing.withColumn("_st", lit(true)), Seq("user_id"), "full")
+      .withColumn("bv", min(when(col("event_type") === "view",
+        col("ts"))).over(w))
+      .withColumn("u1",
         when(col("t1").isNotNull && col("bv") < col("t1"),
           violation("view predates the")).otherwise(
-          coalesce(col("t1"), col("bv"))).as("u1"),
-        col("t2"), col("t3"))
-    val bc = batch.where(col("event_type") === "click")
-      .join(u1.select(col("user_id"), col("u1")), "user_id")
-      .where(col("ts") > col("u1"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("bc"))
-    val u2 = u1.join(bc, Seq("user_id"), "left")
-      .select(col("user_id"), col("u1"),
+          coalesce(col("t1"), col("bv"))))
+      .withColumn("bc", min(when(col("event_type") === "click" &&
+        col("ts") > col("u1"), col("ts"))).over(w))
+      .withColumn("u2",
         when(col("t2").isNotNull && col("bc") < col("t2"),
           violation("click would move the")).otherwise(
-          coalesce(col("t2"), col("bc"))).as("u2"),
-        col("t3"))
-    val bp = batch.where(col("event_type") === "purchase")
-      .join(u2.select(col("user_id"), col("u2")), "user_id")
-      .where(col("ts") > col("u2"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("bp"))
-    u2.join(bp, Seq("user_id"), "left")
-      .select(col("user_id"), col("u1").as("t1"), col("u2").as("t2"),
+          coalesce(col("t2"), col("bc"))))
+      .withColumn("bp", min(when(col("event_type") === "purchase" &&
+        col("ts") > col("u2"), col("ts"))).over(w))
+      .withColumn("u3",
         when(col("t3").isNotNull && col("bp") < col("t3"),
           violation("purchase would move the")).otherwise(
-          coalesce(col("t3"), col("bp"))).as("t3"))
+          coalesce(col("t3"), col("bp"))))
+      .where(col("_st").isNotNull || col("bv").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(min(col("u1")).as("t1"), min(col("u2")).as("t2"),
+        min(col("u3")).as("t3"))
   }
 
   /** q113's presentation projection over a (user_id, t1, t2, t3)
