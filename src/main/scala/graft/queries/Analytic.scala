@@ -500,21 +500,23 @@ object Analytic {
     "q114_retention",
     "daily cohort retention matrix: first-seen cohorts x day offset, distinct active users",
     (s, dir) => {
+      // Window form (r20 optimization, guide §2.4): the original
+      // derived the cohort by self-joining the distinct activity
+      // against its own per-user min (two derivations of `d`), then
+      // self-joined the cells for the cohort size — the event
+      // relation was scanned twice and the cells subtree doubled.
+      // cohort_day = min(day) over the user's partition is the same
+      // value attached in one pass; [[retentionReport]] renders the
+      // identical projection (its window cohort-size replaces the sz
+      // join — every cohort here has its day-0 cell by construction).
+      val w = Window.partitionBy(col("user_id"))
       val d = t(s, dir, "events")
         .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
-      val f = d.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
-      val cells = d.join(f, "user_id")
-        .select(col("cohort_day"),
-          datediff(col("day"), col("cohort_day")).as("day_offset"), col("user_id"))
-        .groupBy(col("cohort_day"), col("day_offset"))
-        .agg(countDistinct(col("user_id")).as("n_users"))
-      val sz = cells.where(col("day_offset") === 0)
-        .select(col("cohort_day"), col("n_users").as("cohort_size"))
-      cells.join(sz, "cohort_day")
-        .select(col("cohort_day"), col("day_offset").cast("int").as("day_offset"),
-          col("n_users"),
-          round(col("n_users").cast("double") / col("cohort_size"), 4).as("retention"))
-        .orderBy(col("cohort_day"), col("day_offset"))
+      retentionReport(d
+        .withColumn("cohort_day", min(col("day")).over(w))
+        .groupBy(col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users")))
     },
     Some(oRetentionSql))
 
@@ -788,9 +790,21 @@ object Analytic {
   /** q114's presentation (normalize by cohort size, 4-dp ratio) over
     * a cells relation — factored so q114 and q120 render identically. */
   private[graft] def retentionReport(cells: DataFrame): DataFrame = {
-    val sz = cells.where(col("day_offset") === 0)
-      .select(col("cohort_day"), col("n_users").as("cohort_size"))
-    cells.join(sz, "cohort_day")
+    // Window, not self-join (r20 optimization, guide §2.4): the old
+    // cells ⋈ (cells where day_offset = 0) doubled the ENTIRE subtree
+    // below the report — cheap when cells is a store scan, but the
+    // epoch bodies feed an unmaterialized merge+erase pipeline whose
+    // whole dataflow re-derived once per side. The cohort size is the
+    // cohort's own day-0 cell, i.e. a per-cohort window max; the
+    // isNotNull filter reproduces the old inner join exactly (a
+    // cohort with no day-0 cell — impossible for states built or
+    // maintained by this family's operators, whose zero-cell drop is
+    // cohort-wide — was dropped by the join too).
+    val w = Window.partitionBy(col("cohort_day"))
+    cells
+      .withColumn("cohort_size",
+        max(when(col("day_offset") === 0, col("n_users"))).over(w))
+      .where(col("cohort_size").isNotNull)
       .select(col("cohort_day"), col("day_offset").cast("int").as("day_offset"),
         col("n_users"),
         round(col("n_users").cast("double") / col("cohort_size"), 4).as("retention"))

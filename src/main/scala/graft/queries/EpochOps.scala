@@ -128,7 +128,16 @@ object EpochOps {
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val sess1 = Analytic.mergeSessions(sessSt, batch)
     val fun1 = Analytic.mergeFunnelStates(funSt, batch)
-    val (retF1, retC1) = Analytic.mergeRetention(retF, retC, batch)
+    // The post-fold retention pair is Scratch-scoped (r20
+    // optimization): the erase half references the first-seen table
+    // twice (decrement join + survivor anti-join) and the cells once
+    // more under the report, and each unmaterialized reference
+    // re-derived the whole fold. Both relations are the family's own
+    // bounded state (first-seen: one row per user; cells: days²),
+    // exactly what q145 publishes as stores between epochs anyway.
+    val (retF1m, retC1m) = Analytic.mergeRetention(retF, retC, batch)
+    val retF1 = graft.Scratch.scoped(retF1m)
+    val retC1 = graft.Scratch.scoped(retC1m)
     // ONE cohort slice (r20 optimization, guide §2.4): the session
     // erase, funnel erase, and both retention activity relations all
     // consume the requested users' events — previously each derived
