@@ -758,7 +758,14 @@ object Analytic {
       batch: DataFrame): (DataFrame, DataFrame) = {
     val maxDay = cells.agg(
       max(date_add(col("cohort_day"), col("day_offset").cast("int"))).as("_max_day"))
-    val nd = batch.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    // Scratch-scoped (r20 optimization): nd feeds BOTH the first-seen
+    // fold and the delta aggregation, and an unmaterialized reference
+    // re-derived the batch distinct, the cells-wide max-day scalar and
+    // the guard per consumer. Bounded by the batch's distinct
+    // (user, day) pairs; the guard still evaluates for every pair at
+    // materialization.
+    val nd = graft.Scratch.scoped(
+      batch.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
       .crossJoin(broadcast(maxDay))
       .select(col("user_id"),
         when(col("day") <= col("_max_day"), raise_error(concat(
@@ -766,7 +773,7 @@ object Analytic {
           col("day").cast("string"),
           lit(" does not postdate the standing activity (max day "),
           col("_max_day").cast("string"), lit(")"))))
-          .otherwise(col("day")).as("day"))
+          .otherwise(col("day")).as("day")))
     val fNew = f.join(
         nd.groupBy(col("user_id")).agg(min(col("day")).as("bday")),
         Seq("user_id"), "full")
