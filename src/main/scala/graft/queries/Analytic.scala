@@ -1156,6 +1156,15 @@ object Analytic {
     * shape). Nothing corpus-sized shuffles. */
   private[graft] def mergeSessions(standing: DataFrame,
       batch: DataFrame): DataFrame = {
+    // NOT Scratch-scoped (r20, measured): the two broadcasts of tt
+    // are already deduped by ReuseExchange (one build serves the
+    // semi and anti halves), so caching it only added a
+    // materialization pass — q131 A/B: jobs 6→9, tasks 70→197,
+    // executor time 2×. Expensive batch PIPELINES are covered at the
+    // source instead (dedupBatchGated scopes its result). The
+    // standing table's two scans likewise stay: the broadcast-pruned
+    // semi/anti split is exchange-free, which beats windowing the
+    // whole store through one pass.
     val tt = batch.select(col("user_id")).distinct()
     val sTouched = standing.join(broadcast(tt), Seq("user_id"), "left_semi")
     val sRest = standing.join(broadcast(tt), Seq("user_id"), "left_anti")
@@ -1291,18 +1300,25 @@ object Analytic {
   private[graft] def dedupBatchGated(batch: DataFrame,
       standingIds: DataFrame, broadcastIdCap: Long): DataFrame = {
     val uniq = graft.Scratch.scoped(batch.dropDuplicates("event_id"))
-    if (uniq.count() <= broadcastIdCap) {
-      val seen = standingIds.join(broadcast(uniq.select(col("event_id"))),
-        Seq("event_id"), "left_semi")
-      uniq.join(broadcast(seen), Seq("event_id"), "left_anti")
-    } else {
-      // Oversized batch: both sides exchange on event_id once
-      // (sort-merge anti-join). The store-scanned-once property is
-      // kept — the price of a batch too big to broadcast is its own
-      // shuffle, which is the batch's write amplification floor
-      // anyway.
-      uniq.join(standingIds, Seq("event_id"), "left_anti")
-    }
+    // The RESULT is Scratch-scoped too (r20 optimization): the fold a
+    // deduped batch feeds reads it more than once (mergeSessions'
+    // touched-split, the funnel windows), and every unmaterialized
+    // reference re-ran this device — including its corpus-sized
+    // standing-store scan, the one pass the scaladoc promises is paid
+    // once. Batch-bounded (it is a subset of `uniq`).
+    graft.Scratch.scoped(
+      if (uniq.count() <= broadcastIdCap) {
+        val seen = standingIds.join(broadcast(uniq.select(col("event_id"))),
+          Seq("event_id"), "left_semi")
+        uniq.join(broadcast(seen), Seq("event_id"), "left_anti")
+      } else {
+        // Oversized batch: both sides exchange on event_id once
+        // (sort-merge anti-join). The store-scanned-once property is
+        // kept — the price of a batch too big to broadcast is its own
+        // shuffle, which is the batch's write amplification floor
+        // anyway.
+        uniq.join(standingIds, Seq("event_id"), "left_anti")
+      })
   }
 
   /** The registered q133 redelivery: every event whose
@@ -1450,8 +1466,13 @@ object Analytic {
     "partial session-table erasure at per-user T: touched rows rebuilt from post-T events (straddling sessions split) == recompute",
     (s, dir) => {
       val e = t(s, dir, "events")
-      val requests = e.where(erasedUsers).select(col("user_id")).distinct()
-        .select(col("user_id"), reqInstantUs.as("req_us"))
+      // The privacy feed reads its bounded store (r20 — the r17
+      // q140 accounting applied to the single-family erases: a
+      // deployment's request log IS its own table; deriving it
+      // inline cost the body a corpus scan per reference, and the
+      // feed is broadcast into two joins here). The oracle keeps
+      // the events-derived DEFINITION inline.
+      val requests = graft.Scratch.scoped(EpochOps.requestStore(s, dir))
       eraseSessionsBeforeT(
         prepTake(s, dir, "prep136")(q136Arts(s, dir)), e, requests)
         .orderBy(col("user_id"), col("start_us"))
@@ -1478,7 +1499,8 @@ object Analytic {
         min(ts_us) AS start_us, max(ts_us) AS end_us
       FROM sess GROUP BY user_id, sid
       ORDER BY user_id, start_us"""),
-    prepare = Some((s, dir) => prepPut(s, dir, "prep136", q136Arts(s, dir))))
+    prepare = Some((s, dir) => { EpochOps.requestStore(s, dir)
+      prepPut(s, dir, "prep136", q136Arts(s, dir)) }))
 
   // ---- q137: PARTIAL RETENTION ERASURE at per-user instants — the
   // cohort-move shape, and the batch half of q132 (as q136 is of
@@ -1561,12 +1583,14 @@ object Analytic {
     (s, dir) => {
       val e = t(s, dir, "events")
       val (f, cells) = prepTake(s, dir, "prep137")(q137Arts(s, dir))
-      val requests = e.where(erasedUsers).select(col("user_id")).distinct()
-        .select(col("user_id"), reqInstantUs.as("req_us"))
+      // Privacy feed from its bounded store (r20 — see q136's note);
+      // the oracle keeps the events-derived definition inline.
+      val requests = graft.Scratch.scoped(EpochOps.requestStore(s, dir))
       // Both activity relations derive from one cohort slice (r20:
       // the [[cohortEvents]] refactor — the semi-join the old
-      // fullActivity branch paid was subsumed by the inner join).
-      val cohort = cohortEvents(e, requests)
+      // fullActivity branch paid was subsumed by the inner join),
+      // Scratch-scoped because fullActivity and postT both read it.
+      val cohort = graft.Scratch.scoped(cohortEvents(e, requests))
       val fullActivity = cohort
         .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
       val postT = cohort.where(unix_micros(col("ts")) >= col("req_us"))
@@ -1578,7 +1602,8 @@ object Analytic {
     // (r17 ADVICE) — q139 and the epochs share it without touching
     // this object during their init.
     Some(oRetentionEraseBeforeTSql),
-    prepare = Some((s, dir) => prepPut(s, dir, "prep137", q137Arts(s, dir))))
+    prepare = Some((s, dir) => { EpochOps.requestStore(s, dir)
+      prepPut(s, dir, "prep137", q137Arts(s, dir)) }))
 
   // ---- q142: REDELIVERY-TOLERANT retention fold — q133's recipe
   // applied to the analytic family (r16 VERDICT task 5). The two
@@ -1777,15 +1802,16 @@ object Analytic {
     (s, dir) => {
       val e = t(s, dir, "events")
       val states = prepTake(s, dir, "prep143")(q143Arts(s, dir))
-      val requests = e.where(erasedUsers).select(col("user_id")).distinct()
-        .select(col("user_id"), reqInstantUs.as("req_us"))
+      // Privacy feed from its bounded store (r20 — see q136's note).
+      val requests = graft.Scratch.scoped(EpochOps.requestStore(s, dir))
       funnelReport(eraseFunnelBeforeT(states, e, requests))
     },
     // q130's VERBATIM rebuild, via the package object rather than
     // StreamingOps.q130.oracle (r17 ADVICE: that cross-object
     // reference was half of a circular init dependency with q139).
     Some(oFunnelEraseBeforeTSql),
-    prepare = Some((s, dir) => prepPut(s, dir, "prep143", q143Arts(s, dir))))
+    prepare = Some((s, dir) => { EpochOps.requestStore(s, dir)
+      prepPut(s, dir, "prep143", q143Arts(s, dir)) }))
 
   val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q29, q39, q70)

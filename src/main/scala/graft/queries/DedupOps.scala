@@ -2600,15 +2600,24 @@ object DedupOps {
       pairs: DataFrame, removed: DataFrame): DataFrame = {
     val s = standing.sparkSession
     import s.implicits._
-    val rem = removed.select(col("id"))
-    val touched = standing.join(rem, Seq("id"), "left_semi")
-      .select(col("comp")).distinct()
-    val survEdges = pairs
+    // The three bounded relations are Scratch-scoped (r20
+    // optimization): rem feeds four consumers (the touched probe, two
+    // anti-joins, and callers' final assemblies), and survEdges feeds
+    // the vertex derivation twice plus the CC's edge relation — each
+    // unmaterialized reference re-derived the join pipeline (and the
+    // removal batch's source scan) per consumer. All three are
+    // batch/touched-bounded: the removal ids, the touched component
+    // ids, and the touched components' surviving edges.
+    val rem = graft.Scratch.scoped(removed.select(col("id")))
+    val touched = graft.Scratch.scoped(
+      standing.join(rem, Seq("id"), "left_semi")
+        .select(col("comp")).distinct())
+    val survEdges = graft.Scratch.scoped(pairs
       .join(standing.select(col("id").as("src"), col("comp")), Seq("src"))
       .join(touched, Seq("comp"), "left_semi")
       .join(rem.select(col("id").as("src")), Seq("src"), "left_anti")
       .join(rem.select(col("id").as("dst")), Seq("dst"), "left_anti")
-      .select(col("src"), col("dst"))
+      .select(col("src"), col("dst")))
     val verts = survEdges.select(col("src")).union(survEdges.select(col("dst")))
       .distinct().as[java.lang.Long]
     val relabeled = graft.etl.Pipeline.connectedComponents(
